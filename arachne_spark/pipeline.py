@@ -1,0 +1,282 @@
+"""End-to-end KG-construction pipeline (the `arachne` ingest path E1,
+SURVEY.md §3, restated Spark-first).
+
+Stage graph (each stage = committed snapshot table, resumable):
+
+  pages ─ latest_snapshot ─ lang filter ─ extract text   → pages_clean
+        └ detect_mentions (broadcast alias dict)         → mentions
+  mentions ─ salted touch-count ≥ 50                     → promoted
+  mentions ∪ promoted ─ entity_root ─ staleness anti-join
+           ─ batch-id assignment                         → fetch_queue
+  fetch_queue ⋈ broadcast labels (enrichment)            → entities
+  mentions → (url,'mentions',qid) ∪ relation extraction  → triples_raw
+  triples_raw[sameAs] → large-star/small-star CC         → canonical_map
+  triples_raw ⋈ canonical_map (broadcast)                → triples
+
+Reference behaviors realized (citations into /root/reference):
+* add_entity/enqueue staleness gate  src/arachne.cpp:201-222,235-251
+* touch promotion at >= 50           src/arachne.cpp:224-233
+* batch chunking <= 50 per batch     include/arachne.hpp:283-284,
+                                     src/pheidippides.cpp:56
+* dictionary enrichment join         src/pheidippides.cpp:29-82
+* deterministic merge priority       replaces hash-order merge_patch,
+                                     src/pheidippides.cpp:79
+* groups/stitching via CC            include/penelope.hpp:29 (intent)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arachne_spark.functions.ids import entity_root, identify
+from arachne_spark.operators.cc import canonical_mapping
+from arachne_spark.operators.extract import latest_snapshot, with_text
+from arachne_spark.operators.mentions import (
+    detect_mentions,
+    extract_relations,
+    mention_triples,
+)
+from arachne_spark.operators.skew import promote_candidates
+from arachne_spark.plans.lineage import StageRecorder
+from arachne_spark.plans.storage import Warehouse
+from arachne_spark.sources.dictionary import alias_df, labels_df, predicate_df
+from arachne_spark.sources.pages import pages_df
+
+# reference thresholds (include/arachne.hpp:283-291)
+BATCH_THRESHOLD = 50
+CANDIDATES_THRESHOLD = 50
+STALENESS_HOURS = 24
+
+
+@dataclass
+class PipelineConfig:
+    """Declarative job config — the `call_preview` analog
+    (src/pheidippides.cpp:143-184): everything resolved up front,
+    inspectable before execution."""
+
+    warehouse: str
+    n_pages: int = 2000
+    lang: str = "en"
+    touch_threshold: int = CANDIDATES_THRESHOLD
+    batch_threshold: int = BATCH_THRESHOLD
+    staleness_hours: int = STALENESS_HOURS
+    run_id: str = "r0"
+    n_batch_buckets: int = 256  # parallel window groups for batch ids
+    force: bool = False  # ignore committed snapshots (full recompute)
+
+
+FETCH_STATE = "fetch_state"
+
+
+def assign_batches(queue: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Chunk the fetch queue into batches of <= batch_threshold per kind.
+
+    The reference chunks with std::views::chunk(50) in one thread
+    (src/pheidippides.cpp:56); a single global row_number would serialize
+    at scale, so the window is partitioned by (kind, hash bucket) —
+    n_batch_buckets independent windows per kind, each emitting bounded
+    batches.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.pmod(F.xxhash64("qid"), F.lit(cfg.n_batch_buckets))
+    w = Window.partitionBy("kind", "bucket").orderBy("qid")
+    return (
+        queue.withColumn("bucket", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "batch_id",
+            F.concat_ws(
+                ":",
+                "kind",
+                F.col("bucket").cast("string"),
+                F.floor((F.col("rn") - 1) / cfg.batch_threshold).cast(
+                    "string"
+                ),
+            ),
+        )
+        .drop("rn")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    pages: DataFrame | None = None,
+) -> dict:
+    wh = Warehouse(spark, cfg.warehouse)
+    rec = StageRecorder(wh, cfg.run_id)
+    aliases = alias_df(spark)
+    labels = labels_df(spark)
+    preds = predicate_df(spark)
+
+    if pages is None:
+        pages = pages_df(spark, cfg.n_pages)
+
+    pages_clean = rec.run_stage(
+        "pages_clean",
+        lambda: with_text(
+            latest_snapshot(pages).where(F.col("lang") == cfg.lang)
+        ),
+        force=cfg.force,
+    )
+
+    mentions = rec.run_stage(
+        "mentions",
+        lambda: detect_mentions(pages_clean, aliases),
+        force=cfg.force,
+    )
+
+    promoted = rec.run_stage(
+        "promoted",
+        lambda: promote_candidates(
+            mentions, key="qid", threshold=cfg.touch_threshold,
+            salt_from="url",
+        ),
+        force=cfg.force,
+    )
+
+    def build_queue() -> DataFrame:
+        # every mentioned entity enters the queue (add_entity path);
+        # promoted candidates are the extra_batches analog — same join
+        # downstream, exactly as SURVEY.md §2 O8 prescribes.
+        seen = (
+            mentions.select(entity_root(F.col("qid")).alias("qid"))
+            .unionByName(promoted.select("qid"))
+            .where(F.col("qid").isNotNull())
+            .distinct()
+            .withColumn("kind", identify(F.col("qid")))
+        )
+        # staleness gate (enqueue, src/arachne.cpp:201-222): skip
+        # entities fetched < staleness_hours before logical now.
+        logical_now = pages_clean.agg(F.max("warc_ts")).collect()[0][0]
+        if wh.is_committed(FETCH_STATE):
+            fresh = wh.read(FETCH_STATE).where(
+                F.col("last_fetched_ts")
+                >= F.lit(logical_now)
+                - F.expr(f"INTERVAL {cfg.staleness_hours} HOURS")
+            )
+            seen = seen.join(F.broadcast(fresh), "qid", "left_anti")
+        return assign_batches(seen, cfg)
+
+    fetch_queue = rec.run_stage("fetch_queue", build_queue, force=cfg.force)
+
+    def enrich() -> DataFrame:
+        # the fetch_json dictionary lookup (src/pheidippides.cpp:29-82)
+        # as a broadcast hash join; kind filter inside chunks
+        # (:59-61) holds by construction (qid grammar ↔ kind column).
+        return fetch_queue.join(
+            F.broadcast(labels.where(F.col("lang") == "en")),
+            ["qid", "kind"],
+            "left",
+        ).select("qid", "kind", "batch_id", "label")
+
+    entities = rec.run_stage("entities", enrich, force=cfg.force)
+
+    # update fetch_state (ariadne.store analog, src/arachne.cpp:103)
+    logical_now_df = pages_clean.agg(
+        F.max("warc_ts").alias("ts")
+    )
+    new_state = fetch_queue.select("qid").crossJoin(
+        F.broadcast(logical_now_df)
+    ).select("qid", F.col("ts").alias("last_fetched_ts"))
+    if wh.is_committed(FETCH_STATE):
+        prev = wh.read(FETCH_STATE)
+        new_state = (
+            prev.unionByName(new_state)
+            .groupBy("qid")
+            .agg(F.max("last_fetched_ts").alias("last_fetched_ts"))
+        )
+    wh.write(new_state, FETCH_STATE + "_next")
+    # swap: parquet backend can't overwrite a table being read from
+    new_state = wh.read(FETCH_STATE + "_next")
+    wh.write(new_state, FETCH_STATE)
+    wh.drop(FETCH_STATE + "_next")
+
+    triples_raw = rec.run_stage(
+        "triples_raw",
+        lambda: mention_triples(mentions).unionByName(
+            extract_relations(mentions, preds).select(
+                F.col("subj"), F.col("pred"), F.col("obj")
+            ).dropDuplicates()
+        ),
+        force=cfg.force,
+    )
+
+    canonical_map = rec.run_stage(
+        "canonical_map",
+        lambda: canonical_mapping(
+            triples_raw.where(F.col("pred") == "sameAs").select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        ),
+        force=cfg.force,
+    )
+
+    def canonicalize() -> DataFrame:
+        m = F.broadcast(canonical_map)
+        t = triples_raw.where(F.col("pred") != "sameAs")
+        t = (
+            t.join(
+                m.withColumnRenamed("qid", "subj").withColumnRenamed(
+                    "canonical_qid", "subj_c"
+                ),
+                "subj",
+                "left",
+            )
+            .join(
+                m.withColumnRenamed("qid", "obj").withColumnRenamed(
+                    "canonical_qid", "obj_c"
+                ),
+                "obj",
+                "left",
+            )
+            .select(
+                F.coalesce("subj_c", "subj").alias("subj"),
+                "pred",
+                F.coalesce("obj_c", "obj").alias("obj"),
+            )
+            .dropDuplicates()
+        )
+        return t
+
+    triples = rec.run_stage(
+        "triples", canonicalize, force=cfg.force, partition_by=["pred"]
+    )
+
+    return {
+        "stages": rec.records,
+        "triples": triples.count(),
+        "entities": entities.count(),
+    }
+
+
+def main() -> None:
+    from arachne_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=2000)
+    ap.add_argument("--warehouse", default="/tmp/arachne_warehouse")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--run-id", default="cli")
+    args = ap.parse_args()
+
+    spark = get_spark("arachne-pipeline")
+    cfg = PipelineConfig(
+        warehouse=args.warehouse,
+        n_pages=args.pages,
+        force=args.force,
+        run_id=args.run_id,
+    )
+    out = run_pipeline(spark, cfg)
+    print(json.dumps(out, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Warehouse abstraction: committed stage tables + snapshot resume.
+
+Realizes the intended-but-empty ``ariadne`` persistence layer of the
+reference (/root/reference/include/ariadne.hpp:29, call sites
+src/arachne.cpp:103,205) as snapshot-committed tables.
+
+Two backends behind one API:
+* **Iceberg** (preferred on a real cluster): ``df.writeTo(cat.ns.table)``
+  — atomic snapshot commit, time travel, incremental reads.  Used when
+  the session has an Iceberg catalog configured (``iceberg_catalog``).
+* **Parquet fallback** (this sandbox has no Iceberg runtime jar):
+  per-table directory; Spark's ``_SUCCESS`` marker is the commit record.
+  Writes go to a temp dir and are atomically renamed into place, so a
+  killed run never leaves a half-written "committed" stage.
+
+``resume_or_compute`` gives the checkpoint-resume semantics demanded by
+the north_rule: a stage whose table is committed is *read*, not
+recomputed — kill the driver after stage N, restart, and stages 1..N
+load from their snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        iceberg_catalog: str | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.catalog = iceberg_catalog
+        if not iceberg_catalog:
+            os.makedirs(root, exist_ok=True)
+
+    # -- parquet-backend paths ------------------------------------------
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def is_committed(self, table: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(
+                f"{self.catalog}.{table}"
+            )
+        return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if self.catalog:
+            writer = df.writeTo(f"{self.catalog}.{table}")
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                writer = writer.partitionedBy(
+                    *[col(c) for c in partition_by]
+                )
+            if mode == "append" and self.is_committed(table):
+                writer.append()
+            else:
+                writer.createOrReplace()
+            return
+        final = self._path(table)
+        if mode == "append":
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(final)
+            return
+        # overwrite: write to temp, atomically swap in
+        tmp = final + f".__tmp_{int(time.time() * 1000)}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        old = final + ".__old"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def read(self, table: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{table}")
+        return self.spark.read.parquet(self._path(table))
+
+    def drop(self, table: str) -> None:
+        if self.catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{table}")
+            return
+        shutil.rmtree(self._path(table), ignore_errors=True)
+
+    def resume_or_compute(
+        self, table: str, compute, force: bool = False, **write_kwargs
+    ) -> tuple[DataFrame, bool]:
+        """(df, resumed): read committed snapshot or compute+commit."""
+        if not force and self.is_committed(table):
+            return self.read(table), True
+        df = compute()
+        self.write(df, table, **write_kwargs)
+        return self.read(table), False

@@ -1,0 +1,113 @@
+"""Golden end-to-end pipeline tests against the independent oracle:
+byte-identical extraction, triple P/R >= 0.95, determinism across
+parallelism, and snapshot resume (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from arachne_spark.pipeline import PipelineConfig, run_pipeline
+from arachne_spark.sources.pages import pages_df
+from tests import oracle
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    cfg = PipelineConfig(warehouse=wh, n_pages=N_PAGES, run_id="t1")
+    summary = run_pipeline(spark, cfg)
+    return wh, cfg, summary
+
+
+def _triples(spark, wh) -> set:
+    rows = spark.read.parquet(f"{wh}/triples").collect()
+    return {(r["subj"], r["pred"], r["obj"]) for r in rows}
+
+
+def test_extraction_byte_identical(spark, pipeline_result):
+    wh, _, _ = pipeline_result
+    texts, _ = oracle.expected_output(N_PAGES)
+    got = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(f"{wh}/pages_clean").collect()
+    }
+    assert set(got) == set(texts)
+    mismatches = [u for u in texts if got[u] != texts[u]]
+    assert not mismatches, (
+        f"{len(mismatches)} texts differ, e.g. {mismatches[0]}: "
+        f"{got[mismatches[0]]!r} vs {texts[mismatches[0]]!r}"
+    )
+
+
+def test_triple_precision_recall(spark, pipeline_result):
+    wh, _, _ = pipeline_result
+    _, want = oracle.expected_output(N_PAGES)
+    got = _triples(spark, wh)
+    p, r = oracle.precision_recall(got, want)
+    assert p >= 0.95, f"precision {p:.4f} < 0.95; extra: {list(got - want)[:5]}"
+    assert r >= 0.95, f"recall {r:.4f} < 0.95; missing: {list(want - got)[:5]}"
+
+
+def test_no_sameas_survives_and_canonical_subjects(spark, pipeline_result):
+    wh, _, _ = pipeline_result
+    t = spark.read.parquet(f"{wh}/triples")
+    assert t.where(F.col("pred") == "sameAs").count() == 0
+    # co-referent duplicates must have been stitched to the min-QID rep
+    assert t.where(
+        F.col("subj").isin("Q990082", "Q999769")
+        | F.col("obj").isin("Q990082", "Q999769")
+    ).count() == 0
+
+
+def test_promotion_threshold(spark, pipeline_result):
+    wh, cfg, _ = pipeline_result
+    promoted = spark.read.parquet(f"{wh}/promoted")
+    mentions = spark.read.parquet(f"{wh}/mentions")
+    true_counts = {
+        r["qid"]: r["c"]
+        for r in mentions.groupBy("qid").agg(F.count("*").alias("c")).collect()
+    }
+    got = {r["qid"]: r["cnt"] for r in promoted.collect()}
+    want = {
+        q: c for q, c in true_counts.items() if c >= cfg.touch_threshold
+    }
+    assert got == want  # salted two-phase count == plain count
+
+
+def test_determinism_across_parallelism(spark, tmp_path):
+    """Same triples at different parallelism (SURVEY.md §5.2)."""
+    results = []
+    for par, tag in [(2, "p2"), (8, "p8")]:
+        wh = str(tmp_path / tag)
+        pages = pages_df(spark, 120, partitions=par)
+        cfg = PipelineConfig(warehouse=wh, n_pages=120, run_id=tag)
+        run_pipeline(spark, cfg, pages=pages)
+        results.append(_triples(spark, wh))
+        shutil.rmtree(wh, ignore_errors=True)
+    assert results[0] == results[1]
+
+
+def test_resume_skips_committed_stages(spark, tmp_path):
+    wh = str(tmp_path / "resume")
+    cfg = PipelineConfig(warehouse=wh, n_pages=120, run_id="r1")
+    first = run_pipeline(spark, cfg)
+    assert all(not s["resumed"] for s in first["stages"])
+    # simulate crash after commit of the mentions stage: drop later stages
+    for stage in [
+        "promoted", "fetch_queue", "entities", "triples_raw",
+        "canonical_map", "triples",
+    ]:
+        shutil.rmtree(f"{wh}/{stage}", ignore_errors=True)
+    second = run_pipeline(spark, PipelineConfig(
+        warehouse=wh, n_pages=120, run_id="r2"
+    ))
+    by_stage = {s["stage"]: s for s in second["stages"]}
+    assert by_stage["pages_clean"]["resumed"]
+    assert by_stage["mentions"]["resumed"]
+    assert not by_stage["triples"]["resumed"]
+    assert second["triples"] == first["triples"]
