@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the arachne_spark engine (or a direct DataFrame plan when the
+operator IS a single Spark primitive), with a matching DuckDB oracle in
+``oracle_sql()``.
+
+Determinism conventions (so the order-insensitive value-hash matches):
+* every double that results from aggregation over doubles is computed
+  through decimal(18,2)/decimal(28,6) (exact, order-independent) and
+  rounded before casting back to double;
+* every rank/limit has a total-order tie-break;
+* Spark int-returning functions (size, length, row_number) are cast to
+  bigint to match DuckDB's wider defaults.
 """
 
 from __future__ import annotations
@@ -12,27 +19,892 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent sum of doubles: exact decimal accumulate."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale
+    )
+
+
+# the tiny entity dictionary used by the document-mention queries;
+# multi-token aliases share no token with single-token aliases so the
+# longest-match dominance rule and the LIKE-based oracle agree.
+DOC_DICT = [
+    ("spark", "Q1"),
+    ("query", "Q2"),
+    ("data", "Q3"),
+    ("merge", "Q4"),
+    ("table scan", "Q10"),
+    ("hash join", "Q11"),
+]
+DOC_DICT_SQL = ", ".join(f"('{a}', '{q}')" for a, q in DOC_DICT)
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# deterministic LSH hyperplanes: h_j[i] = ((i*31 + j*17) % 7) - 3
+DIM = 64
+HYPERPLANES = [
+    [float((i * 31 + j * 17) % 7 - 3) for i in range(DIM)] for j in range(4)
+]
+
+
+def _hp_sql(j: int) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in HYPERPLANES[j]) + "]"
+
+
+def _dot(a_col: str, b_col: str):
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, (x, y) ->"
+        " cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dictionary mention extraction over documents (the M2
+    minimum end-to-end slice of SURVEY.md §7)."""
+    return q18_doc_mentions(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# queries — O1-O4: id algebra
+
+
+def q01_id_grammar(spark, sf_dir):
+    from arachne_spark.functions import entity_root, identify
+
+    part = _t(spark, sf_dir, "part")
+    built = part.select(
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit("L"), F.col("p_partkey").cast("string"),
+                     F.lit("-F2")),
+        )
+        .otherwise(F.concat(F.lit("Q"), F.col("p_partkey").cast("string")))
+        .alias("entity_id")
+    )
+    bad = spark.createDataFrame(
+        [("Q01",), ("bogus",), ("L1-X2",), ("Q2147483648",), ("L7-S9",)],
+        ["entity_id"],
+    )
+    return built.unionByName(bad).select(
+        "entity_id",
+        identify(F.col("entity_id")).alias("kind"),
+        entity_root(F.col("entity_id")).alias("root"),
+    )
+
+
+def q02_snapshot_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    snap = F.struct("event_id", "event_type", "ts")
+    order = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(snap, order).alias("s"))
+        .select("user_id", "s.event_id", "s.event_type", "s.ts")
+    )
+
+
+def q03_dedup_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+def q04_touch_promotion(spark, sf_dir):
+    from arachne_spark.operators.skew import salted_count
+
+    orders = _t(spark, sf_dir, "orders")
+    counts = salted_count(
+        orders, ["o_custkey"], salt_from="o_orderkey", count_alias="cnt"
+    )
+    return counts.where(F.col("cnt") >= 20).select(
+        F.col("o_custkey").alias("entity_id"), "cnt"
+    )
+
+
+def q05_broadcast_enrich(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q06_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q07_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q08_batch_assign(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", F.expr("(rn - 1) div 50"))
+        .groupBy("event_type", "batch_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q09_agg_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1997-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_price"),
+            F.round(
+                F.avg(F.col("l_discount").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q10_merge_lastwins(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("props", F.struct("ts", "event_id")).alias("props")
+    )
+
+
+def q11_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q12_set_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return cust.select(
+        F.col("c_nationkey").alias("nationkey")
+    ).exceptAll(
+        supp.select(F.col("s_nationkey").alias("nationkey"))
+    ).dropDuplicates()
+
+
+def q13_values_pattern(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    triples = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("placed").alias("pred"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("obj"),
+    )
+    vals = spark.createDataFrame(
+        [("C1",), ("C2",), ("C5",), ("C8",), ("C13",)], ["subj"]
+    )
+    return triples.join(F.broadcast(vals), "subj").select(
+        "subj", "pred", "obj"
+    )
+
+
+def q14_ask_bgp(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.where(
+        (F.col("o_custkey") == 7) & (F.col("o_totalprice") > 50000)
+    ).agg((F.count("*") > 0).alias("a"))
+    b = li.where(
+        (F.col("l_suppkey") == 3) & (F.col("l_quantity") > 10)
+    ).agg((F.count("*") > 0).alias("b"))
+    return a.crossJoin(b).select((F.col("a") & F.col("b")).alias("ok"))
+
+
+def q15_label_fallback(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    en = nation.select(
+        F.col("n_nationkey").alias("key"),
+        F.lit("en").alias("lang"),
+        F.col("n_name").alias("label"),
+    )
+    xx = nation.where(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_nationkey").alias("key"),
+        F.lit("xx").alias("lang"),
+        F.reverse(F.col("n_name")).alias("label"),
+    )
+    labels = en.unionByName(xx)
+    return labels.groupBy("key").agg(
+        F.coalesce(
+            F.max(F.when(F.col("lang") == "xx", F.col("label"))),
+            F.max(F.when(F.col("lang") == "en", F.col("label"))),
+        ).alias("label")
+    )
+
+
+def q16_cc_components(spark, sf_dir):
+    from arachne_spark.operators.cc import connected_components
+
+    nation = _t(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return connected_components(edges)
+
+
+def q17_property_path(spark, sf_dir):
+    from arachne_spark.operators.closure import transitive_closure
+
+    part = _t(spark, sf_dir, "part")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 2").alias("dst"),
+    )
+    clos = transitive_closure(edges)
+    return clos.select(
+        F.col("src").alias("node"), F.col("dst").alias("ancestor")
+    )
+
+
+def q18_doc_mentions(spark, sf_dir):
+    from arachne_spark.operators.mentions import detect_mentions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dict_df = spark.createDataFrame(
+        [(a, q, "item", int(q[1:])) for a, q in DOC_DICT],
+        "alias string, qid string, kind string, priority long",
+    )
+    m = detect_mentions(docs, dict_df, id_col="doc_id")
+    return m.select(F.col("url").alias("doc_id"), "qid").dropDuplicates()
+
+
+def q19_doc_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+
+
+def q20_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return docs.withColumn("toks", F.split(F.col("text"), " ", -1)).select(
+        "doc_id",
+        F.round(
+            F.expr(
+                f"size(filter(toks, t -> array_contains({stop_arr}, t)))"
+            )
+            / F.size(F.col("toks")),
+            4,
+        ).alias("stop_ratio"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+            / F.size(F.col("toks")),
+            4,
+        ).alias("avg_tok_len"),
+    )
+
+
+def q21_doc_langid(spark, sf_dir):
+    q = q20_doc_quality(spark, sf_dir)
+    return q.select(
+        "doc_id",
+        F.when(F.col("stop_ratio") >= 0.05, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+def q22_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(toks, "|")).alias("fp_full"),
+        F.md5(F.array_join(F.slice(toks, 1, 10), "|")).alias("fp_prefix"),
+    )
+
+
+def _shingles(spark, sf_dir, max_doc: int):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc)
+    return (
+        docs.withColumn("toks", F.split(F.col("text"), " ", -1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .dropDuplicates()
+    )
+
+
+def q23_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir, 100)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    j = (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.03)
+
+
+def q24_minhash_band(spark, sf_dir):
+    sh = _shingles(spark, sf_dir, 200)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"m{p}")
+        for p in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.md5(F.concat("m0", "m1", "m2", "m3")).alias("band0"),
+        F.md5(F.concat("m4", "m5", "m6", "m7")).alias("band1"),
+    )
+
+
+def q25_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), " ", -1))
+            ).alias("t"),
+        )
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                (
+                    F.expr(
+                        f"locate(substr(md5(t), {i + 1}, 1),"
+                        " '0123456789abcdef') - 1"
+                    )
+                    % 2
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(8)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    expr = " + ".join(
+        f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(8)
+    )
+    return agg.select(
+        "doc_id", F.expr(f"cast({expr} as bigint)").alias("simhash")
+    )
+
+
+def _cosine_pairs(spark, sf_dir, qmax: int, nmax: int):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double)"
+            " * cast(x as double)), cast(0 as double), (a, v) -> a + v)"
+        )
+    )
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    qs = (
+        e.where(F.col("vec_id") < qmax)
+        .select(
+            F.col("vec_id").alias("qvec"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    ns = e.where(F.col("vec_id") < nmax).select(
+        F.col("vec_id").alias("nvec"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    pairs = qs.crossJoin(ns).where(F.col("qvec") != F.col("nvec"))
+    return pairs.select(
+        "qvec",
+        "nvec",
+        F.round(_dot("qe", "ne") / (F.col("qn") * F.col("nn")), 4).alias(
+            "sim"
+        ),
+    )
+
+
+def q26_cosine_topk(spark, sf_dir):
+    sims = _cosine_pairs(spark, sf_dir, 10, 1 << 60)
+    w = Window.partitionBy("qvec").orderBy(
+        F.col("sim").desc(), F.col("nvec")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("qvec", "nvec", "sim", "rank")
+    )
+
+
+def q27_embed_neardup(spark, sf_dir):
+    sims = _cosine_pairs(spark, sf_dir, 300, 300)
+    return sims.where(
+        (F.col("sim") >= 0.30) & (F.col("qvec") < F.col("nvec"))
+    )
+
+
+def q28_lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    bucket = F.lit(0)
+    for j in range(4):
+        arr = "array(" + ", ".join(
+            f"cast({v:.1f} as double)" for v in HYPERPLANES[j]
+        ) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
+            " cast(x as double) * y), cast(0 as double), (a, v) -> a + v)"
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return emb.select(
+        F.col("vec_id"), bucket.cast("bigint").alias("bucket")
+    )
+
+
+def q29_event_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").start.alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+def q30_multimodal_meta(spark, sf_dir):
+    from arachne_spark.operators.multimodal import binary_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return binary_meta(payload, id_col="doc_id", payload_col="payload")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_id_grammar": q01_id_grammar,
+        "q02_snapshot_latest": q02_snapshot_latest,
+        "q03_dedup_exact": q03_dedup_exact,
+        "q04_touch_promotion": q04_touch_promotion,
+        "q05_broadcast_enrich": q05_broadcast_enrich,
+        "q06_semi_join": q06_semi_join,
+        "q07_anti_join": q07_anti_join,
+        "q08_batch_assign": q08_batch_assign,
+        "q09_agg_q1": q09_agg_q1,
+        "q10_merge_lastwins": q10_merge_lastwins,
+        "q11_topk": q11_topk,
+        "q12_set_except": q12_set_except,
+        "q13_values_pattern": q13_values_pattern,
+        "q14_ask_bgp": q14_ask_bgp,
+        "q15_label_fallback": q15_label_fallback,
+        "q16_cc_components": q16_cc_components,
+        "q17_property_path": q17_property_path,
+        "q18_doc_mentions": q18_doc_mentions,
+        "q19_doc_tokens": q19_doc_tokens,
+        "q20_doc_quality": q20_doc_quality,
+        "q21_doc_langid": q21_doc_langid,
+        "q22_doc_fingerprint": q22_doc_fingerprint,
+        "q23_ngram_jaccard": q23_ngram_jaccard,
+        "q24_minhash_band": q24_minhash_band,
+        "q25_simhash": q25_simhash,
+        "q26_cosine_topk": q26_cosine_topk,
+        "q27_embed_neardup": q27_embed_neardup,
+        "q28_lsh_buckets": q28_lsh_buckets,
+        "q29_event_window": q29_event_window,
+        "q30_multimodal_meta": q30_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    grammar_kind = """
+      CASE
+        WHEN regexp_matches(entity_id, '^[QPLME](0|[1-9][0-9]*)$')
+             AND (length(regexp_extract(entity_id,
+                    '^[QPLME]((0|[1-9][0-9]*))$', 1)) < 10
+                  OR (length(regexp_extract(entity_id,
+                        '^[QPLME]((0|[1-9][0-9]*))$', 1)) = 10
+                      AND regexp_extract(entity_id,
+                        '^[QPLME]((0|[1-9][0-9]*))$', 1) <= '2147483647'))
+        THEN CASE substr(entity_id, 1, 1)
+               WHEN 'Q' THEN 'item' WHEN 'P' THEN 'property'
+               WHEN 'L' THEN 'lexeme' WHEN 'M' THEN 'mediainfo'
+               ELSE 'entity_schema' END
+        WHEN regexp_matches(entity_id,
+               '^L(0|[1-9][0-9]*)-[FS](0|[1-9][0-9]*)$')
+        THEN CASE WHEN entity_id LIKE '%-F%' THEN 'form' ELSE 'sense' END
+        ELSE 'unknown'
+      END
     """
-    return {}
+    stop_list = f"[{STOP_SQL}]"
+    simhash_v = (
+        "strpos('0123456789abcdef', substr(md5(t), {i} + 1, 1)) - 1"
+    )
+    sim_sums = ", ".join(
+        "sum(case when ({v}) % 2 = 1 then 1 else -1 end) as s{i}".format(
+            v=simhash_v.format(i=i), i=i
+        )
+        for i in range(8)
+    )
+    sim_expr = " + ".join(
+        f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(8)
+    )
+    cos_pairs = """
+      with e as (
+        select vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> cast(x as double) * cast(x as double)))) as nrm
+        from embeddings
+      ),
+      pairs as (
+        select q.vec_id as qvec, n.vec_id as nvec,
+               round(list_sum(list_transform(range(1, {dim} + 1),
+                   i -> cast(q.embedding[i] as double)
+                        * cast(n.embedding[i] as double)))
+                 / (q.nrm * n.nrm), 4) as sim
+        from e q, e n
+        where q.vec_id < {qmax} and n.vec_id < {nmax}
+          and q.vec_id != n.vec_id
+      )
+    """
+    return {
+        "q01_id_grammar": f"""
+          with ids as (
+            select case when p_partkey % 3 = 0
+                        then 'L' || p_partkey || '-F2'
+                        else 'Q' || p_partkey end as entity_id
+            from part
+            union all
+            select * from (values ('Q01'), ('bogus'), ('L1-X2'),
+                                  ('Q2147483648'), ('L7-S9')) v(entity_id)
+          )
+          select entity_id, {grammar_kind} as kind,
+                 case when ({grammar_kind}) in ('form', 'sense')
+                      then 'L' || regexp_extract(entity_id,
+                             '^L((0|[1-9][0-9]*))-', 1)
+                      when ({grammar_kind}) = 'unknown' then null
+                      else entity_id end as root
+          from ids
+        """,
+        "q02_snapshot_latest": """
+          select user_id, event_id, event_type, ts from (
+            select *, row_number() over (partition by user_id
+                     order by ts desc, event_id desc) as rn
+            from events) where rn = 1
+        """,
+        "q03_dedup_exact": """
+          select distinct l_returnflag, l_linestatus from lineitem
+        """,
+        "q04_touch_promotion": """
+          select o_custkey as entity_id, count(*) as cnt
+          from orders group by 1 having count(*) >= 20
+        """,
+        "q05_broadcast_enrich": """
+          select p_brand,
+                 round(cast(sum(cast(l_quantity as decimal(18,6)))
+                       as double), 2) as sum_qty,
+                 count(*) as cnt
+          from lineitem join part on l_partkey = p_partkey
+          group by p_brand
+        """,
+        "q06_semi_join": """
+          select c_custkey, c_name from customer
+          where exists (select 1 from orders where o_custkey = c_custkey)
+        """,
+        "q07_anti_join": """
+          select c_custkey, c_mktsegment from customer
+          where not exists (select 1 from orders
+                            where o_custkey = c_custkey)
+        """,
+        "q08_batch_assign": """
+          select event_type, (rn - 1) // 50 as batch_id, count(*) as cnt
+          from (select event_type, row_number() over (
+                  partition by event_type order by event_id) as rn
+                from events)
+          group by 1, 2
+        """,
+        "q09_agg_q1": """
+          select l_returnflag, l_linestatus,
+                 round(cast(sum(cast(l_quantity as decimal(18,6)))
+                       as double), 2) as sum_qty,
+                 round(cast(sum(cast(l_extendedprice as decimal(18,6)))
+                       as double), 2) as sum_price,
+                 round(cast(avg(cast(l_discount as decimal(18,6)))
+                       as double), 6) as avg_disc,
+                 count(*) as cnt
+          from lineitem
+          where l_shipdate <= timestamp '1997-09-01 00:00:00'
+          group by 1, 2
+        """,
+        "q10_merge_lastwins": """
+          select user_id, props from (
+            select user_id, props, row_number() over (
+              partition by user_id order by ts desc, event_id desc) as rn
+            from events) where rn = 1
+        """,
+        "q11_topk": """
+          select o_orderkey, o_custkey, o_totalprice from orders
+          order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "q12_set_except": """
+          select distinct nationkey from (
+            select c_nationkey as nationkey from customer
+            except all
+            select s_nationkey as nationkey from supplier)
+        """,
+        "q13_values_pattern": """
+          select subj, pred, obj from (
+            select 'C' || o_custkey as subj, 'placed' as pred,
+                   'O' || o_orderkey as obj from orders)
+          join (values ('C1'), ('C2'), ('C5'), ('C8'), ('C13')) v(s)
+            on subj = s
+        """,
+        "q14_ask_bgp": """
+          select ((select count(*) from orders
+                   where o_custkey = 7 and o_totalprice > 50000) > 0)
+             and ((select count(*) from lineitem
+                   where l_suppkey = 3 and l_quantity > 10) > 0) as ok
+        """,
+        "q15_label_fallback": """
+          with labels as (
+            select n_nationkey as key, 'en' as lang, n_name as label
+            from nation
+            union all
+            select n_nationkey, 'xx', reverse(n_name) from nation
+            where n_nationkey % 2 = 0)
+          select key,
+                 coalesce(max(case when lang = 'xx' then label end),
+                          max(case when lang = 'en' then label end))
+                   as label
+          from labels group by key
+        """,
+        "q16_cc_components": """
+          with recursive
+          edges as (select 'N' || n_nationkey as s,
+                           'R' || n_regionkey as d from nation),
+          und as (select s, d from edges union select d, s from edges),
+          reach(a, b) as (
+            select s, s from (select distinct s from und)
+            union
+            select r.a, u.d from reach r join und u on u.s = r.b),
+          keyed as (
+            select a, substr(b, 1, 1) || lpad(substr(b, 2), 10, '0') as k
+            from reach)
+          select a as node,
+                 substr(min(k), 1, 1) ||
+                 cast(cast(substr(min(k), 2) as bigint) as varchar)
+                   as component
+          from keyed group by a
+        """,
+        "q17_property_path": """
+          with recursive anc(node, ancestor) as (
+            select p_partkey, p_partkey // 2 from part where p_partkey >= 2
+            union
+            select node, ancestor // 2 from anc where ancestor >= 2)
+          select node, ancestor from anc
+        """,
+        "q18_doc_mentions": f"""
+          select distinct d.doc_id, v.qid
+          from documents d
+          join (values {DOC_DICT_SQL}) v(alias, qid)
+            on ' ' || d.text || ' ' like '% ' || v.alias || ' %'
+        """,
+        "q19_doc_tokens": """
+          select doc_id,
+                 len(string_split(text, ' ')) as n_tokens,
+                 len(list_distinct(string_split(text, ' ')))
+                   as n_distinct
+          from documents
+        """,
+        "q20_doc_quality": f"""
+          select doc_id,
+                 round(cast(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({stop_list}, t))) as double)
+                       / len(string_split(text, ' ')), 4) as stop_ratio,
+                 round(cast(list_sum(list_transform(
+                         string_split(text, ' '), t -> length(t)))
+                       as double)
+                       / len(string_split(text, ' ')), 4) as avg_tok_len
+          from documents
+        """,
+        "q21_doc_langid": f"""
+          select doc_id,
+                 case when round(cast(len(list_filter(
+                        string_split(text, ' '),
+                        t -> list_contains({stop_list}, t))) as double)
+                        / len(string_split(text, ' ')), 4) >= 0.05
+                      then 'en' else 'other' end as pred_lang
+          from documents
+        """,
+        "q22_doc_fingerprint": """
+          select doc_id,
+                 md5(array_to_string(string_split(text, ' '), '|'))
+                   as fp_full,
+                 md5(array_to_string(string_split(text, ' ')[1:10], '|'))
+                   as fp_prefix
+          from documents
+        """,
+        "q23_ngram_jaccard": """
+          with t as (select doc_id, string_split(text, ' ') as toks
+                     from documents where doc_id < 100),
+          sh as (select distinct doc_id,
+                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          as s
+                 from t, unnest(range(1, len(toks) - 1)) u(i)),
+          sizes as (select doc_id, count(*) as n from sh group by 1),
+          inter as (select a.doc_id da, b.doc_id db, count(*) i
+                    from sh a join sh b
+                      on a.s = b.s and a.doc_id < b.doc_id
+                    group by 1, 2)
+          select da, db,
+                 round(cast(i as double) / (na.n + nb.n - i), 4)
+                   as jaccard
+          from inter
+          join sizes na on na.doc_id = da
+          join sizes nb on nb.doc_id = db
+          where round(cast(i as double) / (na.n + nb.n - i), 4) >= 0.03
+        """,
+        "q24_minhash_band": """
+          with t as (select doc_id, string_split(text, ' ') as toks
+                     from documents where doc_id < 200),
+          sh as (select distinct doc_id,
+                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          as s
+                 from t, unnest(range(1, len(toks) - 1)) u(i)),
+          sig as (select doc_id,
+                         min(md5('0:' || s)) m0, min(md5('1:' || s)) m1,
+                         min(md5('2:' || s)) m2, min(md5('3:' || s)) m3,
+                         min(md5('4:' || s)) m4, min(md5('5:' || s)) m5,
+                         min(md5('6:' || s)) m6, min(md5('7:' || s)) m7
+                  from sh group by doc_id)
+          select doc_id, md5(m0 || m1 || m2 || m3) as band0,
+                 md5(m4 || m5 || m6 || m7) as band1
+          from sig
+        """,
+        "q25_simhash": f"""
+          with toks as (select doc_id, unnest(list_distinct(
+                          string_split(text, ' '))) as t
+                        from documents),
+          agg as (select doc_id, {sim_sums} from toks group by doc_id)
+          select doc_id, cast({sim_expr} as bigint) as simhash from agg
+        """,
+        "q26_cosine_topk": cos_pairs.format(
+            dim=DIM, qmax=10, nmax=1 << 60
+        )
+        + """
+          select qvec, nvec, sim, rank from (
+            select *, row_number() over (partition by qvec
+                     order by sim desc, nvec) as rank
+            from pairs)
+          where rank <= 5
+        """,
+        "q27_embed_neardup": cos_pairs.format(dim=DIM, qmax=300, nmax=300)
+        + """
+          select qvec, nvec, sim from pairs
+          where sim >= 0.30 and qvec < nvec
+        """,
+        "q28_lsh_buckets": f"""
+          select vec_id,
+            cast((case when list_sum(list_transform(range(1, {DIM} + 1),
+                    i -> cast(embedding[i] as double) * ({_hp_sql(0)})[i]))
+                    > 0 then 1 else 0 end)
+               + (case when list_sum(list_transform(range(1, {DIM} + 1),
+                    i -> cast(embedding[i] as double) * ({_hp_sql(1)})[i]))
+                    > 0 then 2 else 0 end)
+               + (case when list_sum(list_transform(range(1, {DIM} + 1),
+                    i -> cast(embedding[i] as double) * ({_hp_sql(2)})[i]))
+                    > 0 then 4 else 0 end)
+               + (case when list_sum(list_transform(range(1, {DIM} + 1),
+                    i -> cast(embedding[i] as double) * ({_hp_sql(3)})[i]))
+                    > 0 then 8 else 0 end) as bigint) as bucket
+          from embeddings
+        """,
+        "q29_event_window": """
+          select date_trunc('hour', ts) as w, event_type,
+                 count(*) as cnt,
+                 round(cast(sum(cast(value as decimal(18,6)))
+                       as double), 2) as sum_value
+          from events group by 1, 2
+        """,
+        "q30_multimodal_meta": """
+          select doc_id,
+                 cast(octet_length(cast(text as blob)) as bigint)
+                   as n_bytes,
+                 ascii(substr(text, 1, 1)) as first_byte,
+                 true as is_decodable
+          from documents
+        """,
+    }

@@ -101,9 +101,10 @@ def connected_components(
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         # convergence: edge multiset unchanged (order-insensitive hash)
+        # decimal accumulate: a raw long sum of xxhash64 overflows ANSI
         sig = lambda d: d.select(  # noqa: E731
             F.count("*").alias("c"),
-            F.sum(F.xxhash64("src", "dst")).alias("h"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         if sig(e2) == sig(e):
             e = e2

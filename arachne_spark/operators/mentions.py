@@ -72,8 +72,16 @@ def _ngram_structs(n: int):
     )
 
 
-def detect_mentions(pages: DataFrame, alias_df: DataFrame) -> DataFrame:
-    """(url, pos, n, end, qid, alias, priority, after) mention rows."""
+def detect_mentions(
+    pages: DataFrame, alias_df: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """(url, pos, n, end, qid, alias, priority, after) mention rows.
+
+    `id_col` is the document identity column; it is carried through as
+    `url` in the output regardless of its input name.
+    """
+    if id_col != "url":
+        pages = pages.withColumnRenamed(id_col, "url")
     with_tokens = tokenize(pages)
     grams = None
     for n in range(1, MAX_ALIAS_TOKENS + 1):
