@@ -55,6 +55,16 @@ DOC_DICT_SQL = ", ".join(f"('{a}', '{q}')" for a, q in DOC_DICT)
 STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# variant-spelling dictionary for the LSH fuzzy-link query: no entry
+# equals a document token exactly, so every link is a true fuzzy match.
+FUZZY_DICT = [
+    ("sparks", "Q101"), ("queries", "Q102"), ("dataset", "Q103"),
+    ("merged", "Q104"), ("tables", "Q105"), ("hashing", "Q106"),
+    ("streams", "Q107"), ("windows", "Q108"), ("columns", "Q109"),
+    ("filters", "Q110"), ("vectors", "Q111"), ("sorted", "Q112"),
+]
+FUZZY_DICT_SQL = ", ".join(f"('{a}', '{q}')" for a, q in FUZZY_DICT)
+
 # deterministic LSH hyperplanes: h_j[i] = ((i*31 + j*17) % 7) - 3
 DIM = 64
 HYPERPLANES = [
