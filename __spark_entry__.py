@@ -560,6 +560,56 @@ def q30_multimodal_meta(spark, sf_dir):
     return binary_meta(payload, id_col="doc_id", payload_col="payload")
 
 
+def q31_lsh_fuzzy_link(spark, sf_dir):
+    """MinHash-LSH blocking + exact-Jaccard rescoring: link document
+    vocabulary tokens to a variant-spelling dictionary (the long-tail
+    entity-link path of the KG pipeline)."""
+    from arachne_spark.operators.lsh_link import lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " ", -1))
+        ).alias("surface")
+    )
+    d = spark.createDataFrame(FUZZY_DICT, "alias string, qid string")
+    return lsh_candidates(toks, d, threshold=0.35)
+
+
+def q32_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q33_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        _dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q34_sortmerge_join(spark, sf_dir):
+    """Large x large equi-join (no broadcast hint; Spark picks
+    sort-merge / shuffled-hash via AQE) + aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_id_grammar": q01_id_grammar,
@@ -592,6 +642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_lsh_buckets": q28_lsh_buckets,
         "q29_event_window": q29_event_window,
         "q30_multimodal_meta": q30_multimodal_meta,
+        "q31_lsh_fuzzy_link": q31_lsh_fuzzy_link,
+        "q32_json_props": q32_json_props,
+        "q33_rollup": q33_rollup,
+        "q34_sortmerge_join": q34_sortmerge_join,
     }
 
 
@@ -916,5 +970,75 @@ def oracle_sql() -> dict[str, str]:
                  ascii(substr(text, 1, 1)) as first_byte,
                  true as is_decodable
           from documents
+        """,
+        "q31_lsh_fuzzy_link": f"""
+          with toks as (
+            select distinct unnest(string_split(text, ' ')) as s
+            from documents
+          ),
+          qsig as (
+            select s as surface, sh,
+                   md5(list_min(list_transform(sh, x -> md5('0:' || x)))
+                    || list_min(list_transform(sh, x -> md5('1:' || x)))
+                    || list_min(list_transform(sh, x -> md5('2:' || x)))
+                    || list_min(list_transform(sh, x -> md5('3:' || x))))
+                     as band0,
+                   md5(list_min(list_transform(sh, x -> md5('4:' || x)))
+                    || list_min(list_transform(sh, x -> md5('5:' || x)))
+                    || list_min(list_transform(sh, x -> md5('6:' || x)))
+                    || list_min(list_transform(sh, x -> md5('7:' || x))))
+                     as band1
+            from (select s, case when length(s) >= 3 then
+                    list_distinct(list_transform(range(1, length(s) - 1),
+                      i -> substr(s, i, 3)))
+                  else [s] end as sh from toks)
+          ),
+          dsig as (
+            select alias, qid, sh,
+                   md5(list_min(list_transform(sh, x -> md5('0:' || x)))
+                    || list_min(list_transform(sh, x -> md5('1:' || x)))
+                    || list_min(list_transform(sh, x -> md5('2:' || x)))
+                    || list_min(list_transform(sh, x -> md5('3:' || x))))
+                     as band0,
+                   md5(list_min(list_transform(sh, x -> md5('4:' || x)))
+                    || list_min(list_transform(sh, x -> md5('5:' || x)))
+                    || list_min(list_transform(sh, x -> md5('6:' || x)))
+                    || list_min(list_transform(sh, x -> md5('7:' || x))))
+                     as band1
+            from (select alias, qid, case when length(alias) >= 3 then
+                    list_distinct(list_transform(
+                      range(1, length(alias) - 1),
+                      i -> substr(alias, i, 3)))
+                  else [alias] end as sh
+                  from (values {FUZZY_DICT_SQL}) v(alias, qid))
+          )
+          select q.surface, d.qid,
+                 round(cast(len(list_intersect(q.sh, d.sh)) as double)
+                   / (len(q.sh) + len(d.sh)
+                      - len(list_intersect(q.sh, d.sh))), 4) as jaccard
+          from qsig q join dsig d
+            on (q.band0 = d.band0 or q.band1 = d.band1)
+          where round(cast(len(list_intersect(q.sh, d.sh)) as double)
+                  / (len(q.sh) + len(d.sh)
+                     - len(list_intersect(q.sh, d.sh))), 4) >= 0.35
+        """,
+        "q32_json_props": """
+          select cast(json_extract_string(props, '$.k') as bigint) as k,
+                 count(*) as cnt
+          from events group by 1
+        """,
+        "q33_rollup": """
+          select l_returnflag, l_linestatus, count(*) as cnt,
+                 round(cast(sum(cast(l_quantity as decimal(18,6)))
+                       as double), 2) as sum_qty
+          from lineitem
+          group by rollup(l_returnflag, l_linestatus)
+        """,
+        "q34_sortmerge_join": """
+          select o_orderpriority, count(*) as cnt,
+                 round(cast(sum(cast(l_extendedprice as decimal(18,6)))
+                       as double), 2) as sum_price
+          from lineitem join orders on l_orderkey = o_orderkey
+          group by o_orderpriority
         """,
     }
