@@ -176,3 +176,32 @@ def fuzzy_link_best(
         .agg(F.min_by(pick, order).alias("b"))
         .select("surface", "b.qid", "b.jaccard")
     )
+
+
+def fuzzy_mentions(
+    pages,
+    mentions,
+    alias_df,
+    min_len: int = 6,
+    threshold: float = 0.5,
+):
+    """(url, surface, qid, jaccard): long-tail mention rows for surface
+    forms that missed the exact dictionary, resolved to item entities
+    via LSH blocking + best-candidate scoring.
+
+    The linking runs once per distinct SURFACE (vocabulary-sized, tiny
+    next to the corpus), then broadcast-joins back onto the
+    (url, surface) occurrences — at 10^12 pages the per-page data never
+    enters the similarity computation.
+    """
+    from arachne_spark.operators.mentions import unmatched_tokens
+
+    um = unmatched_tokens(pages, mentions, min_len=min_len)
+    best = fuzzy_link_best(
+        um.select("surface").distinct(),
+        alias_df.where(F.col("kind") == "item"),
+        threshold=threshold,
+    )
+    return um.join(F.broadcast(best), "surface").select(
+        "url", "surface", "qid", "jaccard"
+    )

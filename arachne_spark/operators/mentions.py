@@ -141,6 +141,31 @@ def detect_mentions(
     )
 
 
+def unmatched_tokens(
+    pages: DataFrame, mentions: DataFrame, min_len: int = 6
+) -> DataFrame:
+    """(url, surface): tokens of length >= min_len at positions not
+    covered by any exact mention span — the long-tail surface forms the
+    MinHash-LSH fuzzy-link stage gets to resolve.
+
+    Coverage explodes mention spans (tiny: a few rows per page), so the
+    anti-join moves mention-scale data only; the token side stays
+    partition-local until the distinct.
+    """
+    toks = tokenize(pages).select(
+        "url", F.posexplode("tokens").alias("pos", "tok")
+    )
+    covered = mentions.select(
+        "url", F.explode(F.expr("sequence(pos, end - 1)")).alias("pos")
+    )
+    return (
+        toks.where(F.length("tok") >= min_len)
+        .join(covered, ["url", "pos"], "left_anti")
+        .select("url", F.col("tok").alias("surface"))
+        .distinct()
+    )
+
+
 def extract_relations(
     mentions: DataFrame, predicate_df: DataFrame
 ) -> DataFrame:

@@ -5,6 +5,7 @@ Stage graph (each stage = committed snapshot table, resumable):
 
   pages ─ latest_snapshot ─ lang filter ─ extract text   → pages_clean
         └ detect_mentions (broadcast alias dict)         → mentions
+  unmatched long tokens ─ MinHash-LSH block ─ Jaccard    → fuzzy_mentions
   mentions ─ salted touch-count ≥ 50                     → promoted
   mentions ∪ promoted ─ entity_root ─ staleness anti-join
            ─ batch-id assignment                         → fetch_queue
@@ -36,6 +37,7 @@ from pyspark.sql import functions as F
 from arachne_spark.functions.ids import entity_root, identify
 from arachne_spark.operators.cc import canonical_mapping
 from arachne_spark.operators.extract import latest_snapshot, with_text
+from arachne_spark.operators.lsh_link import fuzzy_mentions
 from arachne_spark.operators.mentions import (
     detect_mentions,
     extract_relations,
@@ -132,6 +134,14 @@ def run_pipeline(
         force=cfg.force,
     )
 
+    # long-tail fuzzy linking (north_star: MinHash-LSH blocking for
+    # candidates the exact broadcast lookup misses)
+    fuzzy = rec.run_stage(
+        "fuzzy_mentions",
+        lambda: fuzzy_mentions(pages_clean, mentions, aliases),
+        force=cfg.force,
+    )
+
     promoted = rec.run_stage(
         "promoted",
         lambda: promote_candidates(
@@ -200,7 +210,15 @@ def run_pipeline(
 
     triples_raw = rec.run_stage(
         "triples_raw",
-        lambda: mention_triples(mentions).unionByName(
+        lambda: mention_triples(mentions)
+        .unionByName(
+            fuzzy.select(
+                F.col("url").alias("subj"),
+                F.lit("mentions").alias("pred"),
+                F.col("qid").alias("obj"),
+            ).dropDuplicates()
+        )
+        .unionByName(
             extract_relations(mentions, preds).select(
                 F.col("subj"), F.col("pred"), F.col("obj")
             ).dropDuplicates()

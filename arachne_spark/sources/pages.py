@@ -38,6 +38,10 @@ N_FILLER = 80
 BASE_TS = "2024-01-01 00:00:00"
 RECRAWL_EVERY = 10  # every 10th url gets a second snapshot
 UPDATE_SENTENCE = "updated content about sewing."
+# misspelled surface forms on every 13th page (offset 3): exercised by
+# the long-tail MinHash-LSH fuzzy-link stage, never by exact lookup
+MISSPELL_EVERY = 13
+MISSPELL_SENTENCE = "notes regarding velazques and pheidipides."
 
 
 def _sentence(idx_col):
@@ -66,11 +70,22 @@ def _page_fields(df: DataFrame, snapshot: int) -> DataFrame:
     filler = _filler(uid)
 
     paragraphs = [s1, s2, s3, filler]
+    # NULL when absent: concat_ws skips NULLs (text), and the html
+    # wrapper coalesces to '' so concat never nulls out.
+    misspell = F.when(
+        uid % MISSPELL_EVERY == 3, F.lit(MISSPELL_SENTENCE)
+    ).otherwise(F.lit(None).cast("string"))
+    paragraphs.append(misspell)
     if snapshot > 0:
         paragraphs.append(F.lit(UPDATE_SENTENCE))
 
     body = F.concat(
-        *[F.concat(F.lit("<p>"), p, F.lit("</p>")) for p in paragraphs]
+        *[
+            F.coalesce(
+                F.concat(F.lit("<p>"), p, F.lit("</p>")), F.lit("")
+            )
+            for p in paragraphs
+        ]
     )
     html_str = F.concat(
         F.lit("<html><head><title>"),

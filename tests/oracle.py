@@ -13,6 +13,7 @@ algorithmic family than the engine's DataFrame large-star/small-star.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from arachne_spark.sources.dictionary import (
@@ -24,8 +25,71 @@ from arachne_spark.sources.dictionary import (
 N_FILLER = 80
 SENTENCES = [f"{s} {p} {o}." for s, p, o in FACTS]
 UPDATE_SENTENCE = "updated content about sewing."
+MISSPELL_SENTENCE = "notes regarding velazques and pheidipides."
+MISSPELL_EVERY = 13
 MAX_ALIAS_TOKENS = 4
 MAX_GAP = 3
+
+# fuzzy-link constants (must mirror arachne_spark.operators.lsh_link)
+K_SHINGLE = 3
+N_HASHES = 8
+N_BANDS = 2
+FUZZY_MIN_LEN = 6
+FUZZY_THRESHOLD = 0.5
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def char_shingles(s: str) -> frozenset:
+    if len(s) >= K_SHINGLE:
+        return frozenset(
+            s[i : i + K_SHINGLE] for i in range(len(s) - K_SHINGLE + 1)
+        )
+    return frozenset([s])
+
+
+def lsh_bands(s: str) -> list[str]:
+    sh = char_shingles(s)
+    mins = [
+        min(_md5(f"{p}:{x}") for x in sh) for p in range(N_HASHES)
+    ]
+    rows = N_HASHES // N_BANDS
+    return [
+        _md5("".join(mins[j * rows : (j + 1) * rows]))
+        for j in range(N_BANDS)
+    ]
+
+
+def _fuzzy_dict():
+    """[(alias, qid, prio, bands, shingles)] for item-kind aliases."""
+    out = []
+    for alias, qid, kind, prio in alias_rows():
+        if kind == "item":
+            out.append(
+                (alias, qid, prio, lsh_bands(alias), char_shingles(alias))
+            )
+    return out
+
+
+def fuzzy_link(surface: str, fdict) -> str | None:
+    """Best item QID for a surface form, or None: LSH band collision
+    gates candidacy; rounded exact Jaccard >= threshold gates the link;
+    winner by (-jaccard, priority, qid)."""
+    sb, ssh = lsh_bands(surface), char_shingles(surface)
+    best = None
+    for alias, qid, prio, ab, ash in fdict:
+        if not any(x == y for x, y in zip(sb, ab)):
+            continue
+        inter = len(ssh & ash)
+        j = round(inter / (len(ssh) + len(ash) - inter), 4)
+        if j < FUZZY_THRESHOLD:
+            continue
+        key = (-j, prio, qid)
+        if best is None or key < best[0]:
+            best = (key, qid)
+    return best[1] if best else None
 
 
 def filler(uid: int) -> str:
@@ -40,6 +104,8 @@ def filler(uid: int) -> str:
 def page_paragraphs(uid: int, snapshot: int) -> list[str]:
     ps = [SENTENCES[(uid + j) % len(SENTENCES)] for j in range(3)]
     ps.append(filler(uid))
+    if uid % MISSPELL_EVERY == 3:
+        ps.append(MISSPELL_SENTENCE)
     if snapshot > 0:
         ps.append(UPDATE_SENTENCE)
     return ps
@@ -111,6 +177,9 @@ def expected_output(n_pages: int, recrawl_every: int = 10):
     alias_map = {a: v[0] for a, v in alias_map.items()}
     pred_map = dict(_PREDICATES)
 
+    fdict = _fuzzy_dict()
+    fuzzy_memo: dict[str, str | None] = {}
+
     texts, triples = {}, set()
     same_as = []
     for uid in range(n_pages):
@@ -124,6 +193,17 @@ def expected_output(n_pages: int, recrawl_every: int = 10):
         mentions = detect_mentions(tokens, alias_map)
         for pos, n, qid in mentions:
             triples.add((url, "mentions", qid))
+        # long-tail fuzzy links on uncovered tokens
+        covered = {
+            i for pos, n, _ in mentions for i in range(pos, pos + n)
+        }
+        for i, tok in enumerate(tokens):
+            if len(tok) < FUZZY_MIN_LEN or i in covered:
+                continue
+            if tok not in fuzzy_memo:
+                fuzzy_memo[tok] = fuzzy_link(tok, fdict)
+            if fuzzy_memo[tok]:
+                triples.add((url, "mentions", fuzzy_memo[tok]))
         for p1, n1, q1 in mentions:
             for p2, _n2, q2 in mentions:
                 gap = p2 - (p1 + n1)

@@ -64,6 +64,18 @@ def test_no_sameas_survives_and_canonical_subjects(spark, pipeline_result):
     ).count() == 0
 
 
+def test_fuzzy_links_present(spark, pipeline_result):
+    """Misspelled surface forms resolve through the MinHash-LSH
+    long-tail path to the intended entities."""
+    wh, _, _ = pipeline_result
+    fm = spark.read.parquet(f"{wh}/fuzzy_mentions")
+    got = {(r["surface"], r["qid"]) for r in fm.collect()}
+    assert ("velazques", "Q297") in got
+    assert ("pheidipides", "Q313728") in got
+    # every fuzzy link clears the score gate
+    assert fm.where(F.col("jaccard") < 0.5).count() == 0
+
+
 def test_promotion_threshold(spark, pipeline_result):
     wh, cfg, _ = pipeline_result
     promoted = spark.read.parquet(f"{wh}/promoted")
@@ -99,8 +111,8 @@ def test_resume_skips_committed_stages(spark, tmp_path):
     assert all(not s["resumed"] for s in first["stages"])
     # simulate crash after commit of the mentions stage: drop later stages
     for stage in [
-        "promoted", "fetch_queue", "entities", "triples_raw",
-        "canonical_map", "triples",
+        "fuzzy_mentions", "promoted", "fetch_queue", "entities",
+        "triples_raw", "canonical_map", "triples",
     ]:
         shutil.rmtree(f"{wh}/{stage}", ignore_errors=True)
     second = run_pipeline(spark, PipelineConfig(
