@@ -1,0 +1,128 @@
+"""Structured Streaming parity tests: the incremental (perpetual)
+mode must produce exactly what the batch pipeline core produces on the
+same pages (SURVEY.md §2.2 streaming row; reference intent
+readme.md:20-26)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from arachne_spark.operators.extract import latest_snapshot, with_text
+from arachne_spark.operators.mentions import (
+    detect_mentions,
+    extract_relations,
+    mention_triples,
+)
+from arachne_spark.sources.dictionary import alias_df, predicate_df
+from arachne_spark.sources.pages import pages_df
+from arachne_spark.streaming.incremental import (
+    run_incremental_pipeline,
+    stream_pages,
+    streaming_mention_counts,
+)
+
+N_PAGES = 200
+
+
+def _batch_triples(spark, pages):
+    clean = with_text(latest_snapshot(pages).where(F.col("lang") == "en"))
+    m = detect_mentions(clean, alias_df(spark))
+    return mention_triples(m).unionByName(
+        extract_relations(m, predicate_df(spark))
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+
+
+def test_streaming_mention_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    pages_df(spark, N_PAGES, partitions=8).write.parquet(src)
+
+    q = (
+        streaming_mention_counts(
+            stream_pages(spark, src), alias_df(spark)
+        )
+        .writeStream.format("memory")
+        .queryName("mcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["qid"]): r["cnt"]
+        for r in spark.sql("select * from mcounts").collect()
+    }
+
+    # batch equivalent over the same files (no snapshot dedup in the
+    # counting path: every touch counts, reference touch semantics)
+    from arachne_spark.operators.mentions import (
+        resolve_alias_dict,
+        tokenize,
+    )
+
+    pages = spark.read.parquet(src)
+    resolved = resolve_alias_dict(alias_df(spark))
+    toks = tokenize(with_text(pages)).select(
+        "warc_ts", "tokens", F.posexplode("tokens").alias("pos", "tok")
+    )
+    want_df = (
+        toks.join(
+            F.broadcast(resolved),
+            toks["tok"] == resolved["first_tok"],
+        )
+        .where(
+            F.expr("array_join(slice(tokens, pos + 1, n), ' ')")
+            == F.col("alias")
+        )
+        .groupBy(
+            F.window("warc_ts", "1 hour").start.alias("w"), "qid"
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = {
+        (r["w"], r["qid"]): r["cnt"] for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_foreachbatch_incremental_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages2")
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_df(spark, N_PAGES, partitions=8)
+    pages.write.parquet(src)
+
+    q = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark)
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # A url's two snapshots may land in different micro-batches, so the
+    # per-batch latest_snapshot can process both.  Snapshot 0's text is
+    # a strict prefix of snapshot 1's, so its triples are a subset —
+    # the streamed union therefore equals the global-batch result:
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in _batch_triples(spark, spark.read.parquet(src)).collect()
+    }
+    assert got == want
+
+    # restart with same checkpoint: no new batches, no duplicates
+    q2 = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark)
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == len(
+        {
+            (r["subj"], r["pred"], r["obj"], r["batch_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
