@@ -610,6 +610,32 @@ def q34_sortmerge_join(spark, sf_dir):
     )
 
 
+KIND_NAMES = [
+    "item", "property", "lexeme", "mediainfo", "entity_schema",
+    "form", "sense",
+]
+
+
+def q35_normalize(spark, sf_dir):
+    """O3 normalize: numeric id + kind -> prefixed entity id (form and
+    sense coerce to the lexeme prefix, src/arachne.cpp:176-180)."""
+    from arachne_spark.functions.ids import normalize
+
+    part = _t(spark, sf_dir, "part")
+    kind_arr = F.array(*[F.lit(k) for k in KIND_NAMES])
+    base = part.select(
+        (F.col("p_partkey") % 2000).alias("num"),
+        F.element_at(
+            kind_arr, (F.col("p_partkey") % 7 + 1).cast("int")
+        ).alias("kind"),
+    )
+    return base.select(
+        "num",
+        "kind",
+        normalize(F.col("num"), F.col("kind")).alias("entity_id"),
+    ).dropDuplicates()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_id_grammar": q01_id_grammar,
@@ -646,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_json_props": q32_json_props,
         "q33_rollup": q33_rollup,
         "q34_sortmerge_join": q34_sortmerge_join,
+        "q35_normalize": q35_normalize,
     }
 
 
@@ -1040,5 +1067,20 @@ def oracle_sql() -> dict[str, str]:
                        as double), 2) as sum_price
           from lineitem join orders on l_orderkey = o_orderkey
           group by o_orderpriority
+        """,
+        "q35_normalize": """
+          with base as (
+            select p_partkey % 2000 as num,
+                   (['item','property','lexeme','mediainfo',
+                     'entity_schema','form','sense'])
+                     [(p_partkey % 7) + 1] as kind
+            from part)
+          select distinct num, kind,
+                 (case kind
+                    when 'item' then 'Q' when 'property' then 'P'
+                    when 'mediainfo' then 'M'
+                    when 'entity_schema' then 'E'
+                    else 'L' end) || num as entity_id
+          from base
         """,
     }

@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # broadcast *values* here are small, but some broadcast inputs
+        # are whole sub-jobs (e.g. the fuzzy-link vocabulary: corpus
+        # distinct + LSH scoring); the default 300 s cap times out at
+        # low parallelism long before anything is actually wrong
+        .config("spark.sql.broadcastTimeout", "1800")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -88,6 +88,60 @@ def test_streaming_mention_counts_match_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stateful_touch_promotion(spark, tmp_path):
+    """Cross-batch stateful promotion: each QID whose cumulative
+    mention count reaches the threshold is emitted exactly once, and
+    the promoted set equals the batch groupBy-count answer."""
+    from arachne_spark.operators.mentions import (
+        resolve_alias_dict,
+        tokenize,
+    )
+    from arachne_spark.streaming.stateful import streaming_touch_promotion
+
+    src = str(tmp_path / "pages_state")
+    pages_df(spark, N_PAGES, partitions=8).write.parquet(src)
+    threshold = 20
+
+    resolved = resolve_alias_dict(alias_df(spark))
+
+    def matched(pages):
+        toks = tokenize(with_text(pages)).select(
+            "tokens", F.posexplode("tokens").alias("pos", "tok")
+        )
+        return toks.join(
+            F.broadcast(resolved),
+            toks["tok"] == resolved["first_tok"],
+        ).where(
+            F.expr("array_join(slice(tokens, pos + 1, n), ' ')")
+            == F.col("alias")
+        ).select("qid")
+
+    q = (
+        streaming_touch_promotion(
+            matched(stream_pages(spark, src)), threshold=threshold
+        )
+        .writeStream.format("memory")
+        .queryName("promoted_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from promoted_stream").collect()
+    got = {r["qid"] for r in rows}
+    assert len(rows) == len(got)  # exactly-once emission per qid
+
+    want = {
+        r["qid"]
+        for r in matched(spark.read.parquet(src))
+        .groupBy("qid")
+        .count()
+        .where(F.col("count") >= threshold)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_foreachbatch_incremental_matches_batch(spark, tmp_path):
     src = str(tmp_path / "pages2")
     out = str(tmp_path / "triples_out")
