@@ -48,11 +48,10 @@ _ENTITIES = [
 
 def extract_text_series(html: pd.Series) -> pd.Series:
     """Vectorized extraction over a series of html byte strings."""
-    s = html.map(
-        lambda b: b.decode("utf-8", errors="replace")
-        if isinstance(b, (bytes, bytearray))
-        else (b or "")
-    )
+    # vectorized decode (C-level); bytes → str, None → None, and any
+    # already-str input decodes to NaN and is kept verbatim below
+    decoded = html.str.decode("utf-8", errors="replace")
+    s = decoded.where(decoded.notna(), html).fillna("")
     s = s.str.replace(_SCRIPT_RE, "\n", regex=True)
     s = s.str.replace(_COMMENT_RE, "\n", regex=True)
     s = s.str.replace(_TAG_RE, "\n", regex=True)
@@ -86,7 +85,14 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
 
 
 def with_text(pages: DataFrame) -> DataFrame:
-    """Fill NULL text from html; keep pre-extracted text verbatim."""
+    """Fill NULL text from html; keep pre-extracted text verbatim.
+
+    The UDF input is masked to NULL where text already exists: Catalyst
+    evaluates an extracted Python UDF for every row regardless of the
+    surrounding coalesce, so without the mask the regex pipeline would
+    run (and be paid for) on rows whose result is then discarded.
+    """
+    masked_html = F.when(F.col("text").isNull(), F.col("html"))
     return pages.withColumn(
-        "text", F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
+        "text", F.coalesce(F.col("text"), extract_text_udf(masked_html))
     )
