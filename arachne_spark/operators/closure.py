@@ -5,10 +5,19 @@ Query capability for SPARQL property paths like ``wdt:P31/wdt:P279*``
 ``triples`` table, computed as join-until-fixpoint with per-iteration
 ``localCheckpoint`` to cut lineage (same discipline as cc.py).
 
-The frontier-join formulation does O(d) rounds for path depth d but
-each round joins only the *new* pairs against the base edges — the
-standard semi-naive datalog evaluation — so total work is proportional
-to the closure size, not closure × depth.
+Two strategies, both join-until-fixpoint with per-iteration
+``localCheckpoint`` to cut lineage (same discipline as cc.py):
+
+* ``doubling`` (default): R_{k+1} = R_k ∪ (R_k ∘ R_k) — after k rounds
+  R covers paths up to length 2^k, so a depth-d graph converges in
+  ⌈log2 d⌉ + 1 rounds.  Each driver round costs a scheduling barrier
+  (~0.5 s at any scale), so halving the round count matters more than
+  the extra join width for the shallow hierarchies this engine meets
+  (P31/P279 class trees are depth ≲ 20).
+* ``seminaive``: frontier ∘ base each round — O(d) rounds but each
+  joins only the NEW pairs; total work proportional to closure size.
+  The right choice for long chains / when the closure is much larger
+  than memory-per-round.
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 64,
+    method: str = "doubling",
 ) -> DataFrame:
     """→ all (src, dst) pairs with a directed path of length >= 1."""
     base = (
@@ -29,12 +39,34 @@ def transitive_closure(
         .distinct()
         .localCheckpoint()
     )
+    if method == "doubling":
+        result = base
+        n = result.count()
+        for _ in range(max_iter):
+            # explicit renames instead of alias().col("f.x"): the
+            # aliased self-join form trips attribute resolution on
+            # localCheckpoint'd plans (AttributeMap key-not-found on
+            # Spark 4)
+            stepped = (
+                result.select("src", F.col("dst").alias("mid"))
+                .join(
+                    result.select(F.col("src").alias("mid"), "dst"),
+                    "mid",
+                )
+                .select("src", "dst")
+            )
+            grown = (
+                result.unionByName(stepped).distinct().localCheckpoint()
+            )
+            m = grown.count()
+            if m == n:
+                return result
+            result, n = grown, m
+        return result
+
     result = base
     frontier = base
     for _ in range(max_iter):
-        # explicit renames instead of alias().col("f.x"): the aliased
-        # self-join form trips attribute resolution on localCheckpoint'd
-        # plans (key-not-found in AttributeMap on Spark 4)
         step = (
             frontier.select("src", F.col("dst").alias("mid"))
             .join(

@@ -73,6 +73,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         shuffle_partitions=2 * cpus,
     )
     qs = em.queries()
+    # warm pass at the smallest SF: JIT/codegen + parquet footer reads
+    # would otherwise all land on the first timed query
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
     out = {}
     for name in HEADLINE:
         t0 = time.time()
