@@ -636,6 +636,33 @@ def q35_normalize(spark, sf_dir):
     ).dropDuplicates()
 
 
+def q36_group_membership(spark, sf_dir):
+    """O5/O6 groups: explicit names for some members, deterministic
+    content-derived anonymous ids (g_<8 hex of md5>) for the rest —
+    replacing the reference's nondeterministic random_hex naming."""
+    from arachne_spark.operators.groups import (
+        group_membership,
+        with_group_ids,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    member = orders.select(
+        F.when(
+            F.col("o_custkey") % 3 == 0,
+            F.concat(F.lit("cust_"), F.col("o_custkey").cast("string")),
+        ).alias("gname"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias(
+            "entity_id"
+        ),
+        F.col("o_custkey").cast("string").alias("seed"),
+    )
+    g = group_membership(with_group_ids(member, "gname", ["seed"]))
+    return g.groupBy("group").agg(
+        F.count("*").alias("n_entities"),
+        F.min("entity_id").alias("first_entity"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_id_grammar": q01_id_grammar,
@@ -673,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_rollup": q33_rollup,
         "q34_sortmerge_join": q34_sortmerge_join,
         "q35_normalize": q35_normalize,
+        "q36_group_membership": q36_group_membership,
     }
 
 
@@ -1082,5 +1110,21 @@ def oracle_sql() -> dict[str, str]:
                     when 'entity_schema' then 'E'
                     else 'L' end) || num as entity_id
           from base
+        """,
+        "q36_group_membership": """
+          with member as (
+            select case when o_custkey % 3 = 0
+                        then 'cust_' || o_custkey end as gname,
+                   'O' || o_orderkey as entity_id,
+                   cast(o_custkey as varchar) as seed
+            from orders),
+          g as (select distinct
+                  coalesce(gname,
+                           'g_' || substr(md5(seed), 1, 8)) as "group",
+                  entity_id
+                from member)
+          select "group", count(*) as n_entities,
+                 min(entity_id) as first_entity
+          from g group by 1
         """,
     }
