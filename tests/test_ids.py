@@ -76,6 +76,59 @@ NORMALIZE_CASES = [
 ]
 
 
+def _py_identify(s: str) -> str:
+    """Independent single-string model of the reference grammar
+    (src/arachne.cpp:122-162) for the exhaustive cross-product test."""
+    import re
+
+    m = re.fullmatch(
+        r"([QPLME])(0|[1-9][0-9]*)(?:-([FS])(0|[1-9][0-9]*))?", s
+    )
+    if not m:
+        return "unknown"
+    p, num, tag, sub = m.groups()
+
+    def in_bounds(n):
+        return n is None or len(n) < 10 or (
+            len(n) == 10 and n <= "2147483647"
+        )
+
+    if not in_bounds(num) or not in_bounds(sub):
+        return "unknown"
+    if tag and p != "L":
+        return "unknown"
+    if tag == "F":
+        return "form"
+    if tag == "S":
+        return "sense"
+    return {
+        "Q": "item", "P": "property", "L": "lexeme",
+        "M": "mediainfo", "E": "entity_schema",
+    }[p]
+
+
+def test_identify_exhaustive_cross_product(spark):
+    """Every combination of prefix x number x suffix shape, checked
+    against the independent Python grammar model in one Spark job."""
+    prefixes = ["Q", "P", "L", "M", "E", "X", "q", ""]
+    nums = ["0", "1", "01", "7", "2147483647", "2147483648",
+            "9999999999", ""]
+    suffixes = ["", "-F1", "-S0", "-F01", "-S2147483648", "-X2", "-",
+                "-F", "F1"]
+    cases = [p + n + s for p in prefixes for n in nums for s in suffixes]
+    df = spark.createDataFrame([(c,) for c in cases], ["entity_id"])
+    got = {
+        r["entity_id"]: r["kind"]
+        for r in df.withColumn(
+            "kind", identify(F.col("entity_id"))
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == _py_identify(c), (
+            f"identify({c!r}) = {got[c]}, model says {_py_identify(c)}"
+        )
+
+
 def test_identify(spark):
     df = spark.createDataFrame(
         [(s,) for s, _ in IDENTIFY_CASES], ["entity_id"]
