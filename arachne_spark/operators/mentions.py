@@ -124,8 +124,12 @@ def detect_mentions(
         ).alias("after"),
     )
 
-    # longest-match dominance: drop mentions strictly inside a longer one
-    longer = best.select(
+    # longest-match dominance: drop mentions strictly inside a longer
+    # one.  Only multi-token mentions can dominate (d_n > n >= 1), so
+    # the right side keeps n >= 2 rows only — a few percent of
+    # mentions — which both shrinks the join input and lets AQE pick a
+    # broadcast strategy when the corpus slice allows it.
+    longer = best.where(F.col("n") >= 2).select(
         F.col("url").alias("d_url"),
         F.col("pos").alias("d_pos"),
         F.col("end").alias("d_end"),
