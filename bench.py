@@ -22,7 +22,8 @@ guessed; see BENCH notes in BASELINE.md):
 * N=2, 4N=8 cores: the 32-core host runs 2 threads per Spark task
   during Python-UDF stages (JVM + python worker), so local[16]/
   local[32] oversubscribe physical cores and understate scaling.
-  2 and 8 keep even the helper threads inside the machine.
+  2 and 8 keep even the helper threads inside the machine (3/12
+  was also tried and measured a larger serial component).
 * warm-up runs first (default 2): Spark's generated code is JIT-compiled by C2
   over the first ~2 executions (90s -> 11s on the same query).  A real
   long-lived cluster is always warm; measuring cold JIT would make
@@ -172,12 +173,15 @@ def main() -> None:
     # (the least-disturbed measurement), not a cross-pair min that
     # could mix a quiet-N with a noisy-4N.
     pairs = []
-    for _ in range(2):
+    t_kg = time.time()
+    for attempt in range(2):
         w_n_i, rows_n = kg_core_run(KG_CORES_N, KG_PAGES)
         w_4n_i, rows_4n = kg_core_run(KG_CORES_4N, KG_PAGES)
         pairs.append((w_n_i + w_4n_i, w_n_i, w_4n_i, rows_n, rows_4n))
         eff_i = (rows_4n / w_4n_i) / (4 * rows_n / w_n_i)
         if eff_i >= 0.85:  # clean measurement — skip the retry pair
+            break
+        if time.time() - t_kg > 560:  # keep total bench wall bounded
             break
     _, w_n, w_4n, rows_n, rows_4n = min(pairs)
     tput_n, tput_4n = rows_n / w_n, rows_4n / w_4n
