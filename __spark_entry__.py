@@ -638,8 +638,10 @@ def q35_normalize(spark, sf_dir):
 
 def q36_group_membership(spark, sf_dir):
     """O5/O6 groups: explicit names for some members, deterministic
-    content-derived anonymous ids (g_<8 hex of md5>) for the rest —
-    replacing the reference's nondeterministic random_hex naming."""
+    content-derived anonymous ids (g_<16 hex of md5>) for the rest —
+    replacing the reference's nondeterministic random_hex naming
+    (64 bits so a non-re-rollable id cannot birthday-collide at
+    corpus scale; reference re-roll loop: src/arachne.cpp:31-40)."""
     from arachne_spark.operators.groups import (
         group_membership,
         with_group_ids,
@@ -1120,7 +1122,7 @@ def oracle_sql() -> dict[str, str]:
             from orders),
           g as (select distinct
                   coalesce(gname,
-                           'g_' || substr(md5(seed), 1, 8)) as "group",
+                           'g_' || substr(md5(seed), 1, 16)) as "group",
                   entity_id
                 from member)
           select "group", count(*) as n_entities,

@@ -6,8 +6,18 @@ The reference's ``new_group``/``select_group``
 ``std::random_device`` (src/rng.cpp:28-31) — nondeterministic across
 runs.  Determinism is a hard requirement here (byte-stable reruns,
 P/R reproducibility), so anonymous ids derive from content:
-``g_`` + first 8 hex of md5(seed columns).  Same seed ⇒ same group id
-on any executor, any run, any parallelism.
+``g_`` + first 16 hex (64 bits) of md5(seed columns).  Same seed ⇒
+same group id on any executor, any run, any parallelism.
+
+Width matters: the reference re-rolls on collision
+(src/arachne.cpp:31-40 loops until the name is unused); a
+deterministic content-derived id cannot re-roll, so the id itself must
+make collisions negligible.  8 hex (32 bits) hits birthday collisions
+at ~80k anonymous groups — guaranteed at corpus scale — silently
+merging unrelated groups.  64 bits pushes the 50%-collision point to
+~5e9 groups; the regression test in tests/test_ids.py checks 2e5
+distinct seeds map to 2e5 distinct ids (which the 32-bit form fails
+in expectation).
 
 Membership is a DataFrame relation (group, entity_id) with set
 semantics (``dropDuplicates``), mirroring the reference's
@@ -21,11 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ANON_PREFIX = "g_"
-ANON_HEX = 8
+ANON_HEX = 16
 
 
 def anonymous_group_id(*seed_cols: Column | str) -> Column:
-    """Deterministic ``g_<8 hex>`` from the seed columns."""
+    """Deterministic ``g_<16 hex>`` from the seed columns."""
     seed = F.concat_ws("\x1f", *[F.col(c) if isinstance(c, str) else c
                                  for c in seed_cols])
     return F.concat(

@@ -157,13 +157,17 @@ def fuzzy_link_best(
 
     `dictionary` must carry (alias, qid, priority).
     """
+    # min-priority per qid: order-independent by construction (a
+    # dropDuplicates here would keep a partition-order-dependent row if
+    # a future dictionary carried per-alias priorities — violating the
+    # hard determinism invariant)
     cands = lsh_candidates(
         surfaces, dictionary, surface_col, alias_col, threshold
     ).join(
         F.broadcast(
-            dictionary.select(
-                F.col("qid"), F.col("priority")
-            ).dropDuplicates(["qid"])
+            dictionary.groupBy("qid").agg(
+                F.min("priority").alias("priority")
+            )
         ),
         "qid",
     )
@@ -202,6 +206,10 @@ def fuzzy_mentions(
         alias_df.where(F.col("kind") == "item"),
         threshold=threshold,
     )
-    return um.join(F.broadcast(best), "surface").select(
+    # NOT a forced broadcast: on a real web corpus distinct tokens are
+    # ~1e8+, past the 8 GB broadcast ceiling.  With AQE on (the
+    # pipeline default) Spark broadcasts `best` automatically while it
+    # fits and falls back to a shuffled join when it doesn't.
+    return um.join(best, "surface").select(
         "url", "surface", "qid", "jaccard"
     )

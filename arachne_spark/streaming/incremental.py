@@ -13,11 +13,13 @@ run incrementally over an unbounded page feed:
   The broadcast alias join and tokenization are the *same* column
   expressions as the batch path — stream/batch parity by construction.
 * ``run_incremental_pipeline`` — ``foreachBatch`` driving the full
-  batch extraction core per micro-batch and APPENDING to the triples
-  table; with ``availableNow`` this is the catch-up/backfill mode, with
-  the default trigger it is the perpetual mode.  Checkpointing makes
-  it exactly-once per micro-batch (the streaming analog of the
-  warehouse snapshot-resume in plans/storage.py).
+  batch extraction core per micro-batch into the triples table; with
+  ``availableNow`` this is the catch-up/backfill mode, with the
+  default trigger it is the perpetual mode.  foreachBatch is
+  at-least-once, so the write is made idempotent per batch_id
+  (dynamic partition overwrite of ``batch_id=<n>``) and de-duplicated
+  across batches (anti-join vs the committed table) — the streaming
+  analog of the warehouse snapshot-resume in plans/storage.py.
 
 Mention *dominance* (the anti-join in detect_mentions) is a
 stream-to-stream self-join Structured Streaming cannot express
@@ -75,13 +77,18 @@ def streaming_mention_counts(
         F.expr("array_join(slice(tokens, pos + 1, n), ' ')")
         == F.col("alias")
     )
+    # group by the *window struct*, not window(...).start: projecting
+    # .start inside the groupBy severs the event-time column from the
+    # watermark, so append-mode refuses the plan and update-mode state
+    # is never evicted.  Grouping on the struct keeps the linkage;
+    # .start is projected after the aggregation.
     return (
         matched.withWatermark("warc_ts", watermark)
-        .groupBy(
-            F.window("warc_ts", window).start.alias("window_start"),
-            "qid",
-        )
+        .groupBy(F.window("warc_ts", window), "qid")
         .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"), "qid", "cnt"
+        )
     )
 
 
@@ -95,7 +102,24 @@ def run_incremental_pipeline(
     available_now: bool = True,
 ):
     """foreachBatch: full batch extraction core per micro-batch,
-    appended to ``out_dir`` exactly-once via the checkpoint."""
+    written to ``out_dir`` with end-to-end idempotence:
+
+    * **per-batch**: each micro-batch writes to its own
+      ``batch_id=<n>`` partition directory with dynamic partition
+      overwrite, so a retried batch (foreachBatch is at-least-once —
+      the checkpoint replays a batch whose write half-finished)
+      replaces its own files instead of appending duplicates;
+    * **cross-batch**: a url re-crawled in a later micro-batch
+      re-derives triples already committed by an earlier batch; an
+      anti-join against the committed table drops them before the
+      write, so the output table stays a set across the whole stream.
+      The anti-join's right side is the (subj, pred, obj) projection of
+      the committed store — at scale this is the classic MERGE-style
+      upsert an Iceberg sink expresses natively; the parquet fallback
+      states it as the anti-join.
+    """
+    import os
+
     from arachne_spark.operators.extract import latest_snapshot, with_text
     from arachne_spark.operators.mentions import (
         detect_mentions,
@@ -113,9 +137,38 @@ def run_incremental_pipeline(
             .select("subj", "pred", "obj")
             .dropDuplicates()
         )
-        triples.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        if os.path.isdir(out_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(out_dir)
+        ):
+            # exclude THIS batch's partition (partition-pruned read):
+            # on an at-least-once retry its partial files exist, and
+            # anti-joining against them before overwriting the same
+            # partition would drop the partially-written triples.
+            committed = (
+                batch_df.sparkSession.read.parquet(out_dir)
+                .where(F.col("batch_id") != batch_id)
+            )
+            triples = triples.join(
+                committed.select("subj", "pred", "obj"),
+                ["subj", "pred", "obj"],
+                "left_anti",
+            )
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                triples.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
 
     writer = (
         stream_pages(spark, src_dir)

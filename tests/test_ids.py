@@ -151,6 +151,23 @@ def test_entity_root(spark):
         assert got[s] == expected, f"root({s!r}) = {got[s]}, want {expected}"
 
 
+def test_anonymous_group_id_no_collisions(spark):
+    """64-bit anonymous group ids must be collision-free at corpus-like
+    cardinalities.  The reference re-rolls on collision
+    (src/arachne.cpp:31-40); a deterministic id cannot, so the width
+    has to carry the load: at 2e5 distinct seeds a 32-bit id expects
+    ~4.7 birthday collisions (this test failed the old 8-hex form),
+    while 64 bits expects ~1e-9."""
+    from arachne_spark.operators.groups import ANON_HEX, anonymous_group_id
+
+    assert ANON_HEX >= 16
+    n = 200_000
+    df = spark.range(n).select(
+        anonymous_group_id(F.col("id").cast("string")).alias("g")
+    )
+    assert df.select("g").distinct().count() == n
+
+
 def test_normalize(spark):
     df = spark.createDataFrame(
         [(n, k) for n, k, _ in NORMALIZE_CASES], ["num", "kind"]

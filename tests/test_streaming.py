@@ -88,6 +88,115 @@ def test_streaming_mention_counts_match_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_counts_append_mode_evicts_state(spark, tmp_path):
+    """Append mode is the proof that the watermark is actually wired to
+    the aggregation (grouping on window(...).start severs it and Spark
+    rejects the plan outright).  Emitted rows must match the batch
+    answer for every window old enough to have closed under the
+    watermark; windows newer than (max event time - watermark) are
+    legitimately withheld."""
+    src = str(tmp_path / "pages_append")
+    pages_df(spark, N_PAGES, partitions=8).write.parquet(src)
+
+    q = (
+        streaming_mention_counts(
+            stream_pages(spark, src), alias_df(spark)
+        )
+        .writeStream.format("memory")
+        .queryName("mcounts_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["qid"]): r["cnt"]
+        for r in spark.sql("select * from mcounts_append").collect()
+    }
+    assert len(got) > 0
+
+    from arachne_spark.operators.mentions import (
+        resolve_alias_dict,
+        tokenize,
+    )
+
+    pages = spark.read.parquet(src)
+    resolved = resolve_alias_dict(alias_df(spark))
+    toks = tokenize(with_text(pages)).select(
+        "warc_ts", "tokens", F.posexplode("tokens").alias("pos", "tok")
+    )
+    want_df = (
+        toks.join(
+            F.broadcast(resolved),
+            toks["tok"] == resolved["first_tok"],
+        )
+        .where(
+            F.expr("array_join(slice(tokens, pos + 1, n), ' ')")
+            == F.col("alias")
+        )
+        .groupBy(
+            F.window("warc_ts", "1 hour").start.alias("w"), "qid"
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = {(r["w"], r["qid"]): r["cnt"] for r in want_df.collect()}
+    for key, cnt in got.items():
+        assert want[key] == cnt
+    # every window that closed under the final watermark was emitted
+    max_ts = max(w for (w, _) in want)
+    emitted_windows = {w for (w, _) in got}
+    for (w, qid), cnt in want.items():
+        if (max_ts - w).total_seconds() > 4 * 3600:  # safely closed
+            assert (w, qid) in got
+
+
+def test_foreachbatch_recrawl_no_duplicates(spark, tmp_path):
+    """Cross-batch idempotence: a url re-crawled in a later micro-batch
+    re-derives triples already committed by an earlier batch; the
+    committed-table anti-join must keep the output a set."""
+    src = str(tmp_path / "pages_recrawl")
+    out = str(tmp_path / "triples_recrawl")
+    ckpt = str(tmp_path / "ckpt_recrawl")
+    pages = pages_df(spark, N_PAGES, partitions=8)
+    # trigger 1: first snapshots only
+    first = pages.groupBy("url").agg(
+        F.min_by(
+            F.struct("warc_ts", "html", "text", "lang"), "warc_ts"
+        ).alias("s")
+    ).select("url", "s.warc_ts", "s.html", "s.text", "s.lang")
+    first.write.parquet(src)
+    q = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark)
+    )
+    q.awaitTermination(300)
+    n_first = spark.read.parquet(out).count()
+
+    # trigger 2: the re-crawl snapshots arrive (same urls, later ts,
+    # text extended) — most of their triples duplicate batch 1's
+    recrawls = pages.join(
+        first.select("url", F.col("warc_ts").alias("first_ts")), "url"
+    ).where(F.col("warc_ts") > F.col("first_ts")).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    assert recrawls.count() > 0
+    recrawls.write.mode("append").parquet(src)
+    q2 = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark)
+    )
+    q2.awaitTermination(300)
+
+    rows = spark.read.parquet(out).select("subj", "pred", "obj")
+    total, distinct = rows.count(), rows.distinct().count()
+    assert total == distinct  # no duplicate triples across batches
+    assert total >= n_first
+    # and the union equals the global batch answer over all snapshots
+    want = _batch_triples(spark, spark.read.parquet(src))
+    assert {tuple(r) for r in rows.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stateful_touch_promotion(spark, tmp_path):
     """Cross-batch stateful promotion: each QID whose cumulative
     mention count reaches the threshold is emitted exactly once, and
