@@ -467,55 +467,29 @@ def q25_simhash(spark, sf_dir):
     )
 
 
-def _cosine_pairs(spark, sf_dir, qmax: int, nmax: int):
-    emb = _t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.expr(
-            "aggregate(transform(embedding, x -> cast(x as double)"
-            " * cast(x as double)), cast(0 as double), (a, v) -> a + v)"
-        )
-    )
-    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    qs = (
-        e.where(F.col("vec_id") < qmax)
-        .select(
-            F.col("vec_id").alias("qvec"),
-            F.col("embedding").alias("qe"),
-            F.col("nrm").alias("qn"),
-        )
-    )
-    ns = e.where(F.col("vec_id") < nmax).select(
-        F.col("vec_id").alias("nvec"),
-        F.col("embedding").alias("ne"),
-        F.col("nrm").alias("nn"),
-    )
-    pairs = qs.crossJoin(ns).where(F.col("qvec") != F.col("nvec"))
-    return pairs.select(
-        "qvec",
-        "nvec",
-        F.round(_dot("qe", "ne") / (F.col("qn") * F.col("nn")), 4).alias(
-            "sim"
-        ),
-    )
-
-
 def q26_cosine_topk(spark, sf_dir):
-    sims = _cosine_pairs(spark, sf_dir, 10, 1 << 60)
-    w = Window.partitionBy("qvec").orderBy(
-        F.col("sim").desc(), F.col("nvec")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 5)
-        .select("qvec", "nvec", "sim", "rank")
-    )
+    """Exact brute-force cosine top-k: the bounded query set is
+    broadcast against the corpus (BroadcastNestedLoopJoin, one linear
+    corpus scan — never a CartesianProduct)."""
+    from arachne_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    ).select("qvec", "nvec", "sim", "rank")
 
 
 def q27_embed_neardup(spark, sf_dir):
-    sims = _cosine_pairs(spark, sf_dir, 300, 300)
-    return sims.where(
-        (F.col("sim") >= 0.30) & (F.col("qvec") < F.col("nvec"))
-    )
+    """Embedding near-dup sweep blocked by hyperplane-LSH buckets
+    (q28's buckets composed with the search): all-pairs cosine only
+    within a bucket or a Hamming-1 probe neighbor — the scale-safe
+    replacement for the all-pairs crossJoin."""
+    from arachne_spark.operators.ann import embedding_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(
+        emb, HYPERPLANES, threshold=0.30, radius=1
+    ).select("qvec", "nvec", "sim")
 
 
 def q28_lsh_buckets(spark, sf_dir):
@@ -574,6 +548,19 @@ def q31_lsh_fuzzy_link(spark, sf_dir):
     )
     d = spark.createDataFrame(FUZZY_DICT, "alias string, qid string")
     return lsh_candidates(toks, d, threshold=0.35)
+
+
+def q37_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed multi-probe ANN top-k (the 100TB-scale search
+    path): candidates = vectors sharing a probe bucket with the query,
+    exact cosine rescoring ranks them.  Recall vs q26's exact answer is
+    tunable via hyperplane count and probe radius."""
+    from arachne_spark.operators.ann import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk(
+        emb, HYPERPLANES, F.col("vec_id") < 10, k=5, radius=1
+    ).select("qvec", "nvec", "sim", "rank")
 
 
 def q32_json_props(spark, sf_dir):
@@ -703,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_sortmerge_join": q34_sortmerge_join,
         "q35_normalize": q35_normalize,
         "q36_group_membership": q36_group_membership,
+        "q37_ann_lsh_topk": q37_ann_lsh_topk,
     }
 
 
@@ -759,6 +747,45 @@ def oracle_sql() -> dict[str, str]:
         from e q, e n
         where q.vec_id < {qmax} and n.vec_id < {nmax}
           and q.vec_id != n.vec_id
+      )
+    """
+    # shared CTE head for the LSH-bucketed ANN oracles: norms + 4-bit
+    # hyperplane bucket per vector, plus the Hamming-1 multi-probe set
+    ann_base = f"""
+      with e as (
+        select vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> cast(x as double) * cast(x as double)))) as nrm,
+               cast((case when list_sum(list_transform(range(1, {DIM} + 1),
+                      i -> cast(embedding[i] as double) * ({_hp_sql(0)})[i]))
+                      > 0 then 1 else 0 end)
+                  + (case when list_sum(list_transform(range(1, {DIM} + 1),
+                      i -> cast(embedding[i] as double) * ({_hp_sql(1)})[i]))
+                      > 0 then 2 else 0 end)
+                  + (case when list_sum(list_transform(range(1, {DIM} + 1),
+                      i -> cast(embedding[i] as double) * ({_hp_sql(2)})[i]))
+                      > 0 then 4 else 0 end)
+                  + (case when list_sum(list_transform(range(1, {DIM} + 1),
+                      i -> cast(embedding[i] as double) * ({_hp_sql(3)})[i]))
+                      > 0 then 8 else 0 end) as bigint) as bucket
+        from embeddings
+      ),
+      probes as (
+        select vec_id, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                               xor(bucket, 4), xor(bucket, 8)]) as pb
+        from e
+      )
+    """
+    ann_sims = f"""
+      sims as (
+        select c.qvec, c.nvec,
+               round(list_sum(list_transform(range(1, {DIM} + 1),
+                 i -> cast(a.embedding[i] as double)
+                      * cast(b.embedding[i] as double)))
+                 / (a.nrm * b.nrm), 4) as sim
+        from cand c
+        join e a on a.vec_id = c.qvec
+        join e b on b.vec_id = c.nvec
       )
     """
     return {
@@ -992,10 +1019,14 @@ def oracle_sql() -> dict[str, str]:
             from pairs)
           where rank <= 5
         """,
-        "q27_embed_neardup": cos_pairs.format(dim=DIM, qmax=300, nmax=300)
-        + """
-          select qvec, nvec, sim from pairs
-          where sim >= 0.30 and qvec < nvec
+        "q27_embed_neardup": ann_base + """
+          , cand as (
+            select distinct q.vec_id as qvec, n.vec_id as nvec
+            from probes q join e n on n.bucket = q.pb
+            where q.vec_id < n.vec_id
+          ),
+        """ + ann_sims + """
+          select qvec, nvec, sim from sims where sim >= 0.30
         """,
         "q28_lsh_buckets": f"""
           select vec_id,
@@ -1112,6 +1143,19 @@ def oracle_sql() -> dict[str, str]:
                     when 'entity_schema' then 'E'
                     else 'L' end) || num as entity_id
           from base
+        """,
+        "q37_ann_lsh_topk": ann_base + """
+          , cand as (
+            select distinct q.vec_id as qvec, n.vec_id as nvec
+            from probes q join e n on n.bucket = q.pb
+            where q.vec_id < 10 and q.vec_id != n.vec_id
+          ),
+        """ + ann_sims + """
+          select qvec, nvec, sim, rank from (
+            select *, row_number() over (partition by qvec
+                     order by sim desc, nvec) as rank
+            from sims)
+          where rank <= 5
         """,
         "q36_group_membership": """
           with member as (

@@ -1,0 +1,220 @@
+"""Approximate nearest neighbors over embedding columns.
+
+The reference has no vector search; this is part of the
+LLM-training-data operator set the brief requires (similarity search +
+embedding near-dup dedup).  Two strategies, both deterministic:
+
+* **Brute-force top-k** (the exact baseline): broadcast a *bounded*
+  query set against the corpus — a BroadcastNestedLoopJoin, one linear
+  corpus scan, no shuffle of the big side.  Right whenever
+  |queries| is small (ad-hoc search, evaluation probes).  It is NOT a
+  CartesianProduct: the corpus side never moves, so the plan survives a
+  100x corpus scale-up as long as the query set stays bounded.
+
+* **Hyperplane-LSH bucketed search** (the scale path): sign-pattern of
+  ``n_bits`` fixed random-hyperplane dot products = bucket id; the
+  candidate set is an *equi-join on bucket*, optionally widened to all
+  Hamming-distance-1 buckets (multi-probe) for recall; exact cosine
+  rescoring decides.  All-pairs work happens only within buckets, so
+  cost is sum over buckets of |bucket|^2 — pick
+  ``n_bits ~ log2(corpus / target_bucket_size)`` to bound it (the 4-bit
+  hyperplanes in the oracle queries are fixture-sized; a 1e9-vector
+  corpus wants 24+ bits, i.e. more hyperplanes, same code).  The
+  bucket join is a plain shuffled equi-join: no broadcast of the
+  corpus, no cartesian anything.
+
+Dot products use JVM-side ``aggregate``/``zip_with`` expressions —
+interpreted, not codegen'd (~us/element), which at 64 dims is still
+cheaper end-to-end than an Arrow round-trip; for 1k+-dim embeddings a
+vectorized pandas UDF computing the matmul per Arrow batch is the
+faster hot path and slots in behind the same API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def norm_expr(vec_col: str) -> Column:
+    """L2 norm of a float-array column, as double."""
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({vec_col}, x -> cast(x as double)"
+            " * cast(x as double)), cast(0 as double), (a, v) -> a + v)"
+        )
+    )
+
+
+def dot_expr(a_col: str, b_col: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, (x, y) ->"
+        " cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def bucket_expr(vec_col: str, hyperplanes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit j set iff <vec, hyperplane_j> > 0."""
+    bucket = F.lit(0)
+    for j, hp in enumerate(hyperplanes):
+        arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in hp) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) ->"
+            " cast(x as double) * y), cast(0 as double), (a, v) -> a + v)"
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+def probe_expr(bucket_col: str, n_bits: int, radius: int = 1) -> Column:
+    """Multi-probe bucket array: the bucket itself plus every bucket at
+    Hamming distance 1 (radius=1; radius=0 disables probing).  Bit
+    flips are symmetric, so probing is symmetric: b' in probes(b) iff
+    b in probes(b') — one-sided probing finds every cross-bucket pair.
+    """
+    probes = [F.col(bucket_col)]
+    if radius >= 1:
+        probes += [
+            F.col(bucket_col).bitwiseXOR(F.lit(1 << j))
+            for j in range(n_bits)
+        ]
+    return F.array(*probes)
+
+
+def with_buckets(
+    emb: DataFrame,
+    hyperplanes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, nrm, bucket): the indexed side of every ANN join."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        norm_expr(vec_col).alias("nrm"),
+        bucket_expr(vec_col, hyperplanes).alias("bucket"),
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qvec, nvec, sim, rank): exact cosine top-k, query side
+    broadcast — linear in the corpus, never a CartesianProduct."""
+    ns = emb.select(
+        F.col(id_col).alias("nvec"),
+        F.col(vec_col).alias("ne"),
+        norm_expr(vec_col).alias("nn"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("qvec"),
+        F.col(vec_col).alias("qe"),
+        norm_expr(vec_col).alias("qn"),
+    )
+    pairs = ns.crossJoin(F.broadcast(qs)).where(
+        F.col("qvec") != F.col("nvec")
+    )
+    sims = pairs.select(
+        "qvec",
+        "nvec",
+        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
+        .alias("sim"),
+    )
+    w = Window.partitionBy("qvec").orderBy(F.col("sim").desc(), F.col("nvec"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _candidate_pairs(
+    indexed: DataFrame,
+    probing: DataFrame,
+    n_bits: int,
+    radius: int,
+    pair_filter: Column,
+) -> DataFrame:
+    """Equi-join probe buckets of `probing` against bucket of `indexed`;
+    one row per (qvec, nvec) pair with both vectors + norms."""
+    q = probing.select(
+        F.col("vec_id").alias("qvec"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.explode(probe_expr("bucket", n_bits, radius)).alias("pb"),
+    )
+    n = indexed.select(
+        F.col("vec_id").alias("nvec"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+        F.col("bucket").alias("nb"),
+    )
+    return (
+        q.join(n, q["pb"] == n["nb"], "inner")
+        .where(pair_filter)
+        # radius-1 probes of adjacent buckets can surface a pair twice;
+        # rows for the same pair are identical, so the dedup is
+        # content-deterministic.
+        .dropDuplicates(["qvec", "nvec"])
+    )
+
+
+def ann_topk(
+    emb: DataFrame,
+    hyperplanes: list[list[float]],
+    query_pred: Column,
+    k: int = 5,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qvec, nvec, sim, rank): LSH-bucketed approximate top-k for the
+    rows matching ``query_pred`` — q28's hyperplane buckets composed
+    with the search: candidates share a probe bucket, exact cosine
+    rescoring ranks them."""
+    e = with_buckets(emb, hyperplanes, id_col, vec_col)
+    cand = _candidate_pairs(
+        e, e.where(query_pred), len(hyperplanes), radius,
+        F.col("qvec") != F.col("nvec"),
+    )
+    sims = cand.select(
+        "qvec",
+        "nvec",
+        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
+        .alias("sim"),
+    )
+    w = Window.partitionBy("qvec").orderBy(F.col("sim").desc(), F.col("nvec"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.30,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qvec, nvec, sim), qvec < nvec: near-duplicate pairs by cosine >=
+    threshold, blocked by LSH bucket (+ Hamming-1 multi-probe).
+    All-pairs comparison happens only inside buckets — the scale-safe
+    form of the embedding-cosine dedup sweep."""
+    e = with_buckets(emb, hyperplanes, id_col, vec_col)
+    cand = _candidate_pairs(
+        e, e, len(hyperplanes), radius, F.col("qvec") < F.col("nvec")
+    )
+    sims = cand.select(
+        "qvec",
+        "nvec",
+        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
+        .alias("sim"),
+    )
+    return sims.where(F.col("sim") >= threshold)

@@ -1,16 +1,24 @@
 """Physical-plan audit: assert the plans we ship are the plans we want.
 
-For each audited operator/query this prints the formatted physical plan
-and checks structural expectations:
-  * broadcast joins where a dimension is joined (no shuffle of the
-    fact side),
-  * no BatchEvalPython anywhere (row-at-a-time Python is forbidden;
-    ArrowEvalPython is the only acceptable Python boundary),
-  * parquet scans carry PushedFilters / pruned ReadSchema where a
-    filter/projection exists upstream.
+Two layers:
 
-Usage: python tools/explain_audit.py [--verbose]
-Exits nonzero if any expectation fails — wired as a test-adjacent gate.
+1. **Global sweep** over every ``queries()`` entry:
+   * no ``CartesianProduct`` anywhere (the one all-pairs shape that
+     cannot survive a scale-up; bounded-side cross joins must carry a
+     broadcast hint so they compile to BroadcastNestedLoopJoin);
+   * no ``BatchEvalPython`` anywhere (row-at-a-time Python is
+     forbidden; ArrowEvalPython is the only acceptable Python
+     boundary).
+
+2. **Targeted structural checks**: broadcast joins where a dimension
+   is joined, filter pushdown / column pruning reaching the parquet
+   scan, semi/anti joins compiling to dedicated join types, the ANN
+   queries staying on equi-join (bucketed) or broadcast-nested-loop
+   (bounded brute force) strategies.
+
+Run standalone (`python tools/explain_audit.py [--verbose]`, exits
+nonzero on failure) or via pytest (tests/test_plans.py imports
+``run_audit``), so the audit gates `python -m pytest` too.
 """
 
 from __future__ import annotations
@@ -21,10 +29,9 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from arachne_spark.session import get_spark  # noqa: E402
-
 SF = "/root/testdata/sf0.01"
-VERBOSE = "--verbose" in sys.argv
+
+GLOBAL_FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
 def plan_of(df) -> str:
@@ -34,62 +41,61 @@ def plan_of(df) -> str:
     )
 
 
-def audit(name: str, df, expect_contains=(), expect_absent=()):
-    p = plan_of(df)
+def _check(name, plan, expect_contains=(), expect_absent=()):
     problems = []
     for s in expect_contains:
-        if s not in p:
-            problems.append(f"MISSING {s!r}")
+        if s not in plan:
+            problems.append(f"{name}: MISSING {s!r}")
     for s in expect_absent:
-        if s in p:
-            problems.append(f"FORBIDDEN {s!r}")
-    status = "ok  " if not problems else "FAIL"
-    print(f"{status} {name}" + (f": {problems}" if problems else ""))
-    if VERBOSE or problems:
-        print(p[:4000])
-    return not problems
+        if s in plan:
+            problems.append(f"{name}: FORBIDDEN {s!r}")
+    return problems
 
 
-def main() -> None:
+def run_audit(spark, sf_dir: str = SF, verbose: bool = False) -> list[str]:
+    """Return a list of problem strings (empty = all plans pass)."""
     import __spark_entry__ as em
 
-    spark = get_spark("explain-audit", master="local[4]",
-                      shuffle_partitions=8)
-    ok = True
+    problems: list[str] = []
 
-    # 1. broadcast enrichment join: dim broadcast, fact side unshuffled,
-    #    filter pushed into the parquet scan
-    q5 = em.q05_broadcast_enrich(spark, SF)
-    ok &= audit(
-        "q05 broadcast join", q5,
+    def audit(name, df, expect_contains=(), expect_absent=()):
+        p = plan_of(df)
+        found = _check(name, p, expect_contains, expect_absent)
+        problems.extend(found)
+        if verbose or found:
+            print(("FAIL " if found else "ok   ") + name)
+            if found:
+                print("\n".join(found))
+                print(p[:4000])
+
+    # ---- global sweep: every contract query, no cartesian products,
+    # no row-at-a-time Python
+    for name, fn in em.queries().items():
+        audit(name, fn(spark, sf_dir), expect_absent=GLOBAL_FORBIDDEN)
+
+    # ---- targeted checks
+    audit(
+        "q05 broadcast join", em.q05_broadcast_enrich(spark, sf_dir),
         expect_contains=("BroadcastHashJoin",),
-        expect_absent=("BatchEvalPython", "SortMergeJoin"),
+        expect_absent=("SortMergeJoin",),
     )
-
-    # 2. projection pruning reaches the scan: only needed columns read
-    q3 = em.q03_dedup_exact(spark, SF)
-    p3 = plan_of(q3)
-    ok &= audit(
-        "q03 column pruning", q3,
+    audit(
+        "q03 column pruning", em.q03_dedup_exact(spark, sf_dir),
         expect_contains=("ReadSchema: struct<l_returnflag:string,"
                          "l_linestatus:string>",),
-        expect_absent=("BatchEvalPython",),
     )
-    _ = p3
-
-    # 3. filter pushdown into parquet
     li = (
-        spark.read.parquet(f"{SF}/lineitem.parquet")
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .where(F.col("l_quantity") > 40)
         .select("l_orderkey")
     )
-    ok &= audit(
+    audit(
         "filter pushdown", li,
         expect_contains=("PushedFilters: [IsNotNull(l_quantity), "
                          "GreaterThan(l_quantity,40.0)]",),
     )
 
-    # 4. KG mention path: dictionary broadcast; Python only via Arrow
+    # KG mention path: dictionary broadcast; Python only via Arrow
     from arachne_spark.operators.extract import latest_snapshot, with_text
     from arachne_spark.operators.mentions import detect_mentions
     from arachne_spark.sources.dictionary import alias_df
@@ -99,24 +105,52 @@ def main() -> None:
         latest_snapshot(pages_df(spark, 100)).where(F.col("lang") == "en")
     )
     m = detect_mentions(clean, alias_df(spark))
-    ok &= audit(
+    audit(
         "mention detection", m,
         expect_contains=("BroadcastHashJoin", "ArrowEvalPython"),
         expect_absent=("BatchEvalPython",),
     )
 
-    # 5. semi/anti joins compile to dedicated join types
-    ok &= audit(
-        "q06 semi join", em.q06_semi_join(spark, SF),
+    audit(
+        "q06 semi join", em.q06_semi_join(spark, sf_dir),
         expect_contains=("LeftSemi",),
     )
-    ok &= audit(
-        "q07 anti join", em.q07_anti_join(spark, SF),
+    audit(
+        "q07 anti join", em.q07_anti_join(spark, sf_dir),
         expect_contains=("LeftAnti",),
     )
 
+    # ANN strategies: bounded brute force must be a broadcast
+    # nested-loop (query side broadcast), bucketed search must stay on
+    # equi-joins — neither may be a CartesianProduct (already swept,
+    # asserted again here for clarity of intent)
+    audit(
+        "q26 brute-force broadcast", em.q26_cosine_topk(spark, sf_dir),
+        expect_contains=("BroadcastNestedLoopJoin",),
+        expect_absent=("CartesianProduct",),
+    )
+    audit(
+        "q27 bucketed near-dup", em.q27_embed_neardup(spark, sf_dir),
+        expect_absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    audit(
+        "q37 bucketed ann", em.q37_ann_lsh_topk(spark, sf_dir),
+        expect_absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+    return problems
+
+
+def main() -> None:
+    from arachne_spark.session import get_spark
+
+    verbose = "--verbose" in sys.argv
+    spark = get_spark("explain-audit", master="local[4]",
+                      shuffle_partitions=8)
+    problems = run_audit(spark, verbose=verbose)
     spark.stop()
-    sys.exit(0 if ok else 1)
+    print("PROBLEMS:", problems or "none")
+    sys.exit(1 if problems else 0)
 
 
 if __name__ == "__main__":
