@@ -391,31 +391,21 @@ def _shingles(spark, sf_dir, max_doc: int):
     )
 
 
+MAX_SHINGLE_DF = 50  # boilerplate df-cap (see operators/dedup.py)
+
+
 def q23_ngram_jaccard(spark, sf_dir):
-    sh = _shingles(spark, sf_dir, 100)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("da"), "s")
-    b = sh.select(F.col("doc_id").alias("db"), "s")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
+    """Inverted-index n-gram Jaccard with a hot-shingle df-cap: a
+    shingle present in > MAX_SHINGLE_DF docs (boilerplate) would make
+    pair generation quadratic in its frequency, so it is dropped before
+    the self-join — semantics mirrored in the oracle."""
+    from arachne_spark.operators.dedup import (
+        cap_shingle_df,
+        ngram_jaccard_pairs,
     )
-    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    j = (
-        inter.join(na, "da")
-        .join(nb, "db")
-        .select(
-            "da",
-            "db",
-            F.round(
-                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
-            ).alias("jaccard"),
-        )
-    )
-    return j.where(F.col("jaccard") >= 0.03)
+
+    sh = cap_shingle_df(_shingles(spark, sf_dir, 100), MAX_SHINGLE_DF)
+    return ngram_jaccard_pairs(sh, threshold=0.03)
 
 
 def q24_minhash_band(spark, sf_dir):
@@ -563,6 +553,20 @@ def q37_ann_lsh_topk(spark, sf_dir):
     ).select("qvec", "nvec", "sim", "rank")
 
 
+def q38_doc_dedup(spark, sf_dir):
+    """End-to-end MinHash near-dup dedup: bands -> candidate pairs ->
+    exact-Jaccard verify -> connected components -> min-id
+    representative.  Every doc maps to its cluster representative;
+    keep == (doc_id = rep_id)."""
+    from arachne_spark.operators.dedup import minhash_doc_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return minhash_doc_dedup(
+        docs, threshold=0.5, max_shingle_df=MAX_SHINGLE_DF,
+        max_band_bucket=20,
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -691,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_normalize": q35_normalize,
         "q36_group_membership": q36_group_membership,
         "q37_ann_lsh_topk": q37_ann_lsh_topk,
+        "q38_doc_dedup": q38_doc_dedup,
     }
 
 
@@ -965,13 +970,16 @@ def oracle_sql() -> dict[str, str]:
                    as fp_prefix
           from documents
         """,
-        "q23_ngram_jaccard": """
+        "q23_ngram_jaccard": f"""
           with t as (select doc_id, string_split(text, ' ') as toks
                      from documents where doc_id < 100),
-          sh as (select distinct doc_id,
+          sh0 as (select distinct doc_id,
                         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                           as s
                  from t, unnest(range(1, len(toks) - 1)) u(i)),
+          dfreq as (select s, count(*) as c from sh0 group by s),
+          sh as (select sh0.doc_id, sh0.s from sh0
+                 join dfreq using (s) where dfreq.c <= {MAX_SHINGLE_DF}),
           sizes as (select doc_id, count(*) as n from sh group by 1),
           inter as (select a.doc_id da, b.doc_id db, count(*) i
                     from sh a join sh b
@@ -1156,6 +1164,57 @@ def oracle_sql() -> dict[str, str]:
                      order by sim desc, nvec) as rank
             from sims)
           where rank <= 5
+        """,
+        "q38_doc_dedup": f"""
+          with recursive
+          t as (select doc_id, string_split(text, ' ') as toks
+                from documents where doc_id < 200),
+          sh0 as (select distinct doc_id,
+                         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           as s
+                  from t, unnest(range(1, len(toks) - 1)) u(i)),
+          dfreq as (select s, count(*) as c from sh0 group by s),
+          sh as (select sh0.doc_id, sh0.s from sh0
+                 join dfreq using (s) where dfreq.c <= {MAX_SHINGLE_DF}),
+          sets as (select doc_id, list_sort(list(distinct s)) as shset
+                   from sh group by doc_id),
+          sig as (select doc_id,
+                         min(md5('0:' || s)) m0, min(md5('1:' || s)) m1,
+                         min(md5('2:' || s)) m2, min(md5('3:' || s)) m3,
+                         min(md5('4:' || s)) m4, min(md5('5:' || s)) m5,
+                         min(md5('6:' || s)) m6, min(md5('7:' || s)) m7
+                  from sh group by doc_id),
+          bands as (select doc_id, 0 as bi,
+                           md5(m0 || m1 || m2 || m3) as bh from sig
+                    union all
+                    select doc_id, 1, md5(m4 || m5 || m6 || m7) from sig),
+          bsz as (select bi, bh, count(*) as c from bands group by 1, 2),
+          bands2 as (select bands.doc_id, bands.bi, bands.bh from bands
+                     join bsz using (bi, bh) where bsz.c <= 20),
+          cand as (select distinct a.doc_id da, b.doc_id db
+                   from bands2 a join bands2 b
+                     on a.bi = b.bi and a.bh = b.bh
+                        and a.doc_id < b.doc_id),
+          ver as (select da, db from cand
+                  join sets sa on sa.doc_id = da
+                  join sets sb on sb.doc_id = db
+                  where round(cast(len(list_intersect(sa.shset, sb.shset))
+                          as double)
+                        / (len(sa.shset) + len(sb.shset)
+                           - len(list_intersect(sa.shset, sb.shset))), 4)
+                        >= 0.5),
+          und as (select da as s, db as d from ver
+                  union select db, da from ver),
+          reach(a, b) as (
+            select s, s from (select distinct s from und)
+            union
+            select r.a, u.d from reach r join und u on u.s = r.b),
+          comp as (select a as doc_id, min(b) as rep from reach group by a)
+          select d.doc_id,
+                 coalesce(c.rep, d.doc_id) as rep_id,
+                 (coalesce(c.rep, d.doc_id) = d.doc_id) as keep
+          from (select doc_id from documents where doc_id < 200) d
+          left join comp c using (doc_id)
         """,
         "q36_group_membership": """
           with member as (

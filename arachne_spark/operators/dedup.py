@@ -1,0 +1,230 @@
+"""Document-level near-duplicate dedup — the flagship LLM-training-data
+operator: MinHash bands → candidate pairs → exact-Jaccard verify →
+connected components → keep the min-id representative.
+
+The reference has no document dedup (it ingests entity data, not web
+text); this composes the engine's own primitives (minhash banding as in
+q24, jaccard_expr from lsh_link, cc.connected_components) into the
+end-to-end pipeline a 100 TB crawl actually needs.  Scale posture:
+
+* **shingling** is a narrow per-doc projection (token k-grams,
+  distinct) — embarrassingly parallel;
+* **df-cap**: shingles appearing in more than ``max_shingle_df``
+  documents are boilerplate (navigation chrome, license footers) and
+  are dropped *before* any join — one hot shingle would otherwise make
+  the inverted-index pair generation quadratic in its document
+  frequency.  The cap costs one small aggregation over (shingle, df);
+* **banding**: 8 minhashes → 2 bands; a pair collides iff some band
+  matches, so candidate generation is an equi-join on
+  (band_idx, band_hash) — never all-pairs;
+* **bucket-cap**: a band bucket with B docs yields B^2/2 candidate
+  pairs; buckets larger than ``max_band_bucket`` are near-certainly
+  boilerplate clusters (every template page hashing identically) and
+  are dropped — dedup of *exact* template duplicates belongs to the
+  cheaper exact-hash pass (q03/q22 fingerprints), not the quadratic
+  verifier;
+* **verify** joins the (sorted, deterministic) shingle sets of the
+  candidate pairs only — candidate-pair-scale data, corpus-scale never
+  shuffles;
+* **clustering** uses the large-star/small-star CC operator (O(log n)
+  rounds, no star materialization), and the representative is the
+  minimum doc id — total order, no ties.
+
+MinHash scheme is md5-based and identical to q24's so a DuckDB oracle
+reproduces every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arachne_spark.operators.cc import connected_components
+from arachne_spark.operators.lsh_link import jaccard_expr
+
+N_HASHES = 8
+N_BANDS = 2
+
+
+def doc_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, s): distinct token k-gram shingles per document."""
+    parts = ", ".join(f"toks[i-1+{j}]" for j in range(k))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ", -1).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("s"),
+        )
+        .dropDuplicates()
+    )
+
+
+def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds max_df (hot
+    boilerplate shingles are the skew-killer of every posting-list
+    self-join: pair fanout is quadratic in df)."""
+    df = sh.groupBy("s").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(df.where(F.col("_df") <= max_df), "s")
+        .select("doc_id", "s")
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.03
+) -> DataFrame:
+    """(da, db, jaccard): inverted-index self-join over (df-capped)
+    shingles + exact Jaccard.  Callers cap df first; this function is
+    the q23 surface."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash): md5 minhash signature grouped
+    into bands — the q24 scheme (8 hashes, 2 bands), oracle-exact."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"m{p}")
+        for p in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    rows = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat(*[F.col(f"m{j * rows + i}") for i in range(rows)])
+                ).alias("band_hash"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+
+
+def minhash_doc_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+    max_band_bucket: int = 20,
+) -> DataFrame:
+    """(doc_id, rep_id, keep): every input document mapped to the
+    minimum-id representative of its near-duplicate cluster; singleton
+    docs map to themselves.  keep = (doc_id == rep_id) — filtering on
+    it IS the dedup."""
+    sh = cap_shingle_df(
+        doc_shingles(docs, id_col, text_col), max_shingle_df
+    )
+
+    bands = minhash_bands(sh)
+    bucket_sz = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("_bsz")
+    )
+    bands = (
+        bands.join(
+            bucket_sz.where(F.col("_bsz") <= max_band_bucket),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_id", "band_idx", "band_hash")
+    )
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .dropDuplicates()
+    )
+
+    # exact verify over sorted (deterministic) shingle sets of the
+    # candidate docs only
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("s")).alias("shset")
+    )
+    ver = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("da"), F.col("shset").alias("sa")
+            ),
+            "da",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("db"), F.col("shset").alias("sb")
+            ),
+            "db",
+        )
+        .withColumn("jaccard", F.round(jaccard_expr("sa", "sb"), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("da", "db")
+    )
+
+    # cluster + min-id representative.  Numeric ids are zero-padded to
+    # a fixed width so string order == numeric order inside the CC
+    # loop; string ids (urls) use their own lexicographic total order.
+    id_type = docs.schema[id_col].dataType.simpleString()
+    numeric = id_type in ("bigint", "int", "smallint", "tinyint")
+    if numeric:
+        enc = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+        dec = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    else:
+        enc = lambda c: F.col(c)  # noqa: E731
+        dec = lambda c: F.col(c)  # noqa: E731
+    comp = connected_components(
+        ver.select(enc("da").alias("src"), enc("db").alias("dst")),
+        key_encode=False,
+    ).select(
+        dec("node").alias("doc_id"),
+        dec("component").alias("rep_id"),
+    )
+
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_id", "doc_id").alias("rep_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("rep_id"))
+    )

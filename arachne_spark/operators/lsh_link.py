@@ -101,6 +101,9 @@ def jaccard_expr(a_col: str, b_col: str):
     )
 
 
+MAX_BAND_DF = 1000
+
+
 def lsh_candidates(
     surfaces: DataFrame,
     dictionary: DataFrame,
@@ -109,12 +112,24 @@ def lsh_candidates(
     threshold: float = 0.4,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    max_band_df: int | None = MAX_BAND_DF,
 ) -> DataFrame:
     """(surface, qid, jaccard): all dictionary candidates sharing >= 1
     LSH band with the surface form, rescored by exact char-shingle
     Jaccard and filtered to >= threshold.
 
     `dictionary` must carry (alias, qid); extra columns are dropped.
+
+    ``max_band_df`` caps the dictionary-side frequency of a band hash:
+    a band shared by B dictionary entries fans every matching surface
+    out into B candidate rows, so one degenerate hot band (aliases that
+    are all near-identical boilerplate strings) makes the blocking
+    quadratic.  Bands above the cap are dropped *dictionary-side* (a
+    tiny aggregation — the dictionary is vocabulary-sized); true
+    near-pairs in a dropped band almost always share their other
+    band(s).  The default is far above any real alias dictionary's band
+    skew; the cap exists so a pathological input degrades recall, not
+    the cluster.
     """
     s = _with_signature(
         surfaces.select(F.col(surface_col).alias("surface")).distinct(),
@@ -129,6 +144,12 @@ def lsh_candidates(
         F.col(alias_col).alias("_alias"), "qid", "d_sh",
         F.explode("d_bands").alias("db"),
     )
+    if max_band_df is not None:
+        band_df = d.groupBy("db").agg(F.count("*").alias("_bdf"))
+        d = (
+            d.join(band_df.where(F.col("_bdf") <= max_band_df), "db")
+            .select("_alias", "qid", "d_sh", "db")
+        )
     pairs = (
         s.join(
             F.broadcast(d),

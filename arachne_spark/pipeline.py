@@ -4,6 +4,9 @@ SURVEY.md §3, restated Spark-first).
 Stage graph (each stage = committed snapshot table, resumable):
 
   pages ─ latest_snapshot ─ lang filter ─ extract text   → pages_clean
+  pages_clean ─ MinHash bands ─ verify ─ CC clusters     → page_dupes
+        (url → rep_url near-dup map; filters the corpus when
+         cfg.dedup_pages — the training-data dedup gate)
         └ detect_mentions (broadcast alias dict)         → mentions
   unmatched long tokens ─ MinHash-LSH block ─ Jaccard    → fuzzy_mentions
   mentions ─ salted touch-count ≥ 50                     → promoted
@@ -36,6 +39,7 @@ from pyspark.sql import functions as F
 
 from arachne_spark.functions.ids import entity_root, identify
 from arachne_spark.operators.cc import canonical_mapping
+from arachne_spark.operators.dedup import minhash_doc_dedup
 from arachne_spark.operators.extract import latest_snapshot, with_text
 from arachne_spark.operators.lsh_link import fuzzy_mentions
 from arachne_spark.operators.mentions import (
@@ -70,6 +74,10 @@ class PipelineConfig:
     run_id: str = "r0"
     n_batch_buckets: int = 256  # parallel window groups for batch ids
     force: bool = False  # ignore committed snapshots (full recompute)
+    # near-dup page dedup gate: the map is always computed (page_dupes
+    # stage); when True, only cluster representatives flow downstream
+    dedup_pages: bool = False
+    dedup_threshold: float = 0.9
 
 
 FETCH_STATE = "fetch_state"
@@ -128,6 +136,29 @@ def run_pipeline(
         force=cfg.force,
     )
 
+    # near-duplicate page map (url → min-url representative): the
+    # LLM-training-data dedup pass, composed from MinHash bands +
+    # Jaccard verify + connected components (operators/dedup.py)
+    page_dupes = rec.run_stage(
+        "page_dupes",
+        lambda: minhash_doc_dedup(
+            pages_clean.select("url", "text"),
+            id_col="url",
+            threshold=cfg.dedup_threshold,
+        ).select(
+            F.col("doc_id").alias("url"),
+            F.col("rep_id").alias("rep_url"),
+            "keep",
+        ),
+        force=cfg.force,
+    )
+    if cfg.dedup_pages:
+        pages_clean = pages_clean.join(
+            page_dupes.where(F.col("keep")).select("url"),
+            "url",
+            "left_semi",
+        )
+
     mentions = rec.run_stage(
         "mentions",
         lambda: detect_mentions(pages_clean, aliases),
@@ -151,6 +182,11 @@ def run_pipeline(
         force=cfg.force,
     )
 
+    # "logical now" = max crawl timestamp: one 1-row scalar over the
+    # committed pages_clean snapshot, computed once and reused by both
+    # the staleness gate and the fetch_state update
+    logical_now = pages_clean.agg(F.max("warc_ts")).collect()[0][0]
+
     def build_queue() -> DataFrame:
         # every mentioned entity enters the queue (add_entity path);
         # promoted candidates are the extra_batches analog — same join
@@ -164,7 +200,6 @@ def run_pipeline(
         )
         # staleness gate (enqueue, src/arachne.cpp:201-222): skip
         # entities fetched < staleness_hours before logical now.
-        logical_now = pages_clean.agg(F.max("warc_ts")).collect()[0][0]
         if wh.is_committed(FETCH_STATE):
             fresh = wh.read(FETCH_STATE).where(
                 F.col("last_fetched_ts")
@@ -189,12 +224,9 @@ def run_pipeline(
     entities = rec.run_stage("entities", enrich, force=cfg.force)
 
     # update fetch_state (ariadne.store analog, src/arachne.cpp:103)
-    logical_now_df = pages_clean.agg(
-        F.max("warc_ts").alias("ts")
+    new_state = fetch_queue.select(
+        "qid", F.lit(logical_now).alias("last_fetched_ts")
     )
-    new_state = fetch_queue.select("qid").crossJoin(
-        F.broadcast(logical_now_df)
-    ).select("qid", F.col("ts").alias("last_fetched_ts"))
     if wh.is_committed(FETCH_STATE):
         prev = wh.read(FETCH_STATE)
         new_state = (

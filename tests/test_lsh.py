@@ -94,6 +94,61 @@ def test_short_surface_single_shingle(spark):
     ]
 
 
+def test_hot_shingle_df_cap_bounds_skew(spark):
+    """1e5 synthetic docs sharing one boilerplate sentence: without the
+    df-cap the inverted-index self-join would generate ~5e9 pairs from
+    the hot shingles alone; with the cap, every surviving shingle is
+    unique and the join emits nothing."""
+    from arachne_spark.operators.dedup import (
+        cap_shingle_df,
+        doc_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("copyright footer all rights reserved unique token u"),
+            F.col("id").cast("string"),
+            F.lit(" tail t"),
+            (F.col("id") % 977).cast("string"),
+        ).alias("text"),
+    )
+    sh0 = doc_shingles(docs)
+    # the skew is real: uncapped pair fanout is sum(df^2)/2 over hot
+    # shingles — computed by aggregation (linear), never joined
+    fanout = (
+        sh0.groupBy("s").agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert fanout > 1e9
+
+    sh = cap_shingle_df(sh0, max_df=100)
+    assert sh.where(F.col("s").startswith("copyright")).count() == 0
+    assert ngram_jaccard_pairs(sh, threshold=0.2).count() == 0
+
+
+def test_lsh_band_df_cap_drops_hot_band(spark):
+    """A pathological dictionary where many entries share one band must
+    not fan every surface out into all of them: with the cap the hot
+    band is dropped dictionary-side (recall degrades, fanout does not
+    explode)."""
+    s = spark.createDataFrame([("velazques",)], ["surface"])
+    # 30 entries with the IDENTICAL alias → identical signatures →
+    # both bands hot; plus one distinct entry
+    d = spark.createDataFrame(
+        [("velazquez", f"Q{1000 + i}", "item", 1000 + i) for i in range(30)]
+        + [("arachne", "Q190082", "item", 190082)],
+        "alias string, qid string, kind string, priority long",
+    )
+    capped = lsh_candidates(s, d, threshold=0.3, max_band_df=10)
+    assert capped.count() == 0  # hot band dropped, no candidates
+    uncapped = lsh_candidates(s, d, threshold=0.3, max_band_df=None)
+    assert uncapped.count() == 30  # the fanout the cap prevents
+
+
 def test_unmatched_tokens_excludes_covered_spans(spark):
     from arachne_spark.operators.mentions import (
         detect_mentions,

@@ -104,6 +104,32 @@ def test_determinism_across_parallelism(spark, tmp_path):
     assert results[0] == results[1]
 
 
+def test_page_dedup_gate(spark, tmp_path):
+    """cfg.dedup_pages: near-duplicate pages collapse to the min-url
+    representative; only representatives feed mention detection."""
+    wh = str(tmp_path / "dedup_wh")
+    pages = pages_df(spark, 60, partitions=4)
+    originals = ["https://example.org/p/3", "https://example.org/p/5"]
+    clones = pages.where(F.col("url").isin(originals)).withColumn(
+        "url", F.concat(F.col("url"), F.lit("-mirror"))
+    )
+    cfg = PipelineConfig(
+        warehouse=wh, n_pages=60, run_id="dd",
+        dedup_pages=True, dedup_threshold=0.9,
+    )
+    run_pipeline(spark, cfg, pages=pages.unionByName(clones))
+    dupes = {
+        r["url"]: (r["rep_url"], r["keep"])
+        for r in spark.read.parquet(f"{wh}/page_dupes").collect()
+    }
+    for u in originals:
+        assert dupes[u] == (u, True)
+        assert dupes[u + "-mirror"] == (u, False)
+    mentions = spark.read.parquet(f"{wh}/mentions")
+    assert mentions.where(F.col("url").endswith("-mirror")).count() == 0
+    assert mentions.where(F.col("url").isin(originals)).count() > 0
+
+
 def test_resume_skips_committed_stages(spark, tmp_path):
     wh = str(tmp_path / "resume")
     cfg = PipelineConfig(warehouse=wh, n_pages=120, run_id="r1")
