@@ -567,6 +567,119 @@ def q38_doc_dedup(spark, sf_dir):
     )
 
 
+def q39_merge_patch(spark, sf_dir):
+    """RFC 7386 deep merge of chunked entity payloads
+    (src/pheidippides.cpp:74 ``combined.merge_patch(data)``): labels /
+    descriptions / aliases merge per key across chunks, an explicit
+    null deletes a key, and the fold order is deterministic (chunk_id).
+    A last-wins whole-value merge would lose chunk 0's labels.en."""
+    from arachne_spark.operators.merge_patch import merge_payloads
+
+    nation = _t(spark, sf_dir, "nation")
+    base = nation.select(
+        F.concat(F.lit("Q"), F.col("n_nationkey").cast("string")).alias(
+            "qid"
+        ),
+        F.col("n_nationkey").cast("string").alias("k"),
+        F.col("n_name").alias("nm"),
+    )
+    c0 = base.select(
+        "qid",
+        F.lit(0).alias("chunk_id"),
+        F.format_string(
+            '{"labels":{"en":"%s","xx":"x%s"},'
+            '"descriptions":{"en":"d0"}}',
+            "nm", "k",
+        ).alias("payload"),
+    )
+    c1 = base.select(
+        "qid",
+        F.lit(1).alias("chunk_id"),
+        F.format_string(
+            '{"labels":{"xx":null,"de":"land %s"},'
+            '"aliases":{"en":["a%s","b"]}}',
+            "k", "k",
+        ).alias("payload"),
+    )
+    c2 = base.select(
+        "qid",
+        F.lit(2).alias("chunk_id"),
+        F.format_string('{"descriptions":{"en":"d2-%s"}}', "k").alias(
+            "payload"
+        ),
+    )
+    merged = merge_payloads(c0.unionByName(c1).unionByName(c2))
+    return merged.select(
+        "qid",
+        F.get_json_object("merged", "$.labels.en").alias("label_en"),
+        F.get_json_object("merged", "$.labels.de").alias("label_de"),
+        F.get_json_object("merged", "$.labels.xx").alias("label_xx"),
+        F.get_json_object("merged", "$.descriptions.en").alias("desc_en"),
+        F.get_json_object("merged", "$.aliases.en[0]").alias("alias0"),
+    )
+
+
+def q40_fetch_routing(spark, sf_dir):
+    """Per-kind fetch routing (src/pheidippides.cpp:36-54): M entities
+    route to the commons endpoint, E entities to the action=query +
+    EntitySchema: title path with their own props list, everything
+    else to wbgetentities — and each kind enriches from its own
+    dictionary source (label NULL where the source has no entry)."""
+    from arachne_spark.functions.ids import normalize
+    from arachne_spark.operators.routing import (
+        SCHEMA_PREFIX,
+        fetch_routing,
+        routed_enrich,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    kind_arr = F.array(*[F.lit(k) for k in KIND_NAMES])
+    base = part.select(
+        (F.col("p_partkey") % 500).alias("num"),
+        F.element_at(
+            kind_arr, (F.col("p_partkey") % 7 + 1).cast("int")
+        ).alias("kind0"),
+    ).dropDuplicates()
+    ids = (
+        base.select(normalize(F.col("num"), F.col("kind0")).alias("qid"))
+        .where(F.col("qid").isNotNull())
+        .dropDuplicates()
+    )
+    routed = fetch_routing(ids)
+
+    num = F.expr("cast(substring(qid, 2) as bigint)")
+    pref = F.substring("qid", 1, 1)
+    wd_labels = (
+        ids.where(pref.isin("Q", "P", "L") & (num % 2 == 0))
+        .select("qid", F.concat(F.lit("wd:"), "qid").alias("label"))
+    )
+    commons_labels = (
+        ids.where((pref == "M") & (num % 3 == 0))
+        .select("qid", F.concat(F.lit("cm:"), "qid").alias("label"))
+    )
+    schema_labels = (
+        ids.where((pref == "E") & (num % 5 == 0))
+        .select(
+            F.concat(F.lit(SCHEMA_PREFIX), "qid").alias("title"),
+            F.concat(F.lit("es:"), "qid").alias("label"),
+        )
+    )
+    return routed_enrich(routed, wd_labels, commons_labels, schema_labels)
+
+
+def q41_distinct_touch(spark, sf_dir):
+    """Skew-safe COUNT(DISTINCT) per key: the distinct-touch variant
+    of the touch counter (how many distinct days an entity was seen) —
+    dedup on (key, v) spreads hot keys over all partitions before the
+    count (operators/skew.py:salted_distinct_count)."""
+    from arachne_spark.operators.skew import salted_distinct_count
+
+    orders = _t(spark, sf_dir, "orders")
+    return salted_distinct_count(
+        orders, ["o_custkey"], "o_orderdate", count_alias="n_days"
+    ).select(F.col("o_custkey").alias("entity_id"), "n_days")
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -696,6 +809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_group_membership": q36_group_membership,
         "q37_ann_lsh_topk": q37_ann_lsh_topk,
         "q38_doc_dedup": q38_doc_dedup,
+        "q39_merge_patch": q39_merge_patch,
+        "q40_fetch_routing": q40_fetch_routing,
+        "q41_distinct_touch": q41_distinct_touch,
     }
 
 
@@ -1215,6 +1331,72 @@ def oracle_sql() -> dict[str, str]:
                  (coalesce(c.rep, d.doc_id) = d.doc_id) as keep
           from (select doc_id from documents where doc_id < 200) d
           left join comp c using (doc_id)
+        """,
+        "q39_merge_patch": """
+          with base as (
+            select 'Q' || n_nationkey as qid,
+                   cast(n_nationkey as varchar) as k,
+                   n_name as nm
+            from nation),
+          m as (
+            select qid, json_merge_patch(json_merge_patch(
+              '{"labels":{"en":"' || nm || '","xx":"x' || k
+                || '"},"descriptions":{"en":"d0"}}',
+              '{"labels":{"xx":null,"de":"land ' || k
+                || '"},"aliases":{"en":["a' || k || '","b"]}}'),
+              '{"descriptions":{"en":"d2-' || k || '"}}') as j
+            from base)
+          select qid,
+                 json_extract_string(j, '$.labels.en') as label_en,
+                 json_extract_string(j, '$.labels.de') as label_de,
+                 json_extract_string(j, '$.labels.xx') as label_xx,
+                 json_extract_string(j, '$.descriptions.en') as desc_en,
+                 json_extract_string(j, '$.aliases.en[0]') as alias0
+          from m
+        """,
+        "q40_fetch_routing": """
+          with base as (
+            select distinct p_partkey % 500 as num,
+                   (['item','property','lexeme','mediainfo',
+                     'entity_schema','form','sense'])
+                     [(p_partkey % 7) + 1] as kind0
+            from part),
+          ids as (
+            select distinct
+              (case kind0 when 'item' then 'Q' when 'property' then 'P'
+                 when 'mediainfo' then 'M' when 'entity_schema' then 'E'
+                 else 'L' end) || num as qid,
+              case when kind0 in ('form', 'sense') then 'lexeme'
+                   else kind0 end as kind,
+              num
+            from base),
+          routed as (
+            select qid, kind,
+              case when kind = 'mediainfo'
+                   then 'commons.wikimedia.org/w/api.php'
+                   else 'www.wikidata.org/w/api.php' end as endpoint,
+              case when kind = 'entity_schema' then 'query'
+                   else 'wbgetentities' end as action,
+              case when kind = 'entity_schema'
+                   then 'EntitySchema:' || qid else qid end as request_id,
+              case when kind = 'entity_schema' then 'info|revisions'
+                   else 'aliases|claims|datatype|descriptions|info|'
+                        || 'labels|sitelinks/urls' end as props,
+              num
+            from ids)
+          select qid, kind, endpoint, action, request_id, props,
+            case when kind = 'mediainfo'
+                   then (case when num % 3 = 0 then 'cm:' || qid end)
+                 when kind = 'entity_schema'
+                   then (case when num % 5 = 0 then 'es:' || qid end)
+                 else (case when num % 2 = 0 then 'wd:' || qid end)
+            end as label
+          from routed
+        """,
+        "q41_distinct_touch": """
+          select o_custkey as entity_id,
+                 count(distinct o_orderdate) as n_days
+          from orders group by 1
         """,
         "q36_group_membership": """
           with member as (

@@ -1,0 +1,98 @@
+"""Per-kind fetch routing — the endpoint/action/title selection of the
+reference's dictionary fetch, restated as enrichment-source routing.
+
+Reference semantics (/root/reference/src/pheidippides.cpp:36-54):
+
+* **endpoint**: ``commons.wikimedia.org/w/api.php`` for mediainfo (M)
+  entities, ``www.wikidata.org/w/api.php`` for everything else;
+* **action**: ``query`` for entity_schema (E) entities — fetched as
+  wiki *titles* with an ``EntitySchema:`` prefix — ``wbgetentities``
+  (fetched as ids) otherwise;
+* **props**: E requests ask ``prop = info|revisions``; id requests ask
+  the full ``props`` list (include/utils.hpp:90-96);
+* chunks drop ids whose ``identify`` kind disagrees with the chunk's
+  kind (pheidippides.cpp:60-62) — here kinds are computed per row, so
+  the disagreement case cannot arise by construction.
+
+In a Spark engine there is no HTTP client; the routing decides which
+*enrichment source* (dictionary table) a given entity joins against.
+``routed_enrich`` is that join: each kind partition broadcast-joins its
+own source and the union restores one relation.  The reference's
+``flush(any)`` round-robin doc promise (include/arachne.hpp:114-123) is
+deliberately not modeled: its own flush body ignores the promise, and a
+declarative engine drains every queue anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arachne_spark.functions.ids import identify
+
+WIKIDATA_API = "www.wikidata.org/w/api.php"
+COMMONS_API = "commons.wikimedia.org/w/api.php"
+PROPS_IDS = "aliases|claims|datatype|descriptions|info|labels|sitelinks/urls"
+PROPS_TITLES = "info|revisions"
+SCHEMA_PREFIX = "EntitySchema:"
+
+
+def fetch_routing(ids: DataFrame, id_col: str = "qid") -> DataFrame:
+    """(qid, kind, endpoint, action, request_id, props): the call that
+    WOULD be made for each entity, as declarative columns."""
+    kind = identify(F.col(id_col))
+    is_m = kind == "mediainfo"
+    is_e = kind == "entity_schema"
+    return ids.select(
+        F.col(id_col).alias("qid"),
+        kind.alias("kind"),
+        F.when(is_m, F.lit(COMMONS_API))
+        .otherwise(F.lit(WIKIDATA_API))
+        .alias("endpoint"),
+        F.when(is_e, F.lit("query"))
+        .otherwise(F.lit("wbgetentities"))
+        .alias("action"),
+        F.when(is_e, F.concat(F.lit(SCHEMA_PREFIX), F.col(id_col)))
+        .otherwise(F.col(id_col))
+        .alias("request_id"),
+        F.when(is_e, F.lit(PROPS_TITLES))
+        .otherwise(F.lit(PROPS_IDS))
+        .alias("props"),
+    )
+
+
+def routed_enrich(
+    routed: DataFrame,
+    wikidata_labels: DataFrame,
+    commons_labels: DataFrame,
+    schema_labels: DataFrame,
+) -> DataFrame:
+    """Join each routing partition against its own source:
+
+    * Q/P/L → ``wikidata_labels`` (qid, label), by id;
+    * M     → ``commons_labels`` (qid, label), by id;
+    * E     → ``schema_labels`` (title, label), by the prefixed
+      request title — the ``action=query`` path.
+
+    Sources are dictionary-sized → broadcast; the routed fact side
+    never shuffles.  Returns routed columns + ``label`` (NULL when the
+    source has no entry — the enqueue-again case).
+    """
+    wd = (
+        routed.where(~F.col("kind").isin("mediainfo", "entity_schema"))
+        .join(F.broadcast(wikidata_labels), "qid", "left")
+    )
+    cm = (
+        routed.where(F.col("kind") == "mediainfo")
+        .join(F.broadcast(commons_labels), "qid", "left")
+    )
+    es = (
+        routed.where(F.col("kind") == "entity_schema")
+        .join(
+            F.broadcast(schema_labels),
+            routed["request_id"] == schema_labels["title"],
+            "left",
+        )
+        .drop("title")
+    )
+    return wd.unionByName(cm).unionByName(es)

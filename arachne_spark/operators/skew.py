@@ -61,10 +61,11 @@ def salted_distinct_count(
     Measured honesty note: Catalyst already PLANS
     ``countDistinct`` this way (partial-distinct expand + two shuffles)
     — at 20M rows with a 50%-hot key, naive and explicit two-phase
-    both run ~1.3 s on local[8].  The explicit form exists because the
-    pipeline composes it with other per-pair logic between the phases
-    (and because not every aggregate gets Catalyst's treatment:
-    ``collect_set``/``max_by`` per key still funnel).
+    both run ~1.3 s on local[8].  The explicit form exists so callers
+    can compose per-pair logic between the phases (and because not
+    every aggregate gets Catalyst's treatment: ``collect_set``/
+    ``max_by`` per key still funnel).  Contract surface: q41
+    (distinct-touch counts per entity) in __spark_entry__.py.
     """
     return (
         df.select(*keys, distinct_col)
