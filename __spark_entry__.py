@@ -680,6 +680,23 @@ def q41_distinct_touch(spark, sf_dir):
     ).select(F.col("o_custkey").alias("entity_id"), "n_days")
 
 
+def q42_frame_sample(spark, sf_dir):
+    """Multimodal fan-out plumbing: every-4th fixed-stride frame of a
+    binary payload via mapInPandas (one input row -> many output
+    rows), hash-verified byte-for-byte.  The corpus is ASCII so the
+    DuckDB oracle's varchar slicing hashes the identical bytes."""
+    from arachne_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = frame_sample(payload, id_col="doc_id", every_n=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_hash")
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -812,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_merge_patch": q39_merge_patch,
         "q40_fetch_routing": q40_fetch_routing,
         "q41_distinct_touch": q41_distinct_touch,
+        "q42_frame_sample": q42_frame_sample,
     }
 
 
@@ -1397,6 +1415,16 @@ def oracle_sql() -> dict[str, str]:
           select o_custkey as entity_id,
                  count(distinct o_orderdate) as n_days
           from orders group by 1
+        """,
+        "q42_frame_sample": """
+          with f as (
+            select doc_id, text,
+                   unnest(range(0, length(text) // 16)) as i
+            from documents)
+          select doc_id, i as frame_idx,
+                 md5(substring(text, cast(i * 16 + 1 as bigint), 16))
+                   as frame_hash
+          from f where i % 4 = 0
         """,
         "q36_group_membership": """
           with member as (

@@ -3,20 +3,37 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata, following the mediainfo (M-entity) capability of the
 reference (commons endpoint selection, /root/reference/src/
-pheidippides.cpp:36-39).  The decode step is a clearly-marked STUB
-(codec libraries are not in this container); everything Spark-side —
-schema, Arrow batch shape, ``mapInPandas`` iterator signature,
-partition-preserving plumbing — is real and tested.
+pheidippides.cpp:36-39).  The codec steps are clearly-marked STUBs
+(image/audio libraries are not in this container); everything
+Spark-side — schema, Arrow batch shape, ``mapInPandas`` iterator
+signature, fan-out row production, binary output columns, partition
+preservation — is real and tested:
+
+* ``binary_meta``       — per-payload typed metadata (1 row / input);
+* ``frame_sample``      — every-nth fixed-stride frame extraction
+  (N rows / input — the fan-out shape of real video sampling), hash-
+  checked against a byte-level DuckDB oracle (q42);
+* ``resize_meta``       — decode → target-dimension computation with
+  aspect preserved (the resize plan; thumbnail bytes stubbed as a
+  deterministic prefix);
+* ``extract_features``  — payload → float feature vector
+  (deterministic hash-seeded stub) whose output column shape
+  (array<float>) feeds the ANN operators directly (operators/ann.py)
+  — binary in, searchable embedding out, end-to-end.
 """
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
+    FloatType,
     IntegerType,
     LongType,
     StructField,
@@ -75,3 +92,145 @@ def binary_meta(
             )
 
     return df.mapInPandas(decode_batches, schema)
+
+
+FRAME_STRIDE = 16
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    every_n: int = 4,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """(id, frame_idx, frame_bytes): every ``every_n``-th fixed-stride
+    chunk of the payload — the fan-out shape of real video frame
+    sampling (one input row → many output rows), with the codec
+    replaced by deterministic byte slicing.  A real deployment swaps
+    the slicer for ffmpeg keyframe extraction; schema, batch iterator,
+    and row fan-out are identical."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("frame_idx", LongType()),
+            StructField("frame_bytes", df.schema[payload_col].dataType),
+        ]
+    )
+
+    def sample_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // stride
+                for f in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(f)
+                    frames.append(
+                        bytes(payload[f * stride:(f + 1) * stride])
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return df.mapInPandas(sample_batches, schema)
+
+
+def resize_meta(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_side: int = 256,
+) -> DataFrame:
+    """(id, width, height, out_width, out_height, thumb): decode the
+    payload's dimensions (STUB: derived deterministically from the
+    byte length), compute aspect-preserving resize targets bounded by
+    ``max_side``, and emit a thumbnail (STUB: deterministic payload
+    prefix).  Real deployment: PIL decode + thumbnail; the dimension
+    arithmetic, schema, and binary output column are the real
+    plumbing."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+            StructField("thumb", df.schema[payload_col].dataType),
+        ]
+    )
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "width", "height", "out_width", "out_height",
+                "thumb",
+            )}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = payload or b""
+                # STUB decode: pretend dimensions from the byte length
+                w = 64 + (len(p) % 1920)
+                h = 64 + ((len(p) * 7) % 1080)
+                scale = min(1.0, max_side / max(w, h))
+                rows[id_col].append(i)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(max(1, int(w * scale)))
+                rows["out_height"].append(max(1, int(h * scale)))
+                rows["thumb"].append(bytes(p[:32]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(resize_batches, schema)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, embedding array<float>): payload → feature vector.  STUB
+    model: md5-seeded deterministic floats in [-1, 1).  The output
+    column shape is exactly the `embeddings.embedding` schema, so the
+    result feeds ann.with_buckets / ann_topk unchanged — binary column
+    in, similarity-searchable vector out."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def embed(payload: bytes) -> list[float]:
+        out: list[float] = []
+        seed = payload or b""
+        counter = 0
+        while len(out) < dim:
+            h = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack(">I", h[off:off + 4])
+                out.append(u / 2**31 - 1.0)
+            counter += 1
+        return out[:dim]
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": pdf[payload_col].map(embed),
+                }
+            )
+
+    return df.mapInPandas(feature_batches, schema)
