@@ -55,8 +55,13 @@ def transitive_closure(
                 )
                 .select("src", "dst")
             )
+            # lazy checkpoint: the convergence count() is the action
+            # that materializes it — one job per round instead of two
+            # (eager localCheckpoint runs its own materialization job)
             grown = (
-                result.unionByName(stepped).distinct().localCheckpoint()
+                result.unionByName(stepped)
+                .distinct()
+                .localCheckpoint(eager=False)
             )
             m = grown.count()
             if m == n:
