@@ -36,6 +36,47 @@ def test_rfc7386_vectors():
         assert merge_patch(target, patch) == expected, (target, patch)
 
 
+def test_rfc7386_differential_vs_duckdb():
+    """Property test: the pure-Python merge must agree with DuckDB's
+    independent json_merge_patch implementation on random JSON trees
+    (ints, strings, nulls, lists, nested objects)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.integers(-99, 99),
+        st.text(alphabet="abxyz", max_size=4),
+        st.none(),
+        st.booleans(),
+    )
+    json_vals = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=3),
+            st.dictionaries(
+                st.sampled_from(["k1", "k2", "k3", "k4"]), inner,
+                max_size=3,
+            ),
+        ),
+        max_leaves=8,
+    )
+    con = duckdb.connect()
+
+    @settings(max_examples=120, deadline=None)
+    @given(target=json_vals, patch=json_vals)
+    def check(target, patch):
+        got = merge_patch(target, patch)
+        want_s = con.execute(
+            "select json_merge_patch(?::json, ?::json)",
+            [json.dumps(target), json.dumps(patch)],
+        ).fetchone()[0]
+        want = None if want_s is None else json.loads(want_s)
+        assert got == want, (target, patch, got, want)
+
+    check()
+
+
 def test_merge_payloads_fold_order_and_depth(spark):
     """Three-level-deep merge folded in chunk_id order: later scalar
     leaves win, nulls delete, sibling branches survive."""
