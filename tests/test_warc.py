@@ -1,0 +1,91 @@
+"""WARC connector tests: roundtrip fidelity (plain, member-gzip,
+whole-file gzip), malformed-record tolerance, and end-to-end pipeline
+ingestion of a synthetic archive."""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from arachne_spark.sources.warc import read_warc, write_warc_bytes
+
+RECORDS = [
+    {
+        "url": f"https://example.org/w/{i}",
+        "warc_ts": datetime(2024, 1, 1, 0, 0, i),
+        "html": (
+            f"<html><body><p>page {i} talks about a human in the "
+            f"united states</p></body></html>"
+        ).encode(),
+    }
+    for i in range(20)
+]
+
+
+def _roundtrip(spark, tmp_path, blob, name):
+    p = tmp_path / name
+    p.write_bytes(blob)
+    got = {
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in read_warc(spark, str(p)).collect()
+    }
+    want = {(r["url"], r["warc_ts"], r["html"]) for r in RECORDS}
+    assert got == want
+
+
+def test_warc_roundtrip_plain(spark, tmp_path):
+    _roundtrip(spark, tmp_path, write_warc_bytes(RECORDS), "a.warc")
+
+
+def test_warc_roundtrip_member_gzip(spark, tmp_path):
+    """The Common-Crawl layout: one gzip member per record."""
+    _roundtrip(
+        spark, tmp_path,
+        write_warc_bytes(RECORDS, member_gzip=True),
+        "a.warc.gz",
+    )
+
+
+def test_warc_roundtrip_wholefile_gzip(spark, tmp_path):
+    _roundtrip(
+        spark, tmp_path,
+        gzip.compress(write_warc_bytes(RECORDS), mtime=0),
+        "b.warc.gz",
+    )
+
+
+def test_warc_malformed_records_dropped(spark, tmp_path):
+    """A corrupt record in the middle must not kill the read or eat
+    its neighbors."""
+    good = write_warc_bytes(RECORDS[:3])
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\ngarbage-without-blank-line"
+    more = write_warc_bytes(RECORDS[3:6])
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(good + bad + more)
+    rows = read_warc(spark, str(p)).collect()
+    assert {r["url"] for r in rows} == {
+        r["url"] for r in RECORDS[:6]
+    }
+
+
+def test_warc_feeds_pipeline_operators(spark, tmp_path):
+    """read_warc output is the canonical pages relation: the extractor
+    and mention detector consume it unchanged."""
+    from arachne_spark.operators.extract import latest_snapshot, with_text
+    from arachne_spark.operators.mentions import detect_mentions
+    from arachne_spark.sources.dictionary import alias_df
+
+    p = tmp_path / "feed.warc.gz"
+    p.write_bytes(write_warc_bytes(RECORDS, member_gzip=True))
+    pages = read_warc(spark, str(p))
+    clean = with_text(latest_snapshot(pages))
+    assert clean.where(F.col("text").isNull()).count() == 0
+    m = detect_mentions(clean, alias_df(spark))
+    got = {(r["url"], r["qid"]) for r in m.collect()}
+    # every page mentions "human" (Q5) and "united states" (Q30)
+    assert all(
+        (r["url"], "Q5") in got and (r["url"], "Q30") in got
+        for r in RECORDS
+    )
