@@ -80,8 +80,10 @@ KG_WARM_PAGES = 60_000
 KG_PARTITIONS = 64
 KG_CORES_N = 2
 KG_CORES_4N = 8
-# skip the second measurement pair when the first is this clean
-KG_EFF_ACCEPT = 0.85
+# skip the second measurement pair when the first clears the 0.8 gate
+# with margin (a retry would roughly double the kg wall for at most a
+# few hundredths of efficiency)
+KG_EFF_ACCEPT = 0.84
 # allow the retry pair while the kg phase has consumed less than this
 KG_RETRY_BUDGET_SEC = 1100
 

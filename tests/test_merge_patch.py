@@ -39,7 +39,17 @@ def test_rfc7386_vectors():
 def test_rfc7386_differential_vs_duckdb():
     """Property test: the pure-Python merge must agree with DuckDB's
     independent json_merge_patch implementation on random JSON trees
-    (ints, strings, nulls, lists, nested objects)."""
+    (ints, strings, nulls, lists, nested objects).
+
+    Scope: targets are constrained to OBJECTS.  For a non-object
+    target RFC 7386 replaces it with {} and then applies the patch's
+    null-deletions ([1,2] + {"a":"b","c":null} = {"a":"b"}, appendix
+    vector), but DuckDB returns the object patch verbatim
+    ({"a":"b","c":null}) — a measured DuckDB deviation from the RFC.
+    This repo's implementation follows the RFC (the appendix vectors
+    in test_rfc7386_vectors cover the non-object-target cases); real
+    entity payloads are always objects, so the q39 oracle chain never
+    hits the deviation."""
     import duckdb
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -61,10 +71,13 @@ def test_rfc7386_differential_vs_duckdb():
         ),
         max_leaves=8,
     )
+    json_objects = st.dictionaries(
+        st.sampled_from(["k1", "k2", "k3", "k4"]), json_vals, max_size=3
+    )
     con = duckdb.connect()
 
     @settings(max_examples=120, deadline=None)
-    @given(target=json_vals, patch=json_vals)
+    @given(target=json_objects, patch=json_vals)
     def check(target, patch):
         got = merge_patch(target, patch)
         want_s = con.execute(

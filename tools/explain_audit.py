@@ -138,6 +138,20 @@ def run_audit(spark, sf_dir: str = SF, verbose: bool = False) -> list[str]:
         expect_absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
 
+    # per-kind routed enrichment: every source joins as a broadcast
+    # (the routed fact side must not shuffle)
+    audit(
+        "q40 routed broadcasts", em.q40_fetch_routing(spark, sf_dir),
+        expect_contains=("BroadcastHashJoin",),
+        expect_absent=("SortMergeJoin",),
+    )
+    # multimodal fan-out runs through the Arrow MapInPandas boundary,
+    # never row-at-a-time Python
+    audit(
+        "q42 arrow fan-out", em.q42_frame_sample(spark, sf_dir),
+        expect_contains=("MapInPandas",),
+    )
+
     return problems
 
 
