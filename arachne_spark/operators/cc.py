@@ -98,18 +98,22 @@ def connected_components(
         )
     e = e.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
+    # convergence: edge multiset unchanged (order-insensitive hash).
+    # decimal accumulate: a raw long sum of xxhash64 overflows ANSI.
+    # One sig job per round — the previous round's sig is remembered,
+    # not recomputed (each sig is a full pass over the frontier).
+    sig = lambda d: d.select(  # noqa: E731
+        F.count("*").alias("c"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    prev_sig = sig(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        # convergence: edge multiset unchanged (order-insensitive hash)
-        # decimal accumulate: a raw long sum of xxhash64 overflows ANSI
-        sig = lambda d: d.select(  # noqa: E731
-            F.count("*").alias("c"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        if sig(e2) == sig(e):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur_sig = sig(e2)  # materializes the lazy checkpoint
+        if cur_sig == prev_sig:
             e = e2
             break
-        e = e2
+        e, prev_sig = e2, cur_sig
 
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component")).distinct().select(
