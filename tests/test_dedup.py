@@ -1,0 +1,129 @@
+"""Medium-scale correctness of the end-to-end MinHash doc dedup: 20k
+synthetic docs with constructed clusters (exact duplicates, one
+near-duplicate member per cluster, uniques) checked against an
+independent pure-Python twin of the whole chain — shingle, df-cap,
+md5 minhash, banding, bucket cap, Jaccard verify, union-find — so the
+expected answer carries the SAME LSH recall semantics (a near-dup
+member whose perturbation happens to rewrite both band hashes is
+legitimately unlinked, and both sides must agree on exactly when)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from arachne_spark.operators.dedup import minhash_doc_dedup
+
+N_DOCS = 20_000
+GROUP = 4  # ids [4k, 4k+3] form one intended cluster when k % 3 == 0
+
+
+def _rows():
+    base = (
+        "group g{g} writes about topic t{g} with detail d{g} and "
+        "context c{g} plus outcome o{g} then summary s{g}"
+    )
+    uniq = (
+        "solo u{i} text about subject x{i} with detail y{i} and "
+        "context z{i} plus outcome w{i} then summary v{i}"
+    )
+    rows = []
+    for i in range(N_DOCS):
+        g = i // GROUP
+        if g % 3 == 0:
+            t = base.format(g=g)
+            if i % GROUP == 3:
+                t += " extra"  # near-dup member (J = 15/16)
+        else:
+            t = uniq.format(i=i)
+        rows.append((i, t))
+    return rows
+
+
+def _py_dedup(rows, threshold=0.5, max_df=50, bucket_cap=20):
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    sh = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        ss = {
+            " ".join(toks[j:j + 3]) for j in range(len(toks) - 2)
+        }
+        if ss:
+            sh[i] = ss
+    df = Counter(s for ss in sh.values() for s in ss)
+    sh = {
+        i: {s for s in ss if df[s] <= max_df} for i, ss in sh.items()
+    }
+    sh = {i: ss for i, ss in sh.items() if ss}
+
+    sig = {
+        i: [min(md5(f"{p}:{s}") for s in ss) for p in range(8)]
+        for i, ss in sh.items()
+    }
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, m in sig.items():
+        for b in range(2):
+            h = md5("".join(m[b * 4:(b + 1) * 4]))
+            buckets.setdefault((b, h), []).append(i)
+    pairs = set()
+    for docs in buckets.values():
+        if len(docs) > bucket_cap:
+            continue
+        docs = sorted(docs)
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                pairs.add((docs[x], docs[y]))
+
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        inter = len(sh[a] & sh[b])
+        j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 4)
+        if j >= threshold:
+            union(a, b)
+
+    return {i: find(i) for i, _ in rows}
+
+
+def test_minhash_dedup_20k_vs_python_twin(spark):
+    rows = _rows()
+    want = _py_dedup(rows)
+
+    # sanity on the construction itself: most clustered groups fully
+    # merge; every unique doc is its own rep
+    n_groups = len(
+        {i // GROUP for i in range(N_DOCS) if (i // GROUP) % 3 == 0}
+    )
+    fully = sum(
+        1
+        for g in range(N_DOCS // GROUP)
+        if g % 3 == 0
+        and all(want[g * GROUP + k] == g * GROUP for k in range(GROUP))
+    )
+    assert fully >= 0.8 * n_groups  # LSH recall on the near-dup member
+    assert all(
+        want[i] == i for i in range(N_DOCS) if (i // GROUP) % 3 != 0
+    )
+
+    out = minhash_doc_dedup(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        threshold=0.5, max_shingle_df=50, max_band_bucket=20,
+    )
+    got = {r["doc_id"]: (r["rep_id"], r["keep"]) for r in out.collect()}
+    assert len(got) == N_DOCS
+    bad = [
+        i for i in range(N_DOCS)
+        if got[i] != (want[i], want[i] == i)
+    ]
+    assert not bad, (len(bad), bad[:5])
