@@ -92,6 +92,165 @@ def streaming_mention_counts(
     )
 
 
+def run_incremental_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    max_shingle_df: int = 50,
+    max_band_bucket: int = 20,
+    available_now: bool = True,
+):
+    """Streaming near-duplicate page dedup with stable representatives.
+
+    Per micro-batch:
+
+    1. cluster the batch's pages intra-batch with the full batch
+       operator (``minhash_doc_dedup``);
+    2. probe each page's MinHash bands against the *committed* band
+       index (all pages seen in earlier batches), verify candidates by
+       exact Jaccard over stored shingle sets, and adopt the minimum
+       committed representative for the whole intra-batch cluster;
+    3. emit (url, rep_url, keep) — ``keep`` only for pages that start
+       a brand-new cluster — and append the batch's bands/sets/reps to
+       the committed state.
+
+    Semantics: **first-seen representative stability** — a committed
+    page's rep never changes.  If one new page bridges two previously
+    separate committed clusters, the new page adopts the smaller rep
+    and the committed clusters stay distinct; the batch re-stitcher
+    (``minhash_doc_dedup`` over the full corpus — the penelope role,
+    /root/reference/include/penelope.hpp:29) reconciles bridges on its
+    nightly pass.  This is the standard split between online dedup and
+    offline re-clustering.
+
+    State layout: one parquet relation per batch under ``out_dir`` —
+    ``(url, rep_url, keep, band_idx, band_hash, shset)``, one row per
+    band (shset duplicated per row; an Iceberg deployment normalizes
+    this into bands + sets tables).  Writes use the same per-batch
+    dynamic-partition-overwrite idempotence as the triples stream.
+    """
+    import os
+
+    from arachne_spark.operators.dedup import (
+        cap_shingle_df,
+        doc_shingles,
+        minhash_bands,
+        minhash_doc_dedup,
+    )
+    from arachne_spark.operators.extract import latest_snapshot, with_text
+    from arachne_spark.operators.lsh_link import jaccard_expr
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        docs = with_text(latest_snapshot(batch_df)).select("url", "text")
+
+        sh = cap_shingle_df(
+            doc_shingles(docs, id_col="url"), max_shingle_df
+        )
+        sets = sh.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("s")).alias("shset")
+        )
+        bands = minhash_bands(sh)
+        intra = minhash_doc_dedup(
+            docs, id_col="url", text_col="text", threshold=threshold,
+            max_shingle_df=max_shingle_df,
+            max_band_bucket=max_band_bucket,
+        ).select(
+            F.col("doc_id").alias("url"),
+            F.col("rep_id").alias("intra_rep"),
+        )
+
+        have_state = os.path.isdir(out_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(out_dir)
+        )
+        if have_state:
+            comm = (
+                sp.read.parquet(out_dir)
+                .where(F.col("batch_id") != batch_id)
+            )
+            cand = (
+                bands.join(
+                    comm.select(
+                        "band_idx", "band_hash",
+                        F.col("rep_url").alias("c_rep"),
+                        F.col("shset").alias("c_shset"),
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .join(sets, "doc_id")
+                .withColumn(
+                    "j", F.round(jaccard_expr("shset", "c_shset"), 4)
+                )
+                .where(F.col("j") >= threshold)
+                .groupBy(F.col("doc_id").alias("url"))
+                .agg(F.min("c_rep").alias("comm_rep"))
+            )
+            # the whole intra cluster adopts its minimum committed rep
+            cluster_rep = (
+                intra.join(cand, "url", "left")
+                .groupBy(F.col("intra_rep").alias("cluster"))
+                .agg(F.min("comm_rep").alias("cluster_comm_rep"))
+            )
+            resolved = intra.join(
+                cluster_rep,
+                intra["intra_rep"] == cluster_rep["cluster"],
+            ).select(
+                "url",
+                F.coalesce("cluster_comm_rep", "intra_rep").alias(
+                    "rep_url"
+                ),
+            )
+        else:
+            resolved = intra.select(
+                "url", F.col("intra_rep").alias("rep_url")
+            )
+
+        out = resolved.withColumn(
+            "keep", F.col("url") == F.col("rep_url")
+        )
+        state_rows = (
+            out.join(
+                sets.select(F.col("doc_id").alias("url"), "shset"),
+                "url",
+                "left",
+            )
+            .join(
+                bands.select(
+                    F.col("doc_id").alias("url"), "band_idx",
+                    "band_hash",
+                ),
+                "url",
+                "left",
+            )
+        )
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        sp.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                state_rows.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            sp.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    writer = (
+        stream_pages(spark, src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_incremental_pipeline(
     spark: SparkSession,
     src_dir: str,

@@ -197,6 +197,56 @@ def test_foreachbatch_recrawl_no_duplicates(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_incremental_dedup_stable_reps(spark, tmp_path):
+    """Streaming near-dup dedup: pages arriving in a later micro-batch
+    that duplicate committed pages adopt the committed representative
+    (keep=False); committed rows never change (first-seen stability)."""
+    from arachne_spark.streaming.incremental import run_incremental_dedup
+
+    src = str(tmp_path / "pages_dd")
+    out = str(tmp_path / "dedup_state")
+    ckpt = str(tmp_path / "ckpt_dd")
+    pages = pages_df(spark, 60, partitions=4)
+    first = pages.groupBy("url").agg(
+        F.min_by(
+            F.struct("warc_ts", "html", "text", "lang"), "warc_ts"
+        ).alias("s")
+    ).select("url", "s.warc_ts", "s.html", "s.text", "s.lang")
+    first.write.parquet(src)
+
+    q = run_incremental_dedup(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    state1 = {
+        r["url"]: (r["rep_url"], r["keep"])
+        for r in spark.read.parquet(out)
+        .select("url", "rep_url", "keep").dropDuplicates().collect()
+    }
+    assert set(state1) == {r["url"] for r in first.select("url").collect()}
+
+    # trigger 2: exact mirrors of every page under new urls
+    mirrors = first.withColumn(
+        "url", F.concat(F.col("url"), F.lit("-mirror"))
+    ).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    mirrors.write.mode("append").parquet(src)
+    q2 = run_incremental_dedup(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+
+    state2 = {
+        r["url"]: (r["rep_url"], r["keep"])
+        for r in spark.read.parquet(out)
+        .select("url", "rep_url", "keep").dropDuplicates().collect()
+    }
+    # committed rows unchanged
+    for u, v in state1.items():
+        assert state2[u] == v
+    # every mirror adopts its original's committed rep and is dropped
+    for u, (rep, _) in state1.items():
+        assert state2[u + "-mirror"] == (rep, False)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stateful_touch_promotion(spark, tmp_path):
     """Cross-batch stateful promotion: each QID whose cumulative
     mention count reaches the threshold is emitted exactly once, and
