@@ -697,6 +697,34 @@ def q42_frame_sample(spark, sf_dir):
     )
 
 
+def q43_claims_flatten(spark, sf_dir):
+    """Claims JSON -> triples flattening: typed from_json parse of the
+    entity payload's claims object (the wbgetentities response shape,
+    src/pheidippides.cpp:69-79) followed by a two-level explode into
+    (subj, pred, obj) — the core Wikidata-ingest transformation."""
+    nation = _t(spark, sf_dir, "nation")
+    claims = F.format_string(
+        '{"P31":["Q%s","Q%s"],"P279":["Q%s"]}',
+        F.col("n_nationkey").cast("string"),
+        (F.col("n_nationkey") + 100).cast("string"),
+        (F.col("n_regionkey") + 1000).cast("string"),
+    )
+    e = nation.select(
+        F.concat(
+            F.lit("Q"), (F.col("n_nationkey") + 10000).cast("string")
+        ).alias("subj"),
+        claims.alias("claims"),
+    )
+    parsed = e.select(
+        "subj",
+        F.from_json("claims", "map<string, array<string>>").alias("m"),
+    )
+    return (
+        parsed.select("subj", F.explode("m").alias("pred", "objs"))
+        .select("subj", "pred", F.explode("objs").alias("obj"))
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -830,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_fetch_routing": q40_fetch_routing,
         "q41_distinct_touch": q41_distinct_touch,
         "q42_frame_sample": q42_frame_sample,
+        "q43_claims_flatten": q43_claims_flatten,
     }
 
 
@@ -1425,6 +1454,23 @@ def oracle_sql() -> dict[str, str]:
                  md5(substring(text, cast(i * 16 + 1 as bigint), 16))
                    as frame_hash
           from f where i % 4 = 0
+        """,
+        "q43_claims_flatten": """
+          with e as (
+            select 'Q' || (n_nationkey + 10000) as subj,
+                   '{"P31":["Q' || n_nationkey || '","Q'
+                     || (n_nationkey + 100) || '"],"P279":["Q'
+                     || (n_regionkey + 1000) || '"]}' as j
+            from nation)
+          select subj, 'P31' as pred,
+                 unnest(cast(json_transform(json_extract(j, '$.P31'),
+                   '["VARCHAR"]') as varchar[])) as obj
+          from e
+          union all
+          select subj, 'P279',
+                 unnest(cast(json_transform(json_extract(j, '$.P279'),
+                   '["VARCHAR"]') as varchar[]))
+          from e
         """,
         "q36_group_membership": """
           with member as (
