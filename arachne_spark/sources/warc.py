@@ -85,20 +85,43 @@ def _decompress(data: bytes) -> bytes:
 
 
 def _parse_records(data: bytes) -> Iterator[dict]:
-    """Yield {url, warc_ts, html} per well-formed response record."""
-    for chunk in data.split(WARC_VERSION + b"\r\n"):
-        if not chunk.strip():
-            continue
-        head_end = chunk.find(b"\r\n\r\n")
+    """Yield {url, warc_ts, html} per well-formed response record.
+
+    Offset-based scan driven by each record's Content-Length — NOT a
+    split on the version marker, because a page body may itself
+    contain the bytes ``WARC/1.0`` (a page about WARC, a mirrored
+    archive) and a split-based reader would shear such records.  A
+    record with a bad/missing length falls back to scanning forward
+    from its own header, so one corrupt record costs at most itself.
+    """
+    marker = WARC_VERSION + b"\r\n"
+    pos = 0
+    n = len(data)
+    while pos < n:
+        idx = data.find(marker, pos)
+        if idx < 0:
+            break
+        head_end = data.find(b"\r\n\r\n", idx)
         if head_end < 0:
-            continue
+            break
         headers: dict[str, str] = {}
-        for line in chunk[:head_end].split(b"\r\n"):
+        for line in data[idx + len(marker):head_end].split(b"\r\n"):
             k, sep, v = line.partition(b":")
             if sep:
                 headers[k.strip().decode("ascii", "replace").lower()] = (
                     v.strip().decode("ascii", "replace")
                 )
+        body_start = head_end + 4
+        try:
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            pos = body_start  # malformed: scan forward, drop record
+            continue
+        body = data[body_start:body_start + length]
+        pos = body_start + length  # skip the body, whatever it contains
+
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
@@ -110,13 +133,6 @@ def _parse_records(data: bytes) -> Iterator[dict]:
             ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
         except ValueError:
             continue
-        try:
-            length = int(headers.get("content-length", "-1"))
-        except ValueError:
-            continue
-        body = chunk[head_end + 4:]
-        if length >= 0:
-            body = body[:length]
         # HTTP response payload: strip the status line + headers
         http_end = body.find(b"\r\n\r\n")
         html = body[http_end + 4:] if http_end >= 0 else body

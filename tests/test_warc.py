@@ -56,6 +56,30 @@ def test_warc_roundtrip_wholefile_gzip(spark, tmp_path):
     )
 
 
+def test_warc_body_containing_warc_marker(spark, tmp_path):
+    """A page whose body contains the literal WARC version marker (a
+    page ABOUT warc files, a mirrored archive) must roundtrip intact —
+    the reader is length-driven, not split-driven."""
+    tricky = [
+        {
+            "url": "https://example.org/about-warc",
+            "warc_ts": datetime(2024, 2, 1, 12, 0, 0),
+            "html": (
+                b"<html><body><pre>WARC/1.0\r\n"
+                b"WARC-Type: response\r\n\r\n</pre>"
+                b"a page explaining the warc format</body></html>"
+            ),
+        },
+        *RECORDS[:2],
+    ]
+    p = tmp_path / "tricky.warc"
+    p.write_bytes(write_warc_bytes(tricky))
+    got = {
+        (r["url"], bytes(r["html"])) for r in read_warc(spark, str(p)).collect()
+    }
+    assert got == {(r["url"], r["html"]) for r in tricky}
+
+
 def test_warc_malformed_records_dropped(spark, tmp_path):
     """A corrupt record in the middle must not kill the read or eat
     its neighbors."""
