@@ -52,7 +52,14 @@ def doc_shingles(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """(doc_id, s): distinct token k-gram shingles per document."""
+    """(doc_id, s): distinct token k-gram shingles per document.
+
+    Documents with fewer than ``k`` tokens yield zero shingles (matching
+    the DuckDB/python oracles).  The ``if(size >= k, ...)`` guard is
+    load-bearing: ``sequence(1, n)`` is DESCENDING for n < 1 (e.g.
+    ``sequence(1, 0) = [1, 0]``), which would index ``toks[]`` out of
+    bounds and throw under ANSI mode.
+    """
     parts = ", ".join(f"toks[i-1+{j}]" for j in range(k))
     return (
         docs.select(
@@ -63,7 +70,9 @@ def doc_shingles(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f"transform("
+                    f" if(size(toks) >= {k},"
+                    f"    sequence(1, size(toks) - {k - 1}), array()),"
                     f" i -> concat_ws(' ', {parts}))"
                 )
             ).alias("s"),
@@ -72,10 +81,16 @@ def doc_shingles(
     )
 
 
-def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+def cap_shingle_df(sh: DataFrame, max_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds max_df (hot
     boilerplate shingles are the skew-killer of every posting-list
-    self-join: pair fanout is quadratic in df)."""
+    self-join: pair fanout is quadratic in df).  ``None`` disables the
+    cap — required where signatures must be a pure function of document
+    content (the streaming dedup path: a batch-local df would make the
+    same document hash differently depending on what it shares a
+    micro-batch with)."""
+    if max_df is None:
+        return sh
     df = sh.groupBy("s").agg(F.count("*").alias("_df"))
     return (
         sh.join(df.where(F.col("_df") <= max_df), "s")
@@ -144,7 +159,7 @@ def minhash_doc_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_shingle_df: int = 50,
+    max_shingle_df: int | None = 50,
     max_band_bucket: int = 20,
 ) -> DataFrame:
     """(doc_id, rep_id, keep): every input document mapped to the

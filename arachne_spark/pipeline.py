@@ -200,32 +200,41 @@ def run_pipeline(
         )
         # staleness gate (enqueue, src/arachne.cpp:201-222): skip
         # entities fetched < staleness_hours before logical now.
+        # No broadcast hint: fetch_state grows with the entity
+        # universe — AQE picks broadcast while it's small and falls
+        # back to a shuffled anti-join once it isn't.
         if wh.is_committed(FETCH_STATE):
             fresh = wh.read(FETCH_STATE).where(
                 F.col("last_fetched_ts")
-                >= F.lit(logical_now)
+                >= F.lit(logical_now).cast("timestamp")
                 - F.expr(f"INTERVAL {cfg.staleness_hours} HOURS")
             )
-            seen = seen.join(F.broadcast(fresh), "qid", "left_anti")
+            seen = seen.join(fresh, "qid", "left_anti")
         return assign_batches(seen, cfg)
 
     fetch_queue = rec.run_stage("fetch_queue", build_queue, force=cfg.force)
 
     def enrich() -> DataFrame:
-        # the fetch_json dictionary lookup (src/pheidippides.cpp:29-82)
-        # as a broadcast hash join; kind filter inside chunks
-        # (:59-61) holds by construction (qid grammar ↔ kind column).
+        # the fetch_json dictionary lookup (src/pheidippides.cpp:29-82).
+        # No broadcast hint: a real Wikidata labels table is ~10^8 rows
+        # — far past the 8 GB broadcast ceiling.  AQE broadcasts the
+        # filtered side while it fits and shuffles otherwise; the kind
+        # filter inside chunks (:59-61) holds by construction (qid
+        # grammar ↔ kind column).
         return fetch_queue.join(
-            F.broadcast(labels.where(F.col("lang") == "en")),
+            labels.where(F.col("lang") == "en"),
             ["qid", "kind"],
             "left",
         ).select("qid", "kind", "batch_id", "label")
 
     entities = rec.run_stage("entities", enrich, force=cfg.force)
 
-    # update fetch_state (ariadne.store analog, src/arachne.cpp:103)
+    # update fetch_state (ariadne.store analog, src/arachne.cpp:103).
+    # The cast keeps the column a real timestamp even when pages_clean
+    # is empty (logical_now is None → F.lit alone would be NullType,
+    # which parquet cannot write).
     new_state = fetch_queue.select(
-        "qid", F.lit(logical_now).alias("last_fetched_ts")
+        "qid", F.lit(logical_now).cast("timestamp").alias("last_fetched_ts")
     )
     if wh.is_committed(FETCH_STATE):
         prev = wh.read(FETCH_STATE)
@@ -269,7 +278,9 @@ def run_pipeline(
     )
 
     def canonicalize() -> DataFrame:
-        m = F.broadcast(canonical_map)
+        # No broadcast hint on the canonical map: sameAs clusters grow
+        # with the corpus; AQE chooses broadcast vs shuffle at runtime.
+        m = canonical_map
         t = triples_raw.where(F.col("pred") != "sameAs")
         t = (
             t.join(

@@ -37,6 +37,31 @@ PAGE_SCHEMA = (
 )
 
 
+def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read ``path`` or return None if it does not exist / holds no
+    readable parquet yet.  This is the FS-agnostic committed-state
+    probe: driver-local ``os.path`` checks silently return False on
+    HDFS/S3 (the advertised deployment), which would skip the
+    cross-batch anti-join with no error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution now, not at first action
+        return df
+    except AnalysisException:
+        return None
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved from the session's
+    Hadoop conf — works on local, HDFS, and S3A alike."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def stream_pages(spark: SparkSession, src_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(PAGE_SCHEMA)
@@ -98,9 +123,12 @@ def run_incremental_dedup(
     out_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.9,
-    max_shingle_df: int = 50,
+    max_shingle_df: int | None = None,
     max_band_bucket: int = 20,
     available_now: bool = True,
+    state_dir: str | None = None,
+    compact_every: int = 4,
+    n_state_files: int = 8,
 ):
     """Streaming near-duplicate page dedup with stable representatives.
 
@@ -112,9 +140,9 @@ def run_incremental_dedup(
        index (all pages seen in earlier batches), verify candidates by
        exact Jaccard over stored shingle sets, and adopt the minimum
        committed representative for the whole intra-batch cluster;
-    3. emit (url, rep_url, keep) — ``keep`` only for pages that start
-       a brand-new cluster — and append the batch's bands/sets/reps to
-       the committed state.
+    3. emit (url, rep_url, keep, batch_id) to ``out_dir`` — ``keep``
+       only for pages that start a brand-new cluster — and append the
+       batch's bands/sets/reps to the committed state.
 
     Semantics: **first-seen representative stability** — a committed
     page's rep never changes.  If one new page bridges two previously
@@ -125,14 +153,37 @@ def run_incremental_dedup(
     nightly pass.  This is the standard split between online dedup and
     offline re-clustering.
 
-    State layout: one parquet relation per batch under ``out_dir`` —
-    ``(url, rep_url, keep, band_idx, band_hash, shset)``, one row per
-    band (shset duplicated per row; an Iceberg deployment normalizes
-    this into bands + sets tables).  Writes use the same per-batch
-    dynamic-partition-overwrite idempotence as the triples stream.
-    """
-    import os
+    ``max_shingle_df`` defaults to **None** (no df-cap) here, unlike
+    the batch operator: the cap is computed over whatever shares the
+    micro-batch, so a capped signature is NOT a pure function of the
+    document — the same page would hash differently depending on batch
+    composition, and a mirror arriving in a boilerplate-heavy batch
+    would fail to collide with its committed original.  Quadratic
+    blow-up through hot bands is still bounded by ``max_band_bucket``,
+    and precision by the exact-Jaccard verify; the nightly batch
+    re-stitcher applies the globally-consistent df-cap.
 
+    State layout (``state_dir``, default ``out_dir + "_state"``): a
+    **compacted two-tier band index** so per-batch probe cost does NOT
+    grow with the number of batches streamed:
+
+    * ``state_dir/base`` — the compacted index
+      ``(url, rep_url, band_idx, band_hash, shset, batch_id)``,
+      rewritten as ``n_state_files`` files at every compaction;
+    * ``state_dir/delta`` — per-batch ``batch_id=<n>`` appendixes of
+      the same schema, written with dynamic partition overwrite
+      (idempotent under foreachBatch's at-least-once retries).
+
+    Every ``compact_every`` delta partitions, base ∪ deltas is
+    rewritten into a fresh base (full-row dropDuplicates absorbs
+    retry-duplicated rows) and the delta dir is cleared, so each batch
+    reads at most ``n_state_files`` base files plus ``compact_every``
+    delta partitions — bounded file count regardless of stream
+    history.  (An Iceberg deployment replaces the swap with a MERGE /
+    rewrite_data_files maintenance action; all file ops here go
+    through the Hadoop FileSystem API so the layout works on HDFS/S3
+    exactly as on local disk.)
+    """
     from arachne_spark.operators.dedup import (
         cap_shingle_df,
         doc_shingles,
@@ -141,6 +192,64 @@ def run_incremental_dedup(
     )
     from arachne_spark.operators.extract import latest_snapshot, with_text
     from arachne_spark.operators.lsh_link import jaccard_expr
+
+    sdir = state_dir if state_dir is not None else out_dir + "_state"
+    base_dir = sdir + "/base"
+    delta_dir = sdir + "/delta"
+
+    def read_committed(sp: SparkSession, batch_id: int) -> DataFrame | None:
+        parts = [
+            d for d in (
+                _try_read_parquet(sp, base_dir),
+                _try_read_parquet(sp, delta_dir),
+            )
+            if d is not None
+        ]
+        if not parts:
+            return None
+        comm = parts[0]
+        for p in parts[1:]:
+            comm = comm.unionByName(p)
+        # exclude THIS batch: on an at-least-once retry its partial
+        # rows exist and must not pollute the probe
+        return comm.where(F.col("batch_id") != batch_id)
+
+    def compact(sp: SparkSession) -> None:
+        fs, dpath = _hadoop_fs(sp, delta_dir)
+        if not fs.exists(dpath):
+            return
+        n_deltas = sum(
+            1
+            for st in fs.listStatus(dpath)
+            if st.getPath().getName().startswith("batch_id=")
+        )
+        if n_deltas < compact_every:
+            return
+        parts = [
+            d for d in (
+                _try_read_parquet(sp, base_dir),
+                _try_read_parquet(sp, delta_dir),
+            )
+            if d is not None
+        ]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        # full-row dedup: absorbs rows double-committed when a retry
+        # interleaves with a compaction swap
+        merged = merged.dropDuplicates().repartition(n_state_files)
+        jvm = sp._jvm
+        tmp = jvm.org.apache.hadoop.fs.Path(base_dir + ".__tmp")
+        old = jvm.org.apache.hadoop.fs.Path(base_dir + ".__old")
+        bpath = jvm.org.apache.hadoop.fs.Path(base_dir)
+        fs.delete(tmp, True)
+        merged.write.mode("overwrite").parquet(base_dir + ".__tmp")
+        fs.delete(old, True)
+        if fs.exists(bpath):
+            fs.rename(bpath, old)
+        fs.rename(tmp, bpath)
+        fs.delete(old, True)
+        fs.delete(dpath, True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -162,14 +271,8 @@ def run_incremental_dedup(
             F.col("rep_id").alias("intra_rep"),
         )
 
-        have_state = os.path.isdir(out_dir) and any(
-            e.startswith("batch_id=") for e in os.listdir(out_dir)
-        )
-        if have_state:
-            comm = (
-                sp.read.parquet(out_dir)
-                .where(F.col("batch_id") != batch_id)
-            )
+        comm = read_committed(sp, batch_id)
+        if comm is not None:
             cand = (
                 bands.join(
                     comm.select(
@@ -211,7 +314,8 @@ def run_incremental_dedup(
             "keep", F.col("url") == F.col("rep_url")
         )
         state_rows = (
-            out.join(
+            out.select("url", "rep_url")
+            .join(
                 sets.select(F.col("doc_id").alias("url"), "shset"),
                 "url",
                 "left",
@@ -231,15 +335,22 @@ def run_incremental_dedup(
         )
         try:
             (
-                state_rows.withColumn("batch_id", F.lit(batch_id))
+                out.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
                 .parquet(out_dir)
+            )
+            (
+                state_rows.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(delta_dir)
             )
         finally:
             sp.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+        compact(sp)
 
     writer = (
         stream_pages(spark, src_dir)
@@ -277,8 +388,6 @@ def run_incremental_pipeline(
       upsert an Iceberg sink expresses natively; the parquet fallback
       states it as the anti-join.
     """
-    import os
-
     from arachne_spark.operators.extract import latest_snapshot, with_text
     from arachne_spark.operators.mentions import (
         detect_mentions,
@@ -296,19 +405,15 @@ def run_incremental_pipeline(
             .select("subj", "pred", "obj")
             .dropDuplicates()
         )
-        if os.path.isdir(out_dir) and any(
-            e.startswith("batch_id=") for e in os.listdir(out_dir)
-        ):
+        committed = _try_read_parquet(batch_df.sparkSession, out_dir)
+        if committed is not None:
             # exclude THIS batch's partition (partition-pruned read):
             # on an at-least-once retry its partial files exist, and
             # anti-joining against them before overwriting the same
             # partition would drop the partially-written triples.
-            committed = (
-                batch_df.sparkSession.read.parquet(out_dir)
-                .where(F.col("batch_id") != batch_id)
-            )
             triples = triples.join(
-                committed.select("subj", "pred", "obj"),
+                committed.where(F.col("batch_id") != batch_id)
+                .select("subj", "pred", "obj"),
                 ["subj", "pred", "obj"],
                 "left_anti",
             )

@@ -16,12 +16,13 @@ Two parts:
    corpus at local[2] (N) vs local[8] (4N) — the sandbox substitute
    for N vs 4N executors demanded by BASELINE.json;
    scaling_efficiency = throughput_4N / (4 * throughput_N).
-   Pairs run back-to-back; a second pair runs only if the first is
-   below KG_EFF_ACCEPT, and the max-efficiency pair is reported (both
-   pairs land in the artifact under kg.pairs).  600k pages: large
-   enough to amortize fixed scheduling overhead (measured: 480k pages
-   -> 0.86, 960k -> 0.996 under the same protocol), small enough to
-   keep the bench under the wall budget with one retry.
+   Pairs run back-to-back; a retry pair runs only if the first is
+   below KG_EFF_ACCEPT, and the pair with the lowest combined wall
+   (least host-noise disturbance — noise only ever adds wall) is
+   reported; all pairs land in the artifact under kg.pairs.
+   Headline queries report the per-query MEDIAN of 3 warm runs (raw
+   runs kept under query_runs) so round-over-round deltas survive the
+   host's bursty slow periods.
 
 Scaling-measurement protocol (why these choices — measured, not
 guessed; see BENCH notes in BASELINE.md):
@@ -88,7 +89,16 @@ KG_EFF_ACCEPT = 0.84
 KG_RETRY_BUDGET_SEC = 1100
 
 
-def run_headline(sf_dir: str, cpus: int) -> dict:
+def run_headline(
+    sf_dir: str, cpus: int, n_runs: int = 3
+) -> tuple[dict, dict]:
+    """(per-query MEDIAN of n_runs warm runs, raw per-run timings).
+
+    Medians, not single shots: this host has bursty whole-host slow
+    periods (uniform 1.2-2x drift across untouched queries was measured
+    round-over-round), so a single timing makes cross-round deltas
+    meaningless; the raw runs stay in the artifact for inspection.
+    """
     import __spark_entry__ as em
     from arachne_spark.session import get_spark
 
@@ -105,14 +115,15 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         warm_dir = sf_dir
     for name in HEADLINE:
         qs[name](spark, warm_dir).count()
-    out = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            raw[name].append(round(time.time() - t0, 3))
     spark.stop()
-    return out
+    med = {name: sorted(v)[len(v) // 2] for name, v in raw.items()}
+    return med, raw
 
 
 def kg_core_run(cores: int, n_pages: int) -> tuple[float, int]:
@@ -161,13 +172,27 @@ def kg_core_run(cores: int, n_pages: int) -> tuple[float, int]:
     # (PythonAccumulatorV2) of a prior context can leave a dead socket
     # that every later python-stage task logs a Broken-pipe ERROR
     # against.  It is metrics-only (task *failures* surface as action
-    # exceptions, not logs), so silence that one logger for the
-    # measurement sessions to keep the recorded artifact clean.
+    # exceptions, not logs).  Suppress ONLY that message — a DENY
+    # RegexFilter on "Failed to update accumulator" — so genuine
+    # DAGScheduler ERRORs (stage failures, lost tasks) stay visible in
+    # the bench output during the timed run.
     jvm = spark.sparkContext._jvm
-    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.scheduler.DAGScheduler",
-        jvm.org.apache.logging.log4j.Level.FATAL,
-    )
+    try:
+        log4j = jvm.org.apache.logging.log4j
+        ctx = log4j.core.LoggerContext.getContext(False)
+        cfg = ctx.getConfiguration()
+        lcfg = cfg.getLoggerConfig("org.apache.spark.scheduler.DAGScheduler")
+        filt = log4j.core.filter.RegexFilter.createFilter(
+            ".*Failed to update accumulator.*",
+            None,
+            True,
+            log4j.core.Filter.Result.DENY,
+            log4j.core.Filter.Result.NEUTRAL,
+        )
+        lcfg.addFilter(filt)
+        ctx.updateLoggers()
+    except Exception as e:  # pragma: no cover — log4j API drift only
+        print(f"accumulator log filter unavailable: {e}", file=sys.stderr)
     aliases = alias_df(spark)
     preds = predicate_df(spark)
 
@@ -225,26 +250,34 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    queries = run_headline(sf_dir, cpus)
+    queries, query_runs = run_headline(sf_dir, cpus)
 
     # paired measurement: this sandbox shows bursty whole-host slow
     # periods (entire runs 2x slower, headline included, with no local
     # cause — shared-hypervisor neighbors).  Each (N, 4N) pair runs
     # back-to-back so both sides of the ratio see the same conditions.
     # A burst landing inside exactly one side of a pair corrupts that
-    # pair's ratio, so: accept the first pair if its efficiency is
-    # clean (>= KG_EFF_ACCEPT), otherwise run one retry pair and
-    # report the pair with the HIGHER efficiency — the pair least
-    # disturbed by one-sided noise.  (Round-1 lesson: a too-small time
-    # budget skipped the retry and recorded a noise-hit 0.675; the
-    # budget now covers the retry, and both pairs + the decision are
-    # recorded in the artifact.)
+    # pair's ratio.  Selection rule: the pair with the LOWEST combined
+    # wall — the least-disturbed measurement.  (Max-efficiency was
+    # tried in round 2 and is biased upward: a burst inside the
+    # local[2] run inflates w_n and therefore that pair's efficiency —
+    # it can exceed 1.0 — and max() preferentially picks exactly the
+    # noise-corrupted pair.  Host noise only ever ADDS wall time, so
+    # min-combined-wall is unbiased.)  Accept the first pair if its
+    # efficiency is clean (>= KG_EFF_ACCEPT), otherwise retry; every
+    # pair + the decision land in the artifact under kg.pairs.
     pairs = []
     t_kg = time.time()
-    # up to 3 pairs: stop as soon as one is clean (>= KG_EFF_ACCEPT);
-    # after two pairs stop if the best already clears the 0.8 gate; a
-    # third pair runs only when the host was noisy enough to sink both
-    # AND the time budget still allows it.
+
+    def chosen_idx() -> int:
+        return min(
+            range(len(pairs)), key=lambda i: pairs[i][1] + pairs[i][2]
+        )
+
+    # up to 3 pairs: stop as soon as the chosen (least-wall) pair is
+    # clean (>= KG_EFF_ACCEPT); after two pairs stop if it already
+    # clears the 0.8 gate; a third pair runs only when the host was
+    # noisy enough to sink both AND the time budget still allows it.
     budgets = [KG_RETRY_BUDGET_SEC, KG_RETRY_BUDGET_SEC + 400]
     for attempt in range(3):
         w_n_i, rows_n_i = kg_core_run(KG_CORES_N, KG_PAGES)
@@ -256,7 +289,7 @@ def main() -> None:
             f"eff={eff_i:.3f}",
             file=sys.stderr,
         )
-        best = max(p[0] for p in pairs)
+        best = pairs[chosen_idx()][0]
         if best >= KG_EFF_ACCEPT:
             break
         if attempt >= 1 and best >= 0.8:
@@ -265,7 +298,7 @@ def main() -> None:
             time.time() - t_kg > budgets[attempt]
         ):
             break
-    eff, w_n, w_4n, rows_n, rows_4n = max(pairs)
+    eff, w_n, w_4n, rows_n, rows_4n = pairs[chosen_idx()]
     tput_n, tput_4n = rows_n / w_n, rows_4n / w_4n
 
     result = {
@@ -273,6 +306,7 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "query_runs": query_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg": {
             "pages": KG_PAGES,
@@ -293,7 +327,7 @@ def main() -> None:
                 }
                 for p in pairs
             ],
-            "pair_chosen": max(range(len(pairs)), key=lambda i: pairs[i][0]),
+            "pair_chosen": chosen_idx(),
             "retry_ran": len(pairs) > 1,
         },
     }

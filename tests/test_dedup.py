@@ -12,7 +12,9 @@ from __future__ import annotations
 import hashlib
 from collections import Counter
 
-from arachne_spark.operators.dedup import minhash_doc_dedup
+from pyspark.sql import functions as F
+
+from arachne_spark.operators.dedup import doc_shingles, minhash_doc_dedup
 
 N_DOCS = 20_000
 GROUP = 4  # ids [4k, 4k+3] form one intended cluster when k % 3 == 0
@@ -94,6 +96,32 @@ def _py_dedup(rows, threshold=0.5, max_df=50, bucket_cap=20):
             union(a, b)
 
     return {i: find(i) for i, _ in rows}
+
+
+def test_short_docs_yield_zero_shingles(spark):
+    """Documents with fewer than k tokens must yield ZERO shingles —
+    matching both oracles (DuckDB range(1, len-1) and the python twin's
+    empty range) — not throw: sequence(1, n) is DESCENDING for n < 1
+    (sequence(1,0) = [1,0]) and the unguarded transform indexed toks[]
+    out of bounds, an INVALID_ARRAY_INDEX error under ANSI mode."""
+    rows = [
+        (0, ""), (1, "a"), (2, "a b"), (3, "a b c"),
+        (4, "one two three four"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in doc_shingles(docs)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {3: 1, 4: 2}  # docs 0-2: no shingle rows at all
+
+    # and the end-to-end dedup treats shingle-less docs as singletons
+    out = {
+        r["doc_id"]: (r["rep_id"], r["keep"])
+        for r in minhash_doc_dedup(docs).collect()
+    }
+    assert out == {i: (i, True) for i in range(5)}
 
 
 def test_minhash_dedup_20k_vs_python_twin(spark):
