@@ -725,6 +725,25 @@ def q43_claims_flatten(spark, sf_dir):
     )
 
 
+def q44_reachable_from(spark, sf_dir):
+    """The ``p/q* <target>`` SPARQL shape (reference capability
+    /root/reference/tests/sparql_tests.cpp:78-99): every node with a
+    path (length >= 0) into the target set over the div-2 ancestor
+    edges — the closure restricted to target sinks, plus the targets
+    themselves."""
+    from arachne_spark.operators.closure import reachable_from
+
+    part = _t(spark, sf_dir, "part")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 2").alias("dst"),
+    )
+    targets = spark.createDataFrame([(3,), (7,)], "node bigint")
+    return reachable_from(edges, targets).select(
+        F.col("src").alias("node")
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -859,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_distinct_touch": q41_distinct_touch,
         "q42_frame_sample": q42_frame_sample,
         "q43_claims_flatten": q43_claims_flatten,
+        "q44_reachable_from": q44_reachable_from,
     }
 
 
@@ -1091,6 +1111,16 @@ def oracle_sql() -> dict[str, str]:
             union
             select node, ancestor // 2 from anc where ancestor >= 2)
           select node, ancestor from anc
+        """,
+        "q44_reachable_from": """
+          with recursive anc(node, ancestor) as (
+            select p_partkey, p_partkey // 2 from part where p_partkey >= 2
+            union
+            select node, ancestor // 2 from anc where ancestor >= 2)
+          select distinct node from (
+            select node from anc where ancestor in (3, 7)
+            union select cast(3 as bigint) union select cast(7 as bigint)
+          ) t
         """,
         "q18_doc_mentions": f"""
           select distinct d.doc_id, v.qid

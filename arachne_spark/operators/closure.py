@@ -5,19 +5,32 @@ Query capability for SPARQL property paths like ``wdt:P31/wdt:P279*``
 ``triples`` table, computed as join-until-fixpoint with per-iteration
 ``localCheckpoint`` to cut lineage (same discipline as cc.py).
 
-Two strategies, both join-until-fixpoint with per-iteration
+Three strategies, all join-until-fixpoint with per-iteration
 ``localCheckpoint`` to cut lineage (same discipline as cc.py):
 
-* ``doubling`` (default): R_{k+1} = R_k ∪ (R_k ∘ R_k) — after k rounds
-  R covers paths up to length 2^k, so a depth-d graph converges in
-  ⌈log2 d⌉ + 1 rounds.  Each driver round costs a scheduling barrier
-  (~0.5 s at any scale), so halving the round count matters more than
-  the extra join width for the shallow hierarchies this engine meets
-  (P31/P279 class trees are depth ≲ 20).
-* ``seminaive``: frontier ∘ base each round — O(d) rounds but each
-  joins only the NEW pairs; total work proportional to closure size.
-  The right choice for long chains / when the closure is much larger
-  than memory-per-round.
+* ``auto`` (default) — **delta doubling**: R_{k+1} = R_k ∪ Δ_k∘R_k ∪
+  R_k∘Δ_k where Δ_k = R_k \\ R_{k-1}.  Exact: a pair of R_k∘R_k not
+  already in R_k must have at least one half in Δ_k (else both halves
+  were in R_{k-1} and the pair is in R_{k-1}∘R_{k-1} ⊆ R_k).  So it
+  keeps doubling's ⌈log2 d⌉ + 1 rounds — each driver round is a
+  scheduling barrier, the dominant cost for the shallow P31/P279
+  class trees this engine meets — while each round's join is
+  *frontier-proportional* instead of |R|², which is what survives at
+  scale: in late rounds Δ is tiny and AQE broadcasts it, whereas
+  plain doubling re-self-joins the entire closure just to discover
+  nothing is new.  One action per round: new-pair bookkeeping rides a
+  min(flag) aggregate, so the convergence check and the Δ extraction
+  share the round's single job.  This subsumes the discrete
+  "switch to seminaive when |new|/|closure| is small" rule — the work
+  tracks the frontier continuously instead of at a threshold.
+* ``doubling``: R_{k+1} = R_k ∪ (R_k ∘ R_k) — fewest moving parts,
+  same round count, but joins the full closure every round.
+* ``seminaive``: frontier ∘ base each round — O(d) rounds, each
+  extending paths by ONE edge; total join work proportional to the
+  closure, but for depth-d graphs it pays d barriers where the
+  doubling family pays log d.  Right only when the closure is far
+  larger than memory-per-round AND the graph is shallow enough that
+  d ≈ log d.
 """
 
 from __future__ import annotations
@@ -31,7 +44,7 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 64,
-    method: str = "doubling",
+    method: str = "auto",
 ) -> DataFrame:
     """→ all (src, dst) pairs with a directed path of length >= 1."""
     base = (
@@ -39,6 +52,49 @@ def transitive_closure(
         .distinct()
         .localCheckpoint()
     )
+    if method == "auto":
+        # delta doubling (see module docstring).  Row shape
+        # (src, dst, new): new = 1 iff the pair was first derived in
+        # the latest round; groupBy(new).count() is the ONE action per
+        # round — it materializes the lazy checkpoint, decides
+        # convergence, and the checkpointed plan then serves both the
+        # next Δ (filter new=1) and the final result.
+        result = base.withColumn("new", F.lit(1))
+        delta = base
+        for _ in range(max_iter):
+            r = result.select("src", "dst")
+            stepped = (
+                delta.select("src", F.col("dst").alias("mid"))
+                .join(r.select(F.col("src").alias("mid"), "dst"), "mid")
+                .select("src", "dst")
+                .unionByName(
+                    r.select("src", F.col("dst").alias("mid"))
+                    .join(
+                        delta.select(F.col("src").alias("mid"), "dst"),
+                        "mid",
+                    )
+                    .select("src", "dst")
+                )
+                .withColumn("new", F.lit(1))
+            )
+            grown = (
+                result.withColumn("new", F.lit(0))
+                .unionByName(stepped)
+                .groupBy("src", "dst")
+                .agg(F.min("new").alias("new"))
+                .localCheckpoint(eager=False)
+            )
+            n_new = {
+                row["new"]: row["cnt"]
+                for row in grown.groupBy("new")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }.get(1, 0)
+            if n_new == 0:
+                return result.select("src", "dst")
+            result = grown
+            delta = grown.where(F.col("new") == 1).select("src", "dst")
+        return result.select("src", "dst")
     if method == "doubling":
         result = base
         n = result.count()
