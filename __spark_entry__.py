@@ -521,7 +521,12 @@ def q30_multimodal_meta(spark, sf_dir):
     payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return binary_meta(payload, id_col="doc_id", payload_col="payload")
+    # project the byte-stat columns: text payloads are (correctly) not
+    # decodable as images, so format/width/height are all-null here —
+    # the real-decode surface is q45 over constructed PPM payloads
+    return binary_meta(
+        payload, id_col="doc_id", payload_col="payload"
+    ).select("doc_id", "n_bytes", "first_byte", "is_decodable")
 
 
 def q31_lsh_fuzzy_link(spark, sf_dir):
@@ -744,6 +749,66 @@ def q44_reachable_from(spark, sf_dir):
     )
 
 
+def q45_resize_ppm(spark, sf_dir):
+    """Aspect-preserving resize planning over REAL decoded images:
+    valid binary-PPM (P6) payloads are constructed from part keys,
+    and ``resize_meta`` parses the actual netpbm header for the true
+    dimensions (operators/multimodal.py::decode_image) — the decode
+    step is no longer a stub for this format.  The oracle rebuilds the
+    same payloads and recomputes dimensions + resize targets + the
+    thumbnail-prefix hash byte-for-byte."""
+    from arachne_spark.operators.multimodal import resize_meta
+
+    part = _t(spark, sf_dir, "part")
+    w = (F.col("p_partkey") % 30 + 2).cast("int")
+    h = (F.col("p_partkey") % 17 + 3).cast("int")
+    payload = part.select(
+        F.col("p_partkey").alias("img_id"),
+        F.encode(
+            F.concat(
+                F.format_string("P6\n%d %d\n255\n", w, h),
+                F.expr(
+                    "repeat('x', cast((p_partkey % 30 + 2)"
+                    " * (p_partkey % 17 + 3) * 3 as int))"
+                ),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    rm = resize_meta(payload, id_col="img_id", max_side=16)
+    return rm.select(
+        "img_id", "width", "height", "out_width", "out_height",
+        F.md5(F.col("thumb")).alias("thumb_hash"),
+    )
+
+
+def q46_payload_features(spark, sf_dir):
+    """Binary payload → deterministic feature vector
+    (``extract_features``, the Arrow ``mapInPandas`` path whose output
+    shape feeds the ANN operators), summarized as the sign-bit
+    signature of the first 8 components — which the DuckDB oracle
+    reproduces bit-for-bit from the md5 spec (a sign survives the
+    float32 cast exactly; the raw components would not survive a
+    float64 oracle comparison)."""
+    from arachne_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = extract_features(payload, id_col="doc_id")
+    bits = F.lit(0)
+    for j in range(8):
+        bits = bits + F.when(
+            F.element_at("embedding", j + 1) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return feats.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        bits.cast("int").alias("sign_bits"),
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -879,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_frame_sample": q42_frame_sample,
         "q43_claims_flatten": q43_claims_flatten,
         "q44_reachable_from": q44_reachable_from,
+        "q45_resize_ppm": q45_resize_ppm,
+        "q46_payload_features": q46_payload_features,
     }
 
 
@@ -1122,6 +1189,54 @@ def oracle_sql() -> dict[str, str]:
             union select cast(3 as bigint) union select cast(7 as bigint)
           ) t
         """,
+        "q45_resize_ppm": """
+          with img as (
+            select p_partkey as img_id,
+                   cast(p_partkey % 30 + 2 as int) as w,
+                   cast(p_partkey % 17 + 3 as int) as h
+            from part),
+          p as (
+            select img_id, w, h,
+                   'P6' || chr(10) || w || ' ' || h || chr(10)
+                     || '255' || chr(10) || repeat('x', w * h * 3) as s
+            from img)
+          select img_id, w as width, h as height,
+                 cast(greatest(1, cast(floor(
+                   w * least(1.0, 16.0 / greatest(w, h))) as int))
+                   as int) as out_width,
+                 cast(greatest(1, cast(floor(
+                   h * least(1.0, 16.0 / greatest(w, h))) as int))
+                   as int) as out_height,
+                 md5(substr(s, 1, 32)) as thumb_hash
+          from p
+        """,
+        "q46_payload_features": """
+          with m as (
+            select doc_id,
+                   md5(text || chr(0) || chr(0) || chr(0) || chr(0))
+                     as m0,
+                   md5(text || chr(0) || chr(0) || chr(0) || chr(1))
+                     as m1
+            from documents)
+          select doc_id, 64 as dim, cast(
+              (case when strpos('89abcdef', substr(m0, 1, 1)) > 0
+                    then 1 else 0 end)
+            + (case when strpos('89abcdef', substr(m0, 9, 1)) > 0
+                    then 2 else 0 end)
+            + (case when strpos('89abcdef', substr(m0, 17, 1)) > 0
+                    then 4 else 0 end)
+            + (case when strpos('89abcdef', substr(m0, 25, 1)) > 0
+                    then 8 else 0 end)
+            + (case when strpos('89abcdef', substr(m1, 1, 1)) > 0
+                    then 16 else 0 end)
+            + (case when strpos('89abcdef', substr(m1, 9, 1)) > 0
+                    then 32 else 0 end)
+            + (case when strpos('89abcdef', substr(m1, 17, 1)) > 0
+                    then 64 else 0 end)
+            + (case when strpos('89abcdef', substr(m1, 25, 1)) > 0
+                    then 128 else 0 end) as int) as sign_bits
+          from m
+        """,
         "q18_doc_mentions": f"""
           select distinct d.doc_id, v.qid
           from documents d
@@ -1257,7 +1372,9 @@ def oracle_sql() -> dict[str, str]:
                  cast(octet_length(cast(text as blob)) as bigint)
                    as n_bytes,
                  ascii(substr(text, 1, 1)) as first_byte,
-                 true as is_decodable
+                 -- real decoder semantics: text bytes are not a valid
+                 -- netpbm/BMP image
+                 false as is_decodable
           from documents
         """,
         "q31_lsh_fuzzy_link": f"""

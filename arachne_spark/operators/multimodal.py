@@ -36,31 +36,102 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 
-def fake_decode(payload: bytes) -> dict:
-    """STUB decoder: deterministic metadata, no real codec.
-
-    A real deployment replaces this with PIL/ffmpeg/soundfile decode;
-    the function contract (bytes → metadata dict) and the surrounding
-    Spark plumbing stay identical.
+def decode_image(payload: bytes | None) -> dict | None:
+    """REAL pure-Python image header decoder for the two formats whose
+    structure needs no codec library: netpbm binary (P6 PPM / P5 PGM,
+    whitespace-and-comment-tolerant header, pixel-length validated)
+    and BMP (BITMAPINFOHEADER).  Returns
+    ``{"format", "width", "height"}`` or None if the payload is not a
+    valid image in either format.  Everything else (JPEG/PNG/audio/
+    video) stays behind the deliberate stubs — this container has no
+    codec libraries — but the decode CONTRACT is exercised for real
+    here: a truncated pixel array or nonsense dimensions must fail.
     """
+    if not payload:
+        return None
+    magic = bytes(payload[:2])
+    if magic in (b"P6", b"P5"):
+        toks: list[bytes] = []
+        i, n = 2, len(payload)
+        while len(toks) < 3 and i < n:
+            c = payload[i:i + 1]
+            if c == b"#":  # comment runs to end of line
+                while i < n and payload[i:i + 1] not in (b"\n", b"\r"):
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while (
+                    j < n
+                    and not payload[j:j + 1].isspace()
+                    and payload[j:j + 1] != b"#"
+                ):
+                    j += 1
+                toks.append(bytes(payload[i:j]))
+                i = j
+        if len(toks) < 3 or i >= n:
+            return None
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError:
+            return None
+        if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+            return None
+        per_px = (3 if magic == b"P6" else 1) * (2 if maxval > 255 else 1)
+        # exactly one whitespace byte separates maxval from pixel data
+        if n - (i + 1) < w * h * per_px:
+            return None
+        return {
+            "format": "ppm" if magic == b"P6" else "pgm",
+            "width": w,
+            "height": h,
+        }
+    if magic == b"BM" and len(payload) >= 54:
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size < 40:
+            return None
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        if w <= 0 or h == 0:  # negative h = top-down BMP, legal
+            return None
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    return None
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Payload metadata: byte stats are always real; ``is_decodable``
+    and dimensions are REAL for netpbm/BMP (``decode_image``) and a
+    labeled stub (not-decodable) for codec formats this container
+    cannot parse."""
     if payload is None:
-        return {"n_bytes": 0, "first_byte": 0, "is_decodable": False}
+        return {
+            "n_bytes": 0, "first_byte": 0, "is_decodable": False,
+            "format": None, "width": None, "height": None,
+        }
+    img = decode_image(payload)
     return {
         "n_bytes": len(payload),
         "first_byte": payload[0] if payload else 0,
-        "is_decodable": True,
+        "is_decodable": img is not None,
+        "format": img["format"] if img else None,
+        "width": img["width"] if img else None,
+        "height": img["height"] if img else None,
     }
 
 
 def binary_meta(
     df: DataFrame, id_col: str, payload_col: str = "payload"
 ) -> DataFrame:
-    """(id, n_bytes, first_byte, is_decodable) via Arrow-batched decode."""
+    """(id, n_bytes, first_byte, is_decodable, format, width, height)
+    via Arrow-batched decode; dimensions are real for netpbm/BMP and
+    null otherwise."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -68,6 +139,9 @@ def binary_meta(
             StructField("n_bytes", LongType()),
             StructField("first_byte", IntegerType()),
             StructField("is_decodable", BooleanType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
         ]
     )
 
@@ -87,6 +161,13 @@ def binary_meta(
                     ).astype("int32"),
                     "is_decodable": metas.map(
                         lambda m: m["is_decodable"]
+                    ),
+                    "format": metas.map(lambda m: m["format"]),
+                    "width": metas.map(lambda m: m["width"]).astype(
+                        "Int32"
+                    ),
+                    "height": metas.map(lambda m: m["height"]).astype(
+                        "Int32"
                     ),
                 }
             )
@@ -148,12 +229,13 @@ def resize_meta(
     max_side: int = 256,
 ) -> DataFrame:
     """(id, width, height, out_width, out_height, thumb): decode the
-    payload's dimensions (STUB: derived deterministically from the
-    byte length), compute aspect-preserving resize targets bounded by
-    ``max_side``, and emit a thumbnail (STUB: deterministic payload
-    prefix).  Real deployment: PIL decode + thumbnail; the dimension
-    arithmetic, schema, and binary output column are the real
-    plumbing."""
+    payload's dimensions — REAL for netpbm/BMP payloads
+    (``decode_image``), stub (derived deterministically from the byte
+    length) for formats this container has no codec for — compute
+    aspect-preserving resize targets bounded by ``max_side``, and emit
+    a thumbnail (STUB: deterministic payload prefix; a real deployment
+    swaps in PIL thumbnail bytes — the dimension arithmetic, schema,
+    and binary output column are unchanged plumbing)."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -176,9 +258,13 @@ def resize_meta(
             )}
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 p = payload or b""
-                # STUB decode: pretend dimensions from the byte length
-                w = 64 + (len(p) % 1920)
-                h = 64 + ((len(p) * 7) % 1080)
+                img = decode_image(p)
+                if img is not None:  # real header decode
+                    w, h = img["width"], img["height"]
+                else:
+                    # STUB for codec formats: dims from the byte length
+                    w = 64 + (len(p) % 1920)
+                    h = 64 + ((len(p) * 7) % 1080)
                 scale = min(1.0, max_side / max(w, h))
                 rows[id_col].append(i)
                 rows["width"].append(w)
