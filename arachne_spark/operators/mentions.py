@@ -170,25 +170,52 @@ def unmatched_tokens(
     )
 
 
+POS_BUCKET = 8  # any value >= MAX_GAP_TOKENS + 1 keeps the span to 2
+
+
 def extract_relations(
     mentions: DataFrame, predicate_df: DataFrame
 ) -> DataFrame:
-    """(url, subj, pred, obj) from mention pairs with a dictionary gap."""
+    """(url, subj, pred, obj) from mention pairs with a dictionary gap.
+
+    Adversarial-page bound: joining on url alone is quadratic in the
+    per-page mention count — a spam page with 10^4 dictionary hits
+    would generate 10^8 candidate pairs inside one join group.  The
+    object mention must start within MAX_GAP_TOKENS of the subject's
+    end, so both sides carry a position bucket (``pos div
+    POS_BUCKET``) as an extra EQUI-join key: the subject explodes to
+    the (at most 2) buckets its gap window can touch, and candidate
+    fanout per mention drops from O(mentions-per-page) to O(bucket
+    occupancy) — linear in page length, independent of mention
+    density.  Semantics are unchanged (the bucket key is implied by
+    the gap predicate)."""
+    win_lo = (F.col("end") + 1) / POS_BUCKET
+    win_hi = (F.col("end") + MAX_GAP_TOKENS) / POS_BUCKET
     m1 = mentions.select(
         F.col("url"),
         F.col("end").alias("s_end"),
         F.col("qid").alias("subj"),
         F.col("after").alias("s_after"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(win_lo).cast("int"),
+                    F.floor(win_hi).cast("int"),
+                )
+            )
+        ).alias("bkt"),
     )
     m2 = mentions.select(
         F.col("url").alias("o_url"),
         F.col("pos").alias("o_pos"),
         F.col("qid").alias("obj"),
+        F.floor(F.col("pos") / POS_BUCKET).cast("int").alias("o_bkt"),
     )
     gap = F.col("o_pos") - F.col("s_end")
     pairs = m1.join(
         m2,
         (F.col("url") == F.col("o_url"))
+        & (F.col("bkt") == F.col("o_bkt"))
         & (gap >= 1)
         & (gap <= MAX_GAP_TOKENS),
         "inner",

@@ -1,0 +1,53 @@
+"""Warehouse backend tests.
+
+The parquet fallback is covered end-to-end by the pipeline resume
+tests; this file pins the CATALOG (Iceberg) branch.  The sandbox has
+no Iceberg runtime jar, so the session catalog rejects REPLACE TABLE
+AS SELECT at execution time — the test drives the branch through
+``is_committed`` / ``drop`` / writer construction and skips at the
+exact point that needs a real V2 catalog, so the code path still
+compiles and binds against the API it claims.  On a cluster with
+``iceberg_catalog`` configured the same test runs to completion.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import AnalysisException
+
+from arachne_spark.plans.storage import Warehouse
+
+TABLE = "wh_catalog_probe"
+
+
+def test_warehouse_catalog_branch(spark, tmp_path):
+    wh = Warehouse(
+        spark, root=str(tmp_path),
+        iceberg_catalog="spark_catalog.default",
+    )
+    # catalog-path probes that work on any catalog implementation
+    wh.drop(TABLE)
+    assert not wh.is_committed(TABLE)
+
+    df = spark.range(5).withColumnRenamed("id", "v")
+    try:
+        wh.write(df, TABLE)
+    except AnalysisException as e:
+        assert "TABLE_OPERATION" in str(e) or "REPLACE" in str(e)
+        pytest.skip(
+            "no V2 catalog with atomic replace in this sandbox "
+            "(Iceberg runtime jar absent); catalog API path exercised "
+            "up to execution"
+        )
+
+    # full integration — runs when a real Iceberg catalog is configured
+    try:
+        assert wh.is_committed(TABLE)
+        assert wh.read(TABLE).count() == 5
+        wh.write(df, TABLE, mode="append")
+        assert wh.read(TABLE).count() == 10
+        df2, resumed = wh.resume_or_compute(TABLE, lambda: df)
+        assert resumed and df2.count() == 10
+    finally:
+        wh.drop(TABLE)
+    assert not wh.is_committed(TABLE)
