@@ -83,6 +83,24 @@ class PipelineConfig:
 FETCH_STATE = "fetch_state"
 
 
+def enrich_entities(
+    fetch_queue: DataFrame, labels: DataFrame, lang: str = "en"
+) -> DataFrame:
+    """The fetch_json dictionary lookup (src/pheidippides.cpp:29-82).
+
+    No broadcast hint: a real Wikidata labels table is ~10^8 rows —
+    far past the 8 GB broadcast ceiling.  AQE broadcasts the filtered
+    side while it fits and falls back to a shuffled join otherwise
+    (measured both ways in BASELINE.md); the kind filter inside chunks
+    (:59-61) holds by construction (qid grammar ↔ kind column).
+    """
+    return fetch_queue.join(
+        labels.where(F.col("lang") == lang),
+        ["qid", "kind"],
+        "left",
+    ).select("qid", "kind", "batch_id", "label")
+
+
 def assign_batches(queue: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Chunk the fetch queue into batches of <= batch_threshold per kind.
 
@@ -214,20 +232,11 @@ def run_pipeline(
 
     fetch_queue = rec.run_stage("fetch_queue", build_queue, force=cfg.force)
 
-    def enrich() -> DataFrame:
-        # the fetch_json dictionary lookup (src/pheidippides.cpp:29-82).
-        # No broadcast hint: a real Wikidata labels table is ~10^8 rows
-        # — far past the 8 GB broadcast ceiling.  AQE broadcasts the
-        # filtered side while it fits and shuffles otherwise; the kind
-        # filter inside chunks (:59-61) holds by construction (qid
-        # grammar ↔ kind column).
-        return fetch_queue.join(
-            labels.where(F.col("lang") == "en"),
-            ["qid", "kind"],
-            "left",
-        ).select("qid", "kind", "batch_id", "label")
-
-    entities = rec.run_stage("entities", enrich, force=cfg.force)
+    entities = rec.run_stage(
+        "entities",
+        lambda: enrich_entities(fetch_queue, labels),
+        force=cfg.force,
+    )
 
     # update fetch_state (ariadne.store analog, src/arachne.cpp:103).
     # The cast keeps the column a real timestamp even when pages_clean
