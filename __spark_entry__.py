@@ -809,6 +809,110 @@ def q46_payload_features(spark, sf_dir):
     )
 
 
+def q47_ntriples_lines(spark, sf_dir):
+    """Graph materialization: serialize a deterministic triples slice
+    to RDF N-Triples lines (sources/ntriples.py) — entity ids become
+    Wikidata IRIs, odd rows carry a literal loaded with every ECHAR
+    escape (quote, backslash, newline) that the DuckDB oracle
+    reproduces with a literal replace() chain."""
+    from arachne_spark.sources.ntriples import to_ntriples_lines
+
+    nation = _t(spark, sf_dir, "nation")
+    t = nation.select(
+        F.concat(F.lit("Q"), F.col("n_nationkey").cast("string")).alias(
+            "subj"
+        ),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("P31"))
+        .otherwise(F.lit("label"))
+        .alias("pred"),
+        F.when(
+            F.col("n_nationkey") % 2 == 0,
+            F.concat(F.lit("Q"), F.col("n_regionkey").cast("string")),
+        )
+        .otherwise(F.concat(F.col("n_name"), F.lit(' "x\\y\n')))
+        .alias("obj"),
+    )
+    return to_ntriples_lines(t)
+
+
+def q48_percentiles(spark, sf_dir):
+    """Exact ordered-set aggregates: linear-interpolation percentiles
+    per group (Spark `percentile`, the exact sort-based aggregate —
+    NOT approx_percentile, whose sketch would never hash-match an
+    oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q49_pivot(spark, sf_dir):
+    """Pivot: order counts by priority spread over status columns.
+    Explicit pivot values keep the schema static (the two-pass value
+    discovery Spark otherwise runs is a full extra scan at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+def q50_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each click event carries the
+    latest purchase value at-or-before its timestamp for the same
+    user — the relational form of the reference's 'last fetch for this
+    entity' staleness lookup (src/arachne.cpp:201-222).  The oracle is
+    DuckDB's native ASOF LEFT JOIN; the right side is deduplicated per
+    (user, ts) so both engines resolve ties identically."""
+    from arachne_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id",
+        left_ts="ts", right_ts="ts", payload_cols=["pvalue"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_pvalue", 4).alias("last_purchase"),
+    )
+
+
+def q51_sessionize(spark, sf_dir):
+    """Event sessionization via Spark's session_window (dynamic-gap
+    windows, the streaming-capable form); the oracle restates it as
+    the lag/cumulative-sum gaps-and-islands construction.  Boundary
+    semantics pinned: an event exactly gap after the previous one
+    starts a NEW session (session windows are [start, last+gap))."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return s.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -946,6 +1050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_reachable_from": q44_reachable_from,
         "q45_resize_ppm": q45_resize_ppm,
         "q46_payload_features": q46_payload_features,
+        "q47_ntriples_lines": q47_ntriples_lines,
+        "q48_percentiles": q48_percentiles,
+        "q49_pivot": q49_pivot,
+        "q50_asof_join": q50_asof_join,
+        "q51_sessionize": q51_sessionize,
     }
 
 
@@ -1236,6 +1345,69 @@ def oracle_sql() -> dict[str, str]:
             + (case when strpos('89abcdef', substr(m1, 25, 1)) > 0
                     then 128 else 0 end) as int) as sign_bits
           from m
+        """,
+        "q47_ntriples_lines": """
+          select case when n_nationkey % 2 = 0 then
+              '<http://www.wikidata.org/entity/Q' || n_nationkey
+              || '> <http://www.wikidata.org/prop/direct/P31>'
+              || ' <http://www.wikidata.org/entity/Q' || n_regionkey
+              || '> .'
+            else
+              '<http://www.wikidata.org/entity/Q' || n_nationkey
+              || '> <http://example.org/vocab/label> "'
+              || replace(replace(replace(replace(replace(
+                   n_name || ' "x\\y' || chr(10),
+                   '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                   chr(13), '\\r'), chr(9), '\\t')
+              || '" .'
+            end as line
+          from nation
+        """,
+        "q48_percentiles": """
+          select l_returnflag,
+                 round(quantile_cont(l_quantity, 0.5), 4) as p50,
+                 round(quantile_cont(l_quantity, 0.95), 4) as p95,
+                 count(*) as cnt
+          from lineitem group by l_returnflag
+        """,
+        "q49_pivot": """
+          select o_orderpriority,
+                 count(*) filter (where o_orderstatus = 'F') as cnt_f,
+                 count(*) filter (where o_orderstatus = 'O') as cnt_o,
+                 count(*) filter (where o_orderstatus = 'P') as cnt_p
+          from orders group by o_orderpriority
+        """,
+        "q50_asof_join": """
+          with p as (
+            select user_id, ts, max(value) as pvalue
+            from events where event_type = 'purchase' group by 1, 2)
+          select l.event_id, l.user_id,
+                 round(r.pvalue, 4) as last_purchase
+          from (select event_id, ts, user_id from events
+                where event_type = 'click') l
+          asof left join p r
+            on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "q51_sessionize": """
+          with e as (
+            select user_id, ts,
+                   case when lag(ts) over
+                          (partition by user_id order by ts) is null
+                        or ts - lag(ts) over
+                          (partition by user_id order by ts)
+                          >= interval 30 minute
+                        then 1 else 0 end as brk
+            from events),
+          s as (
+            select user_id, ts,
+                   sum(brk) over (partition by user_id order by ts
+                                  rows unbounded preceding) as sid
+            from e)
+          select user_id,
+                 min(ts) as session_start,
+                 max(ts) + interval 30 minute as session_end,
+                 count(*) as n_events
+          from s group by user_id, sid
         """,
         "q18_doc_mentions": f"""
           select distinct d.doc_id, v.qid

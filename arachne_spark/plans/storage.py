@@ -103,6 +103,55 @@ class Warehouse:
             return
         shutil.rmtree(self._path(table), ignore_errors=True)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        n_buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed table for co-located joins: both sides of a
+        repeated equi-join (triples ⋈ canonical_map, triples ⋈ labels)
+        written with the same bucket spec join WITHOUT a shuffle —
+        the Exchange disappears from the plan because partitioning is
+        baked into the table layout.  On Iceberg this is the
+        ``bucket(N, col)`` partition transform; the parquet fallback
+        uses ``bucketBy``/``saveAsTable`` (plain ``save`` cannot carry
+        bucket metadata), with the table's files rooted under the
+        warehouse dir so nothing leaks into the driver cwd.
+
+        Plan contract (asserted in tests/test_bucketing.py): joining
+        two tables bucketed (same N, same keys) on those keys shows
+        SortMergeJoin over FileScans with NO Exchange on either side.
+        """
+        if self.catalog:
+            # Iceberg: bucket transform partitioning, atomic replace
+            from pyspark.sql.functions import bucket, col
+
+            writer = df.writeTo(f"{self.catalog}.{table}").partitionedBy(
+                bucket(n_buckets, col(bucket_cols[0])),
+                *[col(c) for c in bucket_cols[1:]],
+            )
+            writer.createOrReplace()
+            return
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(self.root, table))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Catalog read that preserves bucket metadata (plain
+        ``spark.read.parquet`` on the directory would forget it)."""
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{table}")
+        return self.spark.table(table)
+
     def resume_or_compute(
         self, table: str, compute, force: bool = False, **write_kwargs
     ) -> tuple[DataFrame, bool]:

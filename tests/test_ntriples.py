@@ -1,0 +1,63 @@
+"""Graph materialization: N-Triples serialization must round-trip the
+triples table exactly (ids ↔ IRIs, literals with every ECHAR escape),
+and the parser must drop malformed lines instead of failing the job —
+the same tolerant-reader posture as the WARC connector."""
+
+from __future__ import annotations
+
+from arachne_spark.sources.ntriples import (
+    parse_ntriples_lines,
+    read_ntriples,
+    to_ntriples_lines,
+    write_ntriples,
+)
+
+ROWS = [
+    ("Q42", "P31", "Q5"),
+    ("https://example.org/p/1", "mentions", "Q42"),
+    ("Q1", "label", 'tricky "quoted" \\ backslash\nnewline\ttab'),
+    ("L7", "sameAs", "Q7"),
+]
+
+
+def test_ntriples_line_shape(spark):
+    df = spark.createDataFrame(
+        [ROWS[0]], "subj string, pred string, obj string"
+    )
+    [r] = to_ntriples_lines(df).collect()
+    assert r["line"] == (
+        "<http://www.wikidata.org/entity/Q42> "
+        "<http://www.wikidata.org/prop/direct/P31> "
+        "<http://www.wikidata.org/entity/Q5> ."
+    )
+
+
+def test_ntriples_roundtrip_through_files(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, "subj string, pred string, obj string")
+    path = str(tmp_path / "graph_nt")
+    write_ntriples(df, path)
+    back = read_ntriples(spark, path)
+    assert {
+        (r["subj"], r["pred"], r["obj"]) for r in back.collect()
+    } == set(ROWS)
+
+
+def test_ntriples_malformed_lines_dropped(spark):
+    good = (
+        '<http://www.wikidata.org/entity/Q1> '
+        '<http://example.org/vocab/label> "ok" .'
+    )
+    raw = spark.createDataFrame(
+        [
+            (good,),
+            ("not a triple at all",),
+            ("<subj-only> .",),
+            ('<a> <b> "unterminated .',),
+            ("",),
+        ],
+        "line string",
+    )
+    rows = parse_ntriples_lines(raw).collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [
+        ("Q1", "label", "ok")
+    ]
