@@ -78,6 +78,9 @@ class PipelineConfig:
     # stage); when True, only cluster representatives flow downstream
     dedup_pages: bool = False
     dedup_threshold: float = 0.9
+    # graph materialization: also serialize the final triples table as
+    # RDF N-Triples under <warehouse>/triples_nt (sources/ntriples.py)
+    materialize_rdf: bool = False
 
 
 FETCH_STATE = "fetch_state"
@@ -318,6 +321,13 @@ def run_pipeline(
     triples = rec.run_stage(
         "triples", canonicalize, force=cfg.force, partition_by=["pred"]
     )
+
+    if cfg.materialize_rdf:
+        # the graph-materialize step of the north_star: the interchange
+        # serialization inherits the triples table's pred partitioning
+        from arachne_spark.sources.ntriples import write_ntriples
+
+        write_ntriples(triples, cfg.warehouse + "/triples_nt")
 
     return {
         "stages": rec.records,

@@ -42,6 +42,30 @@ def test_ntriples_roundtrip_through_files(spark, tmp_path):
     } == set(ROWS)
 
 
+def test_pipeline_materializes_rdf(spark, tmp_path):
+    """End-to-end graph materialization: the pipeline's triples table
+    serialized as N-Triples must parse back to exactly the same
+    (subj, pred, obj) set."""
+    from arachne_spark.pipeline import PipelineConfig, run_pipeline
+
+    wh = str(tmp_path / "wh")
+    out = run_pipeline(
+        spark,
+        PipelineConfig(
+            warehouse=wh, n_pages=300, run_id="nt",
+            materialize_rdf=True,
+        ),
+    )
+    nt = read_ntriples(spark, wh + "/triples_nt")
+    assert nt.count() == out["triples"] > 0
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(wh + "/triples").collect()
+    }
+    got = {(r["subj"], r["pred"], r["obj"]) for r in nt.collect()}
+    assert got == want
+
+
 def test_ntriples_malformed_lines_dropped(spark):
     good = (
         '<http://www.wikidata.org/entity/Q1> '
