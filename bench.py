@@ -73,6 +73,9 @@ HEADLINE = [
     "q17_property_path",
     "q37_ann_lsh_topk",
     "q38_doc_dedup",
+    # round-3 additions (totals not comparable to r2; compare per-query)
+    "q50_asof_join",
+    "q51_sessionize",
 ]
 
 KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "960000"))

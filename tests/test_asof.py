@@ -62,3 +62,54 @@ def test_asof_join_matches_naive_oracle(spark):
     assert len(got) == len(lefts)
     for k, ts, lid in lefts:
         assert got[lid] == naive(k, ts), (k, ts, lid)
+
+    # the hot-key-safe two-pass plan must give IDENTICAL answers for
+    # any bucket width, including widths that leave many buckets empty
+    for width in (1, 7, 50, 10_000):
+        got_b = {
+            r["lid"]: r["asof_v"]
+            for r in asof_join(
+                left, right, key="k", payload_cols=["v"],
+                time_bucket=width,
+            ).collect()
+        }
+        assert got_b == got, f"width={width}"
+
+
+def test_asof_join_hot_key_bounded(spark):
+    """One key holding ~all rows: the bucketed plan spreads it over
+    (key, time-bucket) partitions instead of serializing it in a
+    single window task.  Answers must match the single-window plan."""
+    import time
+
+    n = 60_000
+    left = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        (F.col("id") * 3 + 1).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(n // 3).select(
+        F.lit("hot").alias("k"),
+        (F.col("id") * 9).alias("ts"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    t0 = time.time()
+    bucketed = asof_join(
+        left, right, key="k", payload_cols=["v"], time_bucket=500
+    )
+    n_out = bucketed.count()
+    wall = time.time() - t0
+    assert n_out == n
+    assert wall < 120, f"hot-key asof took {wall:.0f}s"
+    # spot-equality against the single-window plan on a sample
+    plain = asof_join(left, right, key="k", payload_cols=["v"])
+    sample_ids = [0, 1, 2, 4999, 5000, 29_999, 59_999]
+    want = {
+        r["lid"]: r["asof_v"]
+        for r in plain.where(F.col("lid").isin(sample_ids)).collect()
+    }
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in bucketed.where(F.col("lid").isin(sample_ids)).collect()
+    }
+    assert got == want
