@@ -69,6 +69,11 @@ def asof_join(
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    if not payload_cols:
+        raise ValueError(
+            "asof_join: right side has no payload columns beyond "
+            "key/timestamp — nothing to attach"
+        )
     seq = seq if seq is not None else F.col(payload_cols[0])
 
     r = right.select(
@@ -131,6 +136,11 @@ def _asof_join_bucketed(
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    if not payload_cols:
+        raise ValueError(
+            "asof_join: right side has no payload columns beyond "
+            "key/timestamp — nothing to attach"
+        )
     seq = seq if seq is not None else F.col(payload_cols[0])
 
     def bucket(col: Column) -> Column:

@@ -13,7 +13,11 @@ Python in either direction):
 * subjects/objects that are already absolute IRIs (page urls) pass
   through as IRIs;
 * everything else becomes an escaped string literal per the N-Triples
-  grammar (backslash, quote, LF, CR, TAB).
+  grammar (backslash, quote, LF, CR, TAB).  (Subjects in this engine
+  are always urls or entity ids, so the literal branch only ever fires
+  for objects; a free-text subject would serialize as a literal, which
+  round-trips through this parser but is outside the strict RDF
+  grammar — callers feeding arbitrary subjects should mint IRIs.)
 
 Escaping uses ``F.replace`` (literal string replace, codegen'd) — not
 ``regexp_replace`` — so backslash semantics are exact and the DuckDB
