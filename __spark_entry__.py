@@ -913,6 +913,21 @@ def q51_sessionize(spark, sf_dir):
     )
 
 
+def q52_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (operators/ann.py::ivf_topk) — the second
+    ANN scale path next to hyperplane LSH (q37): corpus partitioned
+    into centroid cells, queries probe their nprobe nearest cells,
+    exact cosine rescoring ranks the candidates.  Centroids are the
+    deterministic seeded pick (smallest ids) so every value is
+    bit-reproducible by the oracle."""
+    from arachne_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, F.col("vec_id") < 10, n_centroids=8, k=5, nprobe=2
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1055,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_pivot": q49_pivot,
         "q50_asof_join": q50_asof_join,
         "q51_sessionize": q51_sessionize,
+        "q52_ann_ivf_topk": q52_ann_ivf_topk,
     }
 
 
@@ -1362,6 +1378,42 @@ def oracle_sql() -> dict[str, str]:
               || '" .'
             end as line
           from nation
+        """,
+        "q52_ann_ivf_topk": f"""
+          with e as (
+            select vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> cast(x as double) * cast(x as double))))
+                     as nrm
+            from embeddings),
+          c as (select vec_id as cid, embedding as cvec, nrm as cnrm
+                from e order by vec_id limit 8),
+          asgn as (
+            select vec_id, embedding, nrm, cid, rk from (
+              select e.vec_id, e.embedding, e.nrm, c.cid,
+                     row_number() over (partition by e.vec_id order by
+                       list_sum(list_transform(range(1, {DIM} + 1),
+                         i -> cast(e.embedding[i] as double)
+                              * cast(c.cvec[i] as double)))
+                       / (e.nrm * c.cnrm) desc, c.cid) as rk
+              from e, c) where rk <= 2),
+          cand as (
+            select q.vec_id as qvec, q.embedding as qe, q.nrm as qn,
+                   n.vec_id as nvec, n.embedding as ne, n.nrm as nn
+            from (select * from asgn where vec_id < 10) q
+            join (select * from asgn where rk = 1) n using (cid)
+            where q.vec_id != n.vec_id),
+          sims as (
+            select qvec, nvec,
+                   round(list_sum(list_transform(range(1, {DIM} + 1),
+                     i -> cast(qe[i] as double) * cast(ne[i] as double)))
+                     / (qn * nn), 4) as sim
+            from cand)
+          select qvec, nvec, sim, rank from (
+            select *, row_number() over (partition by qvec
+                     order by sim desc, nvec) as rank
+            from sims)
+          where rank <= 5
         """,
         "q48_percentiles": """
           select l_returnflag,

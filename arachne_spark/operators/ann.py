@@ -195,6 +195,121 @@ def ann_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cvec, cnrm): the coarse-quantizer centroid set — here the
+    embeddings of the ``n_centroids`` smallest ids, a deterministic
+    seeded pick.  A real deployment trains centroids offline (MLlib
+    KMeans over a sample) and feeds them to the same index/search
+    machinery; the seeded pick is used because float-mean reductions
+    are reduction-order-nondeterministic, which would break the
+    bit-reproducibility every operator here guarantees (and the
+    value-hash oracle gate with it)."""
+    return (
+        emb.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            norm_expr(vec_col).alias("cnrm"),
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, nrm, cid, crank): each vector's ``nprobe``
+    nearest centroids by cosine (crank 1 = nearest; ties break to the
+    smaller cid).  The centroid set is broadcast — it is bounded by
+    construction, so the assignment is one linear corpus scan times K
+    (the BroadcastNestedLoopJoin here is by design, exactly like the
+    bounded query broadcast of brute_force_topk — the corpus never
+    moves)."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        norm_expr(vec_col).alias("nrm"),
+    )
+    pairs = e.crossJoin(F.broadcast(centroids))
+    sims = pairs.withColumn(
+        "csim", dot_expr("embedding", "cvec") / (F.col("nrm") * F.col("cnrm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    return (
+        sims.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= nprobe)
+        .select("vec_id", "embedding", "nrm", "cid", "crank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    n_centroids: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qvec, nvec, sim, rank): IVF approximate top-k — the second
+    scale path next to the hyperplane-LSH index (``ann_topk``).  The
+    corpus is partitioned into centroid cells (one cell per vector);
+    each query probes its ``nprobe`` nearest cells; candidates meet in
+    an equi-join on cell id and exact cosine rescoring ranks them.
+    Cost: one linear assignment pass + sum over probed cells of
+    |cell| — never all-pairs.  At 10^9 vectors: thousands of centroids
+    (cells of ~10^5-10^6), nprobe 8-32; same code, bigger centroid
+    table."""
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    indexed = ivf_assign(emb, cents, nprobe=1, id_col=id_col,
+                         vec_col=vec_col)
+    probing = ivf_assign(
+        emb.where(query_pred), cents, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cand = (
+        probing.select(
+            F.col("vec_id").alias("qvec"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cid",
+        )
+        .join(
+            indexed.select(
+                F.col("vec_id").alias("nvec"),
+                F.col("embedding").alias("ne"),
+                F.col("nrm").alias("nn"),
+                "cid",
+            ),
+            "cid",
+        )
+        .where(F.col("qvec") != F.col("nvec"))
+        .dropDuplicates(["qvec", "nvec"])
+    )
+    sims = cand.select(
+        "qvec",
+        "nvec",
+        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
+        .alias("sim"),
+    )
+    w = Window.partitionBy("qvec").orderBy(F.col("sim").desc(), F.col("nvec"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup(
     emb: DataFrame,
     hyperplanes: list[list[float]],
