@@ -928,6 +928,31 @@ def q52_ann_ivf_topk(spark, sf_dir):
     )
 
 
+# GPT-2-style pretokenizer shape: letter runs, digit runs, punctuation
+# runs (each optionally space-prefixed), residual spaces.  Leftmost-
+# first alternation behaves identically in Java regex (Spark) and RE2
+# (DuckDB), so the oracle reproduces the count exactly.
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
+
+
+def q53_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (the LLM-pipeline token budgeter):
+    subword-style pretokenization via regex runs, tokens-per-doc and
+    chars-per-token — the statistics a training-data pipeline bins
+    documents by."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(BPE_PATTERN), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1071,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_asof_join": q50_asof_join,
         "q51_sessionize": q51_sessionize,
         "q52_ann_ivf_topk": q52_ann_ivf_topk,
+        "q53_bpe_tokens": q53_bpe_tokens,
     }
 
 
@@ -1414,6 +1440,17 @@ def oracle_sql() -> dict[str, str]:
                      order by sim desc, nvec) as rank
             from sims)
           where rank <= 5
+        """,
+        "q53_bpe_tokens": """
+          with t as (
+            select doc_id, text,
+                   len(regexp_extract_all(lower(text),
+                     ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +')) as n
+            from documents)
+          select doc_id, cast(n as bigint) as n_bpe_tokens,
+                 round(cast(length(text) as double)
+                       / greatest(n, 1), 4) as chars_per_token
+          from t
         """,
         "q48_percentiles": """
           select l_returnflag,

@@ -328,6 +328,55 @@ def test_incremental_dedup_state_bounded_and_stable(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Sessionization must work in the streaming engine too (stateful
+    session merging across micro-batches), and the complete-mode
+    result must equal the batch session_window answer on the same
+    rows."""
+    src = str(tmp_path / "events_sessions")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = ev.select("user_id", "ts").where(F.col("user_id") < 30)
+    rows.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    # no watermark: complete mode keeps all session state, so files
+    # arriving in arbitrary time order still merge correctly (events
+    # span weeks — any realistic watermark would drop "late" files and
+    # split sessions; a production append-mode run feeds time-ordered
+    # batches and sets the watermark to its real lateness bound)
+    q = (
+        stream
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in spark.read.parquet(src)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stateful_touch_promotion(spark, tmp_path):
     """Cross-batch stateful promotion: each QID whose cumulative
     mention count reaches the threshold is emitted exactly once, and
