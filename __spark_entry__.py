@@ -884,9 +884,13 @@ def q50_asof_join(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("pvalue"))
     )
+    # time_bucket engages the hot-key-safe two-pass plan — the scale
+    # path (results identical to the single-window plan; the driver
+    # gate exercises the plan a 100 TB deployment would run)
     out = asof_join(
         clicks, purchases, key="user_id",
         left_ts="ts", right_ts="ts", payload_cols=["pvalue"],
+        time_bucket=86_400.0,
     )
     return out.select(
         "event_id",

@@ -143,15 +143,25 @@ def _asof_join_bucketed(
         )
     seq = seq if seq is not None else F.col(payload_cols[0])
 
-    def bucket(col: Column) -> Column:
-        return F.floor(col.cast("double") / F.lit(float(width))).cast(
-            "long"
-        )
+    def bucket(col: Column, dtype: str) -> Column:
+        # timestamps (ltz AND ntz) go through unix_micros — a direct
+        # double cast is rejected for TIMESTAMP_NTZ; the ntz→ltz cast
+        # uses the session timezone (pinned UTC by the session
+        # factory), and bucketing only needs a consistent monotonic
+        # mapping on both sides anyway
+        if dtype.startswith("timestamp"):
+            num = F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+        else:
+            num = col.cast("double")
+        return F.floor(num / F.lit(float(width))).cast("long")
 
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        bucket(F.col(right_ts)).alias("_b"),
+        bucket(
+            F.col(right_ts),
+            right.schema[right_ts].dataType.simpleString(),
+        ).alias("_b"),
         F.lit(0).alias("_side"),
         seq.alias("_seq"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
@@ -160,7 +170,10 @@ def _asof_join_bucketed(
         *[F.col(c) for c in left.columns],
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
-        bucket(F.col(left_ts)).alias("_b"),
+        bucket(
+            F.col(left_ts),
+            left.schema[left_ts].dataType.simpleString(),
+        ).alias("_b"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_seq"].dataType).alias("_seq"),
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
