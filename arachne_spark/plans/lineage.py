@@ -42,19 +42,25 @@ class StageRecorder:
         )
         wall_ms = int((time.time() - t0) * 1000)
 
-        part_counts = df.groupBy(
-            F.spark_partition_id().alias("partition_id")
-        ).count()
-        lineage = part_counts.select(
-            F.lit(self.run_id).alias("run_id"),
-            F.lit(name).alias("stage"),
-            "partition_id",
-            F.col("count").alias("rows"),
+        # ONE scan of the committed table: partition counts are a
+        # #partitions-sized result (bounded), so both the lineage rows
+        # and the stage total derive from a single collect instead of
+        # two passes over the data
+        spark = df.sparkSession
+        parts = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        lineage = spark.createDataFrame(
+            [
+                (self.run_id, name, p["partition_id"], p["count"])
+                for p in parts
+            ] or [(self.run_id, name, -1, 0)],
+            "run_id string, stage string, partition_id int, rows long",
         )
         self.wh.write(lineage, LINEAGE_TABLE, mode="append")
-
-        total = lineage.agg(F.sum("rows")).collect()[0][0] or 0
-        spark = df.sparkSession
+        total = sum(p["count"] for p in parts)
         metrics_row = spark.createDataFrame(
             [(self.run_id, name, int(total), wall_ms, bool(resumed))],
             "run_id string, stage string, rows long, wall_ms long, "

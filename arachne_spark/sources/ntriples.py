@@ -44,26 +44,42 @@ _PROP_RE = r"^P(0|[1-9][0-9]*)$"
 
 def escape_literal(col: Column) -> Column:
     """N-Triples ECHAR escaping: backslash first, then quote, LF, CR,
-    TAB — each a literal (non-regex) replace."""
+    TAB — each a literal (non-regex) replace.  NUL additionally
+    escapes to the UCHAR form ``\\u0000`` so serialized text is
+    NUL-free, which is what lets :func:`unescape_literal` use NUL as
+    its collision-free placeholder."""
     out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit('"'), F.lit('\\"'))
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
     out = F.replace(out, F.lit("\r"), F.lit("\\r"))
     out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    out = F.replace(out, F.lit("\x00"), F.lit("\\u0000"))
     return out
 
 
 def unescape_literal(col: Column) -> Column:
-    """Inverse of :func:`escape_literal` — applied in reverse order
-    through a placeholder so '\\\\n' (escaped backslash + n) does not
-    collapse into a newline."""
-    ph = "\x00"
-    out = F.replace(col, F.lit("\\\\"), F.lit(ph))
-    out = F.replace(out, F.lit('\\"'), F.lit('"'))
-    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
-    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
-    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
-    return F.replace(out, F.lit(ph), F.lit("\\"))
+    """Inverse of :func:`escape_literal`.
+
+    Chained global replaces cannot parse escape sequences (any
+    single-character placeholder for ``\\\\`` can collide with some
+    literal content — a NUL literal vs a NUL placeholder, etc.), so
+    this uses the split construction instead: splitting on the
+    two-character sequence ``\\\\`` leaves parts in which EVERY
+    remaining backslash begins a true single-character escape, the
+    simple escapes restore unambiguously inside each part, and the
+    join seam re-inserts the literal backslashes.  ``transform`` runs
+    interpreted, which is fine on the reader path (serialization, the
+    hot direction, stays pure codegen)."""
+    parts = F.split(col, r"\\\\")
+
+    def fix(p: Column) -> Column:
+        out = F.replace(p, F.lit('\\"'), F.lit('"'))
+        out = F.replace(out, F.lit("\\n"), F.lit("\n"))
+        out = F.replace(out, F.lit("\\r"), F.lit("\r"))
+        out = F.replace(out, F.lit("\\t"), F.lit("\t"))
+        return F.replace(out, F.lit("\\u0000"), F.lit("\x00"))
+
+    return F.array_join(F.transform(parts, fix), "\\")
 
 
 def _term(col: Column, ns: str) -> Column:

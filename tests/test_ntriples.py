@@ -66,6 +66,44 @@ def test_pipeline_materializes_rdf(spark, tmp_path):
     assert got == want
 
 
+def test_ntriples_roundtrip_hypothesis(spark):
+    """Property: ANY object string (unicode, control chars, quotes,
+    trailing ' .', lone backslashes) survives serialize → parse.  One
+    Spark job over the whole generated batch — hypothesis drives the
+    data generation, not the job count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # exclude unassigned/surrogate codepoints (cannot transit parquet/
+    # UTF-8), keep everything else including controls
+    text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x10FFFF
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @settings(max_examples=1, deadline=None)
+    @given(st.lists(text, min_size=30, max_size=30, unique=True))
+    def run(objs):
+        rows = [(f"Q{i}", "label", o) for i, o in enumerate(objs)]
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+        back = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in parse_ntriples_lines(
+                to_ntriples_lines(df)
+            ).collect()
+        }
+        # objects that LOOK like entity ids / IRIs legitimately decode
+        # to themselves through the IRI branch; everything round-trips
+        assert back == set(rows)
+
+    run()
+
+
 def test_ntriples_malformed_lines_dropped(spark):
     good = (
         '<http://www.wikidata.org/entity/Q1> '
