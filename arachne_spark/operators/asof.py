@@ -47,7 +47,10 @@ def asof_join(
     row precedes).
 
     ``seq`` breaks ties among right rows sharing (key, right_ts);
-    defaults to the first payload column.
+    defaults to the first payload column.  Column names with a
+    leading underscore (``_k``, ``_ts``, ``_b``, ``_side``, ``_seq``,
+    ``_payload``, ``_carry``, ``_c1``, ``_cin``) are reserved for the
+    operator's internals and must not appear in either input.
 
     ``time_bucket`` (seconds, or plain units for numeric timestamps)
     switches to the **hot-key-safe two-pass plan**: the single-window

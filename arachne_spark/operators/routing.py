@@ -74,22 +74,26 @@ def routed_enrich(
     * E     → ``schema_labels`` (title, label), by the prefixed
       request title — the ``action=query`` path.
 
-    Sources are dictionary-sized → broadcast; the routed fact side
-    never shuffles.  Returns routed columns + ``label`` (NULL when the
-    source has no entry — the enqueue-again case).
+    No broadcast hints: the label sources grow with the knowledge base
+    (a full Wikidata labels table is ~10^8 rows, past the broadcast
+    ceiling), so AQE picks broadcast while a source fits and falls
+    back to a shuffled join when it doesn't — the same treatment as
+    the pipeline's enrichment join.  Returns routed columns +
+    ``label`` (NULL when the source has no entry — the enqueue-again
+    case).
     """
     wd = (
         routed.where(~F.col("kind").isin("mediainfo", "entity_schema"))
-        .join(F.broadcast(wikidata_labels), "qid", "left")
+        .join(wikidata_labels, "qid", "left")
     )
     cm = (
         routed.where(F.col("kind") == "mediainfo")
-        .join(F.broadcast(commons_labels), "qid", "left")
+        .join(commons_labels, "qid", "left")
     )
     es = (
         routed.where(F.col("kind") == "entity_schema")
         .join(
-            F.broadcast(schema_labels),
+            schema_labels,
             routed["request_id"] == schema_labels["title"],
             "left",
         )
