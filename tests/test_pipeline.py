@@ -91,6 +91,40 @@ def test_promotion_threshold(spark, pipeline_result):
     assert got == want  # salted two-phase count == plain count
 
 
+def test_lineage_and_metrics_tables(spark, pipeline_result):
+    """Per-partition lineage + per-stage metrics (the north-rule
+    observability requirement): every stage appears in both tables,
+    and each stage's lineage partition counts sum to its metrics row
+    count."""
+    wh, cfg, summary = pipeline_result
+    metrics = spark.read.parquet(f"{wh}/kg_metrics").where(
+        F.col("run_id") == cfg.run_id
+    )
+    lineage = spark.read.parquet(f"{wh}/kg_lineage").where(
+        F.col("run_id") == cfg.run_id
+    )
+    want_stages = {s["stage"] for s in summary["stages"]}
+    assert want_stages == {
+        r["stage"] for r in metrics.select("stage").distinct().collect()
+    }
+    assert want_stages == {
+        r["stage"] for r in lineage.select("stage").distinct().collect()
+    }
+    lin_totals = {
+        r["stage"]: r["t"]
+        for r in lineage.groupBy("stage")
+        .agg(F.sum("rows").alias("t"))
+        .collect()
+    }
+    for s in summary["stages"]:
+        assert lin_totals[s["stage"]] == s["rows"], s["stage"]
+    # partition ids are real (non-negative) for non-empty stages
+    nonneg = lineage.where(
+        (F.col("rows") > 0) & (F.col("partition_id") < 0)
+    ).count()
+    assert nonneg == 0
+
+
 def test_determinism_across_parallelism(spark, tmp_path):
     """Same triples at different parallelism (SURVEY.md §5.2)."""
     results = []
