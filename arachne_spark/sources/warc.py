@@ -176,28 +176,104 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 # sources/pages.py: pure function of the row content, no randomness)
 
 
+def _record_bytes(url: str, warc_ts, html: bytes, member_gzip: bool) -> bytes:
+    """One WARC/1.0 response record (optionally its own gzip member —
+    the Common-Crawl layout).  mtime=0 keeps the gzip bytes a pure
+    function of the record content."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    date = warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+    head = (
+        WARC_VERSION + b"\r\n"
+        + b"WARC-Type: response\r\n"
+        + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        + b"WARC-Date: " + date + b"\r\n"
+        + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        + b"\r\n"
+    )
+    record = head + http + b"\r\n\r\n"
+    return gzip.compress(record, mtime=0) if member_gzip else record
+
+
 def write_warc_bytes(records: list[dict], member_gzip: bool = False) -> bytes:
     """Serialize (url, warc_ts, html) dicts as a WARC/1.0 archive.
 
     ``member_gzip=True`` produces the Common-Crawl layout (one gzip
     member per record)."""
-    out = []
-    for rec in records:
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-            + rec["html"]
-        )
-        date = rec["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode()
-        head = (
-            WARC_VERSION + b"\r\n"
-            + b"WARC-Type: response\r\n"
-            + b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
-            + b"WARC-Date: " + date + b"\r\n"
-            + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
-            + b"\r\n"
-        )
-        record = head + http + b"\r\n\r\n"
-        out.append(
-            gzip.compress(record, mtime=0) if member_gzip else record
-        )
-    return b"".join(out)
+    return b"".join(
+        _record_bytes(r["url"], r["warc_ts"], r["html"], member_gzip)
+        for r in records
+    )
+
+
+def write_warc(
+    pages: DataFrame, out_dir: str, member_gzip: bool = True
+) -> list[dict]:
+    """Distributed WARC sink: one ``part-<pid>.warc[.gz]`` shard per
+    non-empty partition, streamed Arrow-batch-by-batch (a shard is
+    never buffered whole in memory), written to a temp name and
+    atomically renamed — a retried/speculated task rewrites its own
+    shard instead of corrupting it.  Returns the collected manifest
+    ``[{shard, n_records}, ...]`` and drops a ``_SUCCESS`` marker, so
+    a consumer can distinguish a committed archive set from a
+    partial one.
+
+    Shard bytes are deterministic given a deterministic partitioning
+    (callers wanting canonical output repartition + sortWithinPartitions
+    first; record gzip members use mtime=0).  File I/O is the plain
+    ``open()`` API: correct for local/NFS paths, and the documented
+    swap-in point for an fsspec/S3A client on object stores — the
+    Spark-side contract (partition streaming, manifest, atomic rename,
+    marker commit) is identical.
+    """
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if member_gzip else ".warc"
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f = None
+        tmp = final = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) and f is None:
+                pid = TaskContext.get().partitionId()
+                final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+                tmp = final + ".inprogress"
+                f = open(tmp, "wb")
+            for url, ts, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"]
+            ):
+                f.write(
+                    _record_bytes(
+                        url,
+                        ts.to_pydatetime(),
+                        bytes(html) if html is not None else b"",
+                        member_gzip,
+                    )
+                )
+                n += 1
+        if f is not None:
+            f.close()
+            os.replace(tmp, final)
+            yield pd.DataFrame({"shard": [final], "n_records": [n]})
+        else:
+            yield pd.DataFrame(
+                {"shard": pd.Series([], dtype=object),
+                 "n_records": pd.Series([], dtype="int64")}
+            )
+
+    manifest = (
+        pages.select("url", "warc_ts", "html")
+        .mapInPandas(dump, "shard string, n_records long")
+        .collect()
+    )
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    return [
+        {"shard": r["shard"], "n_records": r["n_records"]}
+        for r in manifest
+    ]

@@ -113,3 +113,43 @@ def test_warc_feeds_pipeline_operators(spark, tmp_path):
         (r["url"], "Q5") in got and (r["url"], "Q30") in got
         for r in RECORDS
     )
+
+
+def test_warc_distributed_sink_roundtrip(spark, tmp_path):
+    """write_warc (the distributed sink) → read_warc must round-trip
+    (url, warc_ts, html) exactly, for both layouts, with a shard per
+    non-empty partition, a consistent manifest, and a _SUCCESS marker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arachne_spark.sources.pages import pages_df
+    from arachne_spark.sources.warc import read_warc, write_warc
+
+    pages = (
+        pages_df(spark, 40, partitions=4)
+        # the record format carries second precision
+        .withColumn("warc_ts", F.date_trunc("second", "warc_ts"))
+        .repartition(3, "url")
+    )
+    want = {
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in pages.select("url", "warc_ts", "html").collect()
+    }
+
+    for member_gzip in (True, False):
+        out = str(tmp_path / f"sink_{member_gzip}")
+        manifest = write_warc(pages, out, member_gzip=member_gzip)
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        assert sum(m["n_records"] for m in manifest) == len(want)
+        assert all(os.path.getsize(m["shard"]) > 0 for m in manifest)
+        got = {
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in read_warc(spark, out + "/part-*").collect()
+        }
+        assert got == want
+
+    # idempotent rerun: same shards, no duplicates
+    out = str(tmp_path / "sink_True")
+    write_warc(pages, out, member_gzip=True)
+    assert read_warc(spark, out + "/part-*").count() == len(want)
