@@ -84,7 +84,7 @@ def _decompress(data: bytes) -> bytes:
     return data
 
 
-def _parse_records(data: bytes) -> Iterator[dict]:
+def _parse_records(data: bytes, stats: dict | None = None) -> Iterator[dict]:
     """Yield {url, warc_ts, html} per well-formed response record.
 
     Offset-based scan driven by each record's Content-Length — NOT a
@@ -94,6 +94,11 @@ def _parse_records(data: bytes) -> Iterator[dict]:
     record with a bad/missing length falls back to scanning forward
     from its own header, so one corrupt record costs at most itself.
     """
+    if stats is None:
+        stats = {}
+    stats.setdefault("records", 0)
+    stats.setdefault("responses", 0)
+    stats.setdefault("dropped", 0)
     marker = WARC_VERSION + b"\r\n"
     pos = 0
     n = len(data)
@@ -101,8 +106,10 @@ def _parse_records(data: bytes) -> Iterator[dict]:
         idx = data.find(marker, pos)
         if idx < 0:
             break
+        stats["records"] += 1
         head_end = data.find(b"\r\n\r\n", idx)
         if head_end < 0:
+            stats["dropped"] += 1
             break
         headers: dict[str, str] = {}
         for line in data[idx + len(marker):head_end].split(b"\r\n"):
@@ -117,25 +124,29 @@ def _parse_records(data: bytes) -> Iterator[dict]:
             if length < 0:
                 raise ValueError
         except (KeyError, ValueError):
+            stats["dropped"] += 1
             pos = body_start  # malformed: scan forward, drop record
             continue
         body = data[body_start:body_start + length]
         pos = body_start + length  # skip the body, whatever it contains
 
         if headers.get("warc-type") != "response":
-            continue
+            continue  # request/metadata records: skipped, not dropped
         url = headers.get("warc-target-uri")
         date = headers.get("warc-date")
         if not url or not date:
+            stats["dropped"] += 1
             continue
         try:
             ts = datetime.fromisoformat(date.replace("Z", "+00:00"))
             ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
         except ValueError:
+            stats["dropped"] += 1
             continue
         # HTTP response payload: strip the status line + headers
         http_end = body.find(b"\r\n\r\n")
         html = body[http_end + 4:] if http_end >= 0 else body
+        stats["responses"] += 1
         yield {"url": url, "warc_ts": ts, "html": bytes(html)}
 
 
@@ -169,6 +180,42 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(parse_batches, PAGES_SCHEMA)
+
+
+def read_warc_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """(path, n_records, n_responses, n_dropped): per-file ingest
+    audit — how many WARC records each file holds, how many yielded
+    pages, how many were malformed and dropped.  A separate audit scan
+    by design: the hot ingest path (``read_warc``) stays a pure
+    fan-out with no side channel, and the audit runs on demand (or on
+    a sampled file subset) with the same tolerant parser, so its
+    numbers are exactly the ingest's numbers."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def audit_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "path": [], "n_records": [], "n_responses": [],
+                "n_dropped": [],
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                stats: dict = {}
+                for _ in _parse_records(_decompress(bytes(content)), stats):
+                    pass
+                rows["path"].append(p)
+                rows["n_records"].append(stats["records"])
+                rows["n_responses"].append(stats["responses"])
+                rows["n_dropped"].append(stats["dropped"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        audit_batches,
+        "path string, n_records long, n_responses long, n_dropped long",
+    )
 
 
 # ---------------------------------------------------------------------------

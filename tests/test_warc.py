@@ -153,3 +153,29 @@ def test_warc_distributed_sink_roundtrip(spark, tmp_path):
     out = str(tmp_path / "sink_True")
     write_warc(pages, out, member_gzip=True)
     assert read_warc(spark, out + "/part-*").count() == len(want)
+
+
+def test_warc_metrics_audit(spark, tmp_path):
+    """read_warc_metrics: per-file record / response / dropped counts
+    agree with what read_warc actually yields."""
+    from arachne_spark.sources.warc import read_warc_metrics
+
+    good = write_warc_bytes(RECORDS[:4])
+    req_http = b"GET / HTTP/1.1\r\n\r\n"
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        + b"Content-Length: " + str(len(req_http)).encode() + b"\r\n\r\n"
+        + req_http + b"\r\n\r\n"
+    )
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: xyz\r\n\r\nbody"
+    )
+    p = tmp_path / "audit.warc"
+    p.write_bytes(good + req + bad)
+
+    [m] = read_warc_metrics(spark, str(p)).collect()
+    assert m["n_records"] == 6      # 4 responses + 1 request + 1 bad
+    assert m["n_responses"] == 4
+    assert m["n_dropped"] == 1      # the unparseable length
+    assert read_warc(spark, str(p)).count() == m["n_responses"]
