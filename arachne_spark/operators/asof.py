@@ -64,6 +64,16 @@ def asof_join(
     Results are identical to the single-window plan
     (tests/test_asof.py asserts equality on a randomized fixture).
     """
+    reserved = {
+        "_k", "_ts", "_b", "_side", "_seq", "_payload", "_carry",
+        "_c1", "_cin",
+    }
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns {sorted(clash)} collide with "
+            "reserved internal names — rename them first"
+        )
     if time_bucket is not None:
         return _asof_join_bucketed(
             left, right, key, left_ts, right_ts, payload_cols, seq,

@@ -101,6 +101,23 @@ def decode_image(payload: bytes | None) -> dict | None:
         h = int.from_bytes(payload[22:26], "little", signed=True)
         if w <= 0 or h == 0:  # negative h = top-down BMP, legal
             return None
+        # structural validation — without it any >=54-byte text that
+        # happens to start with "BM" (e.g. "BMW dealers ...") would
+        # "decode", since ASCII bytes at the dimension offsets form
+        # positive ints.  planes is REQUIRED to be 1 by the spec (two
+        # ASCII chars can never be 0x0001), bpp must be a legal depth,
+        # and the pixel array implied by (w, h, bpp) must actually be
+        # present past the declared data offset.
+        planes = int.from_bytes(payload[26:28], "little")
+        bpp = int.from_bytes(payload[28:30], "little")
+        offset = int.from_bytes(payload[10:14], "little")
+        if planes != 1 or bpp not in (1, 4, 8, 16, 24, 32):
+            return None
+        if not 54 <= offset <= len(payload):
+            return None
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        if len(payload) - offset < row_bytes * abs(h):
+            return None
         return {"format": "bmp", "width": w, "height": abs(h)}
     return None
 

@@ -126,12 +126,17 @@ class Warehouse:
         SortMergeJoin over FileScans with NO Exchange on either side.
         """
         if self.catalog:
-            # Iceberg: bucket transform partitioning, atomic replace
+            # Iceberg: one bucket transform PER key column (identity
+            # partitioning on a high-cardinality key would explode the
+            # partition count; joint-hash bucketing is not expressible
+            # as a transform, and per-column bucket transforms still
+            # co-locate two tables written with the same spec for a
+            # join on all bucket_cols).  Atomic replace.
             from pyspark.sql.functions import bucket, col
 
             writer = df.writeTo(f"{self.catalog}.{table}").partitionedBy(
                 bucket(n_buckets, col(bucket_cols[0])),
-                *[col(c) for c in bucket_cols[1:]],
+                *[bucket(n_buckets, col(c)) for c in bucket_cols[1:]],
             )
             writer.createOrReplace()
             return

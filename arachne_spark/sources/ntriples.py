@@ -19,6 +19,14 @@ Python in either direction):
   round-trips through this parser but is outside the strict RDF
   grammar — callers feeding arbitrary subjects should mint IRIs.)
 
+Parsing CANONICALIZES known-namespace IRIs to bare entity ids: a
+column value that is already the full ``http://www.wikidata.org/
+entity/Q42`` IRI serializes to the same line as ``Q42`` and parses
+back as ``Q42``.  That is deliberate RDF semantics (the IRI is the
+identity, ids are this engine's canonical spelling of it) — serialize
+∘ parse is idempotent on canonical values, and non-canonical spellings
+normalize on the first pass rather than round-tripping verbatim.
+
 Escaping uses ``F.replace`` (literal string replace, codegen'd) — not
 ``regexp_replace`` — so backslash semantics are exact and the DuckDB
 oracle can mirror each step with ``replace()``.

@@ -287,9 +287,16 @@ def write_warc(
         n = 0
         for pdf in batches:
             if len(pdf) and f is None:
-                pid = TaskContext.get().partitionId()
+                ctx = TaskContext.get()
+                pid = ctx.partitionId()
                 final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-                tmp = final + ".inprogress"
+                # temp name carries the task ATTEMPT id: concurrent
+                # attempts (speculation, zombie retries) each write
+                # their own file, and whichever os.replace()s last
+                # installs a complete shard — never interleaved bytes.
+                # A losing attempt's orphan .inprogress file is inert
+                # (readers glob part-*{ext}).
+                tmp = f"{final}.{ctx.taskAttemptId()}.inprogress"
                 f = open(tmp, "wb")
             for url, ts, html in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"]
@@ -318,6 +325,11 @@ def write_warc(
         .mapInPandas(dump, "shard string, n_records long")
         .collect()
     )
+    # sweep losing-attempt temp files before committing the marker so
+    # a later `part-*` glob sees only complete shards
+    for name in os.listdir(out_dir):
+        if name.endswith(".inprogress"):
+            os.remove(os.path.join(out_dir, name))
     with open(os.path.join(out_dir, "_SUCCESS"), "w"):
         pass
     return [

@@ -197,7 +197,21 @@ def run_incremental_dedup(
     base_dir = sdir + "/base"
     delta_dir = sdir + "/delta"
 
+    def recover_base(sp: SparkSession) -> None:
+        """Crash recovery for the compaction swap: the swap is
+        rename(base→old); rename(tmp→base).  A crash between the two
+        leaves base missing and the data in old — and since the delta
+        dir is only cleared AFTER a completed swap, restoring old
+        reconstructs exactly the committed state (old ∪ deltas =
+        the merged tmp)."""
+        fs, bpath = _hadoop_fs(sp, base_dir)
+        jvm = sp._jvm
+        old = jvm.org.apache.hadoop.fs.Path(base_dir + ".__old")
+        if not fs.exists(bpath) and fs.exists(old):
+            fs.rename(old, bpath)
+
     def read_committed(sp: SparkSession, batch_id: int) -> DataFrame | None:
+        recover_base(sp)
         parts = [
             d for d in (
                 _try_read_parquet(sp, base_dir),
@@ -215,6 +229,7 @@ def run_incremental_dedup(
         return comm.where(F.col("batch_id") != batch_id)
 
     def compact(sp: SparkSession) -> None:
+        recover_base(sp)
         fs, dpath = _hadoop_fs(sp, delta_dir)
         if not fs.exists(dpath):
             return

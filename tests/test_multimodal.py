@@ -28,12 +28,19 @@ def _ppm(w, h, maxval=255, magic=b"P6", comment=False, truncate=0):
     return hdr + data
 
 
-def _bmp(w, h, hdr_size=40):
+def _bmp(w, h, hdr_size=40, planes=1, bpp=24, truncate=0):
+    row_bytes = ((max(w, 0) * bpp + 31) // 32) * 4
     b = bytearray(54)
     b[0:2] = b"BM"
+    b[10:14] = (54).to_bytes(4, "little")  # pixel-array offset
     b[14:18] = hdr_size.to_bytes(4, "little")
     b[18:22] = w.to_bytes(4, "little", signed=True)
     b[22:26] = h.to_bytes(4, "little", signed=True)
+    b[26:28] = planes.to_bytes(2, "little")
+    b[28:30] = bpp.to_bytes(2, "little")
+    b += bytes(row_bytes * abs(h))
+    if truncate:
+        b = b[:-truncate]
     return bytes(b)
 
 
@@ -55,7 +62,13 @@ def test_decode_image_real_formats():
     }
     assert decode_image(_bmp(7, 5, hdr_size=12)) is None  # core header
     assert decode_image(_bmp(-7, 5)) is None
+    assert decode_image(_bmp(7, 5, planes=2)) is None
+    assert decode_image(_bmp(7, 5, bpp=13)) is None
+    assert decode_image(_bmp(7, 5, truncate=1)) is None  # short pixels
     assert decode_image(b"BM" + bytes(10)) is None        # truncated
+    # >=54 bytes of text starting with "BM" must NOT decode (planes
+    # bytes are ASCII, never 0x0001) — the q30 oracle depends on this
+    assert decode_image(b"BMW dealers report record sales" + b" " * 40) is None
     assert decode_image(b"plain text bytes") is None
     assert decode_image(b"") is None
     assert decode_image(None) is None
