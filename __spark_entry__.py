@@ -957,6 +957,39 @@ def q53_bpe_tokens(spark, sf_dir):
     )
 
 
+def q54_range_join(spark, sf_dir):
+    """Range (interval) join via interval bucketization
+    (operators/rangejoin.py): click events matched to the 2-hour
+    attribution windows opened by same-user purchases — candidates
+    meet in an equi-join on (user, time-bucket), never a per-key
+    cross product.  Output: per covered click, how many windows cover
+    it and the earliest one."""
+    from arachne_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    wins = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+        .dropDuplicates()
+    )
+    hits = range_join(
+        clicks, wins, point_id="event_id", point_ts="ts",
+        start_col="w_start", end_col="w_end", keys=["user_id"],
+        bucket_width=3600.0, max_buckets=8,
+    )
+    return hits.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_windows"),
+        F.min("w_start").alias("first_window"),
+    )
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1101,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_sessionize": q51_sessionize,
         "q52_ann_ivf_topk": q52_ann_ivf_topk,
         "q53_bpe_tokens": q53_bpe_tokens,
+        "q54_range_join": q54_range_join,
     }
 
 
@@ -1455,6 +1489,19 @@ def oracle_sql() -> dict[str, str]:
                  round(cast(length(text) as double)
                        / greatest(n, 1), 4) as chars_per_token
           from t
+        """,
+        "q54_range_join": """
+          with wins as (
+            select distinct user_id, ts as w_start,
+                   ts + interval 2 hour as w_end
+            from events where event_type = 'purchase'),
+          c as (select event_id, ts, user_id from events
+                where event_type = 'click')
+          select c.event_id, c.user_id, count(*) as n_windows,
+                 min(w.w_start) as first_window
+          from c join wins w on c.user_id = w.user_id
+             and c.ts >= w.w_start and c.ts <= w.w_end
+          group by 1, 2
         """,
         "q48_percentiles": """
           select l_returnflag,
