@@ -324,54 +324,80 @@ def q18_doc_mentions(spark, sf_dir):
     return m.select(F.col("url").alias("doc_id"), "qid").dropDuplicates()
 
 
-def q19_doc_tokens(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ", -1)
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-    )
-
-
-def q20_doc_quality(spark, sf_dir):
+def q20_text_stats(spark, sf_dir):
+    """Per-document text-analysis profile over ``documents`` — token
+    counting (whitespace split + distinct), quality scoring (stopword
+    ratio + mean token length), n-gram-heuristic language id, md5
+    fingerprints (full + 10-token prefix), and the per-token SimHash
+    signature — the LLM-pipeline text-analysis operator family as one
+    oracle-checked row set.  (Consolidates round-3's q19/q21/q22/q25
+    fixture variants so the four round-3 operators q51–q54 fit the
+    driver's 50-entry correctness window; every retired query's output
+    columns survive verbatim and stay value-hash-checked here.)"""
     docs = _t(spark, sf_dir, "documents")
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
-    return docs.withColumn("toks", F.split(F.col("text"), " ", -1)).select(
-        "doc_id",
-        F.round(
-            F.expr(
-                f"size(filter(toks, t -> array_contains({stop_arr}, t)))"
-            )
-            / F.size(F.col("toks")),
-            4,
-        ).alias("stop_ratio"),
-        F.round(
-            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
-            / F.size(F.col("toks")),
-            4,
-        ).alias("avg_tok_len"),
+    base = (
+        docs.withColumn("toks", F.split(F.col("text"), " ", -1))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(F.col("toks")))
+            .cast("bigint")
+            .alias("n_distinct"),
+            F.round(
+                F.expr(
+                    f"size(filter(toks, t -> array_contains({stop_arr}, t)))"
+                )
+                / F.size(F.col("toks")),
+                4,
+            ).alias("stop_ratio"),
+            F.round(
+                F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+                / F.size(F.col("toks")),
+                4,
+            ).alias("avg_tok_len"),
+            F.md5(F.array_join(F.col("toks"), "|")).alias("fp_full"),
+            F.md5(F.array_join(F.slice(F.col("toks"), 1, 10), "|")).alias(
+                "fp_prefix"
+            ),
+        )
+        .withColumn(
+            "pred_lang",
+            F.when(F.col("stop_ratio") >= 0.05, F.lit("en")).otherwise(
+                F.lit("other")
+            ),
+        )
     )
-
-
-def q21_doc_langid(spark, sf_dir):
-    q = q20_doc_quality(spark, sf_dir)
-    return q.select(
+    toks = docs.select(
         "doc_id",
-        F.when(F.col("stop_ratio") >= 0.05, F.lit("en"))
-        .otherwise(F.lit("other"))
-        .alias("pred_lang"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " ", -1))).alias(
+            "t"
+        ),
     )
-
-
-def q22_doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ", -1)
-    return docs.select(
-        "doc_id",
-        F.md5(F.array_join(toks, "|")).alias("fp_full"),
-        F.md5(F.array_join(F.slice(toks, 1, 10), "|")).alias("fp_prefix"),
+    bit_sums = [
+        F.sum(
+            F.when(
+                (
+                    F.expr(
+                        f"locate(substr(md5(t), {i + 1}, 1),"
+                        " '0123456789abcdef') - 1"
+                    )
+                    % 2
+                )
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(8)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim_bits = " + ".join(
+        f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(8)
     )
+    sim = agg.select(
+        "doc_id", F.expr(f"cast({sim_bits} as bigint)").alias("simhash")
+    )
+    return base.join(sim, "doc_id")
 
 
 def _shingles(spark, sf_dir, max_doc: int):
@@ -381,9 +407,14 @@ def _shingles(spark, sf_dir, max_doc: int):
         .select(
             "doc_id",
             F.explode(
+                # the size(toks) >= 3 guard mirrors operators/dedup.py:
+                # sequence(1, 0) raises under ANSI mode for a <3-token
+                # doc, which would crash the whole query on a short doc
                 F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                    "if(size(toks) >= 3,"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])),"
+                    " array())"
                 )
             ).alias("s"),
         )
@@ -419,41 +450,6 @@ def q24_minhash_band(spark, sf_dir):
         "doc_id",
         F.md5(F.concat("m0", "m1", "m2", "m3")).alias("band0"),
         F.md5(F.concat("m4", "m5", "m6", "m7")).alias("band1"),
-    )
-
-
-def q25_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(F.split(F.col("text"), " ", -1))
-            ).alias("t"),
-        )
-    )
-    bit_sums = [
-        F.sum(
-            F.when(
-                (
-                    F.expr(
-                        f"locate(substr(md5(t), {i + 1}, 1),"
-                        " '0123456789abcdef') - 1"
-                    )
-                    % 2
-                )
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(8)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    expr = " + ".join(
-        f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(8)
-    )
-    return agg.select(
-        "doc_id", F.expr(f"cast({expr} as bigint)").alias("simhash")
     )
 
 
@@ -1099,13 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_cc_components": q16_cc_components,
         "q17_property_path": q17_property_path,
         "q18_doc_mentions": q18_doc_mentions,
-        "q19_doc_tokens": q19_doc_tokens,
-        "q20_doc_quality": q20_doc_quality,
-        "q21_doc_langid": q21_doc_langid,
-        "q22_doc_fingerprint": q22_doc_fingerprint,
+        "q20_text_stats": q20_text_stats,
         "q23_ngram_jaccard": q23_ngram_jaccard,
         "q24_minhash_band": q24_minhash_band,
-        "q25_simhash": q25_simhash,
         "q26_cosine_topk": q26_cosine_topk,
         "q27_embed_neardup": q27_embed_neardup,
         "q28_lsh_buckets": q28_lsh_buckets,
@@ -1555,40 +1547,36 @@ def oracle_sql() -> dict[str, str]:
           join (values {DOC_DICT_SQL}) v(alias, qid)
             on ' ' || d.text || ' ' like '% ' || v.alias || ' %'
         """,
-        "q19_doc_tokens": """
-          select doc_id,
-                 len(string_split(text, ' ')) as n_tokens,
-                 len(list_distinct(string_split(text, ' ')))
-                   as n_distinct
-          from documents
-        """,
-        "q20_doc_quality": f"""
-          select doc_id,
-                 round(cast(len(list_filter(string_split(text, ' '),
-                         t -> list_contains({stop_list}, t))) as double)
-                       / len(string_split(text, ' ')), 4) as stop_ratio,
-                 round(cast(list_sum(list_transform(
-                         string_split(text, ' '), t -> length(t)))
-                       as double)
-                       / len(string_split(text, ' ')), 4) as avg_tok_len
-          from documents
-        """,
-        "q21_doc_langid": f"""
-          select doc_id,
-                 case when round(cast(len(list_filter(
-                        string_split(text, ' '),
-                        t -> list_contains({stop_list}, t))) as double)
-                        / len(string_split(text, ' ')), 4) >= 0.05
-                      then 'en' else 'other' end as pred_lang
-          from documents
-        """,
-        "q22_doc_fingerprint": """
-          select doc_id,
-                 md5(array_to_string(string_split(text, ' '), '|'))
-                   as fp_full,
-                 md5(array_to_string(string_split(text, ' ')[1:10], '|'))
-                   as fp_prefix
-          from documents
+        "q20_text_stats": f"""
+          with base as (
+            select doc_id,
+                   len(string_split(text, ' ')) as n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                     as n_distinct,
+                   round(cast(len(list_filter(string_split(text, ' '),
+                           t -> list_contains({stop_list}, t))) as double)
+                         / len(string_split(text, ' ')), 4) as stop_ratio,
+                   round(cast(list_sum(list_transform(
+                           string_split(text, ' '), t -> length(t)))
+                         as double)
+                         / len(string_split(text, ' ')), 4) as avg_tok_len,
+                   md5(array_to_string(string_split(text, ' '), '|'))
+                     as fp_full,
+                   md5(array_to_string(string_split(text, ' ')[1:10], '|'))
+                     as fp_prefix
+            from documents
+          ),
+          toks as (select doc_id, unnest(list_distinct(
+                     string_split(text, ' '))) as t
+                   from documents),
+          agg as (select doc_id, {sim_sums} from toks group by doc_id),
+          sim as (select doc_id, cast({sim_expr} as bigint) as simhash
+                  from agg)
+          select base.*,
+                 case when stop_ratio >= 0.05 then 'en' else 'other' end
+                   as pred_lang,
+                 sim.simhash
+          from base join sim using (doc_id)
         """,
         "q23_ngram_jaccard": f"""
           with t as (select doc_id, string_split(text, ' ') as toks
@@ -1629,13 +1617,6 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, md5(m0 || m1 || m2 || m3) as band0,
                  md5(m4 || m5 || m6 || m7) as band1
           from sig
-        """,
-        "q25_simhash": f"""
-          with toks as (select doc_id, unnest(list_distinct(
-                          string_split(text, ' '))) as t
-                        from documents),
-          agg as (select doc_id, {sim_sums} from toks group by doc_id)
-          select doc_id, cast({sim_expr} as bigint) as simhash from agg
         """,
         "q26_cosine_topk": cos_pairs.format(
             dim=DIM, qmax=10, nmax=1 << 60
