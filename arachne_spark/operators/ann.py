@@ -23,11 +23,25 @@ embedding near-dup dedup).  Two strategies, both deterministic:
   bucket join is a plain shuffled equi-join: no broadcast of the
   corpus, no cartesian anything.
 
-Dot products use JVM-side ``aggregate``/``zip_with`` expressions —
-interpreted, not codegen'd (~us/element), which at 64 dims is still
-cheaper end-to-end than an Arrow round-trip; for 1k+-dim embeddings a
-vectorized pandas UDF computing the matmul per Arrow batch is the
-faster hot path and slots in behind the same API.
+Dot products have two interchangeable engines behind one API:
+
+* **JVM expression** (``aggregate``/``zip_with``) — interpreted, not
+  codegen'd (~us/element), but free of any Python round-trip; wins at
+  small dims (the 64-dim fixtures).
+* **Arrow-batched numpy matmul** (scalar pandas UDF, ``einsum`` over a
+  stacked float64 batch) — pays one Arrow transfer per batch, then
+  ~ns/element; wins at real embedding widths.  Selected automatically
+  when the caller declares ``vec_dim >= DOT_ARROW_MIN_DIM``.
+
+The crossover was MEASURED on this host (see BASELINE.md "ANN dot
+engine crossover"): the expression path degrades linearly with dim
+(~17 us/element interpreted overhead) while the Arrow path is nearly
+flat; the measured break-even sits below 256 dims, so
+``DOT_ARROW_MIN_DIM = 256`` keeps every realistic embedding width
+(384/768/1024/1536) on the vectorized path while the small-dim
+fixtures stay JVM-side (which also keeps the value-hash oracles
+byte-stable: the two engines agree after round(_, 4), but only the
+expression path is used where an oracle hash is recorded).
 """
 
 from __future__ import annotations
@@ -35,6 +49,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Arrow-matmul engine cutover dim for pairwise rescoring (measured —
+# BASELINE.md); callers opt in by declaring their embedding width.
+DOT_ARROW_MIN_DIM = 256
 
 
 def norm_expr(vec_col: str) -> Column:
@@ -53,6 +71,30 @@ def dot_expr(a_col: str, b_col: str) -> Column:
         " cast(x as double) * cast(y as double)),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
+
+
+@F.pandas_udf("double")
+def _dot_arrow(a, b):
+    """Batched pairwise dot product: one numpy einsum per Arrow batch
+    (rows arrive as ndarrays of the declared fixed dim; float64
+    accumulate matches the expression engine's cast-to-double)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+    bv = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+    return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+
+def pair_dot(a_col: str, b_col: str, vec_dim: int | None = None) -> Column:
+    """Pairwise dot with automatic engine selection: Arrow matmul when
+    the caller declares a width at or past the measured crossover,
+    interpreted JVM expression otherwise (module docstring)."""
+    if vec_dim is not None and vec_dim >= DOT_ARROW_MIN_DIM:
+        return _dot_arrow(F.col(a_col), F.col(b_col))
+    return dot_expr(a_col, b_col)
 
 
 def bucket_expr(vec_col: str, hyperplanes: list[list[float]]) -> Column:

@@ -10,8 +10,12 @@ Two backends behind one API:
   the session has an Iceberg catalog configured (``iceberg_catalog``).
 * **Parquet fallback** (this sandbox has no Iceberg runtime jar):
   per-table directory; Spark's ``_SUCCESS`` marker is the commit record.
-  Writes go to a temp dir and are atomically renamed into place, so a
-  killed run never leaves a half-written "committed" stage.
+  Writes go to a temp dir and are atomically swapped into place, so a
+  killed run never leaves a half-written "committed" stage.  Every file
+  operation goes through the Hadoop FileSystem API resolved from the
+  session conf — the same warehouse root works on local disk, HDFS,
+  and S3A (driver-local ``os.rename`` would silently no-op or fail on
+  a remote filesystem).
 
 ``resume_or_compute`` gives the checkpoint-resume semantics demanded by
 the north_rule: a stage whose table is committed is *read*, not
@@ -21,11 +25,19 @@ load from their snapshots.
 
 from __future__ import annotations
 
-import os
-import shutil
+import hashlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved from the session's
+    Hadoop conf — works on local, HDFS, and S3A alike."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 class Warehouse:
@@ -39,18 +51,25 @@ class Warehouse:
         self.root = root
         self.catalog = iceberg_catalog
         if not iceberg_catalog:
-            os.makedirs(root, exist_ok=True)
+            fs, rpath = hadoop_fs(spark, root)
+            fs.mkdirs(rpath)
 
     # -- parquet-backend paths ------------------------------------------
     def _path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        # plain string join, not os.path.join: the root may be a URI
+        # (hdfs://, s3a://) that os.path must not normalize
+        return self.root.rstrip("/") + "/" + table
+
+    def _jpath(self, path: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(path)
 
     def is_committed(self, table: str) -> bool:
         if self.catalog:
             return self.spark.catalog.tableExists(
                 f"{self.catalog}.{table}"
             )
-        return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))
+        fs, _ = hadoop_fs(self.spark, self.root)
+        return fs.exists(self._jpath(self._path(table) + "/_SUCCESS"))
 
     def write(
         self,
@@ -79,18 +98,23 @@ class Warehouse:
                 w = w.partitionBy(*partition_by)
             w.parquet(final)
             return
-        # overwrite: write to temp, atomically swap in
+        # overwrite: write to temp, atomically swap in via the Hadoop
+        # FS API (rename is atomic on HDFS and local; on S3A the
+        # object-store commit protocol underneath gives the same
+        # all-or-nothing contract for the directory marker)
         tmp = final + f".__tmp_{int(time.time() * 1000)}"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        old = final + ".__old"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        fs, _ = hadoop_fs(self.spark, self.root)
+        old = self._jpath(final + ".__old")
+        fpath = self._jpath(final)
+        fs.delete(old, True)
+        if fs.exists(fpath):
+            fs.rename(fpath, old)
+        fs.rename(self._jpath(tmp), fpath)
+        fs.delete(old, True)
 
     def read(self, table: str) -> DataFrame:
         if self.catalog:
@@ -101,7 +125,19 @@ class Warehouse:
         if self.catalog:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{table}")
             return
-        shutil.rmtree(self._path(table), ignore_errors=True)
+        fs, _ = hadoop_fs(self.spark, self.root)
+        fs.delete(self._jpath(self._path(table)), True)
+
+    def _bucketed_name(self, table: str) -> str:
+        """Session-catalog name for a bucketed parquet-fallback table,
+        namespaced by a hash of the warehouse root: two Warehouse
+        instances with different roots but the same logical table name
+        must not overwrite each other's catalog entry.  (The entry
+        itself is still session-scoped — a new session re-registers by
+        re-running write_bucketed, or moves to the Iceberg backend
+        where bucket metadata lives in the table format.)"""
+        tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"wh_{tag}_{table}"
 
     def write_bucketed(
         self,
@@ -143,19 +179,19 @@ class Warehouse:
         w = (
             df.write.mode("overwrite")
             .format("parquet")
-            .option("path", os.path.join(self.root, table))
+            .option("path", self._path(table))
             .bucketBy(n_buckets, *bucket_cols)
         )
         if sort_cols:
             w = w.sortBy(*sort_cols)
-        w.saveAsTable(table)
+        w.saveAsTable(self._bucketed_name(table))
 
     def read_table(self, table: str) -> DataFrame:
         """Catalog read that preserves bucket metadata (plain
         ``spark.read.parquet`` on the directory would forget it)."""
         if self.catalog:
             return self.spark.read.table(f"{self.catalog}.{table}")
-        return self.spark.table(table)
+        return self.spark.table(self._bucketed_name(table))
 
     def resume_or_compute(
         self, table: str, compute, force: bool = False, **write_kwargs

@@ -280,6 +280,21 @@ def write_warc(
 
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if member_gzip else ".warc"
+    # A rerun into the same dir must not mix shards from an earlier run
+    # (a rerun with fewer partitions would leave high-numbered stale
+    # part-* files that the readers' part-* glob ingests alongside the
+    # new ones).  Clear the commit marker FIRST — the dir reads as
+    # uncommitted for the whole rewrite — then every prior shard of
+    # either extension plus orphan temp files.
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    for name in os.listdir(out_dir):
+        stale = name.startswith("part-") and (
+            name.endswith(".warc") or name.endswith(".warc.gz")
+        )
+        if stale or name.endswith(".inprogress"):
+            os.remove(os.path.join(out_dir, name))
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         f = None

@@ -54,12 +54,140 @@ def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` resolved from the session's
-    Hadoop conf — works on local, HDFS, and S3A alike."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
+    """(FileSystem, Path) — shared with the Warehouse layer."""
+    from arachne_spark.plans.storage import hadoop_fs
+
+    return hadoop_fs(spark, path)
+
+
+class TwoTierState:
+    """Compacted two-tier parquet state relation shared by the
+    streaming operators: per-batch read cost stays bounded regardless
+    of stream history.
+
+    * ``<state_dir>/base`` — the compacted relation, rewritten as
+      ``n_files`` files at every compaction;
+    * ``<state_dir>/delta`` — per-batch ``batch_id=<n>`` partitions of
+      the same schema, written with dynamic partition overwrite
+      (idempotent under foreachBatch's at-least-once retries).
+
+    Every ``compact_every`` delta partitions, base ∪ deltas is
+    rewritten into a fresh base (full-row ``dropDuplicates`` absorbs
+    retry-duplicated rows) and the delta dir is cleared, so each batch
+    reads at most ``n_files`` base files plus ``compact_every`` delta
+    partitions.  ``read_committed`` also applies ``dropDuplicates``:
+    a crash between the base swap and the delta clear leaves the
+    merged rows present in BOTH tiers until the next compaction, and
+    the read-side dedup (cheap on the bounded state relation) makes
+    that window invisible to every consumer.  All file ops go through
+    the Hadoop FileSystem API so the layout works on HDFS/S3 exactly
+    as on local disk; an Iceberg deployment replaces the swap with a
+    MERGE / rewrite_data_files maintenance action.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        compact_every: int = 4,
+        n_files: int = 8,
+    ):
+        self.base_dir = state_dir + "/base"
+        self.delta_dir = state_dir + "/delta"
+        self.compact_every = compact_every
+        self.n_files = n_files
+
+    def recover_base(self, sp: SparkSession) -> None:
+        """Crash recovery for the compaction swap: the swap is
+        rename(base→old); rename(tmp→base).  A crash between the two
+        leaves base missing and the data in old — and since the delta
+        dir is only cleared AFTER a completed swap, restoring old
+        reconstructs exactly the committed state (old ∪ deltas =
+        the merged tmp)."""
+        fs, bpath = _hadoop_fs(sp, self.base_dir)
+        jvm = sp._jvm
+        old = jvm.org.apache.hadoop.fs.Path(self.base_dir + ".__old")
+        if not fs.exists(bpath) and fs.exists(old):
+            fs.rename(old, bpath)
+
+    def _read_all(self, sp: SparkSession) -> DataFrame | None:
+        parts = [
+            d
+            for d in (
+                _try_read_parquet(sp, self.base_dir),
+                _try_read_parquet(sp, self.delta_dir),
+            )
+            if d is not None
+        ]
+        if not parts:
+            return None
+        comm = parts[0]
+        for p in parts[1:]:
+            comm = comm.unionByName(p)
+        return comm
+
+    def read_committed(
+        self, sp: SparkSession, batch_id: int
+    ) -> DataFrame | None:
+        """Base ∪ deltas, minus THIS batch's partition (on an
+        at-least-once retry its partial rows exist and must not
+        pollute the probe), full-row deduplicated (see class doc)."""
+        self.recover_base(sp)
+        comm = self._read_all(sp)
+        if comm is None:
+            return None
+        return comm.where(
+            F.col("batch_id") != batch_id
+        ).dropDuplicates()
+
+    def write_delta(self, df: DataFrame, batch_id: int) -> None:
+        """Append ``df`` as the batch's ``batch_id=<n>`` delta
+        partition (dynamic partition overwrite: a retried batch
+        replaces its own partial files)."""
+        sp = df.sparkSession
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        sp.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(self.delta_dir)
+            )
+        finally:
+            sp.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    def compact(self, sp: SparkSession) -> None:
+        self.recover_base(sp)
+        fs, dpath = _hadoop_fs(sp, self.delta_dir)
+        if not fs.exists(dpath):
+            return
+        n_deltas = sum(
+            1
+            for st in fs.listStatus(dpath)
+            if st.getPath().getName().startswith("batch_id=")
+        )
+        if n_deltas < self.compact_every:
+            return
+        merged = self._read_all(sp)
+        # full-row dedup: absorbs rows double-committed when a retry
+        # interleaves with a compaction swap
+        merged = merged.dropDuplicates().repartition(self.n_files)
+        jvm = sp._jvm
+        tmp = jvm.org.apache.hadoop.fs.Path(self.base_dir + ".__tmp")
+        old = jvm.org.apache.hadoop.fs.Path(self.base_dir + ".__old")
+        bpath = jvm.org.apache.hadoop.fs.Path(self.base_dir)
+        fs.delete(tmp, True)
+        merged.write.mode("overwrite").parquet(self.base_dir + ".__tmp")
+        fs.delete(old, True)
+        if fs.exists(bpath):
+            fs.rename(bpath, old)
+        fs.rename(tmp, bpath)
+        fs.delete(old, True)
+        fs.delete(dpath, True)
 
 
 def stream_pages(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -194,77 +322,9 @@ def run_incremental_dedup(
     from arachne_spark.operators.lsh_link import jaccard_expr
 
     sdir = state_dir if state_dir is not None else out_dir + "_state"
-    base_dir = sdir + "/base"
-    delta_dir = sdir + "/delta"
-
-    def recover_base(sp: SparkSession) -> None:
-        """Crash recovery for the compaction swap: the swap is
-        rename(base→old); rename(tmp→base).  A crash between the two
-        leaves base missing and the data in old — and since the delta
-        dir is only cleared AFTER a completed swap, restoring old
-        reconstructs exactly the committed state (old ∪ deltas =
-        the merged tmp)."""
-        fs, bpath = _hadoop_fs(sp, base_dir)
-        jvm = sp._jvm
-        old = jvm.org.apache.hadoop.fs.Path(base_dir + ".__old")
-        if not fs.exists(bpath) and fs.exists(old):
-            fs.rename(old, bpath)
-
-    def read_committed(sp: SparkSession, batch_id: int) -> DataFrame | None:
-        recover_base(sp)
-        parts = [
-            d for d in (
-                _try_read_parquet(sp, base_dir),
-                _try_read_parquet(sp, delta_dir),
-            )
-            if d is not None
-        ]
-        if not parts:
-            return None
-        comm = parts[0]
-        for p in parts[1:]:
-            comm = comm.unionByName(p)
-        # exclude THIS batch: on an at-least-once retry its partial
-        # rows exist and must not pollute the probe
-        return comm.where(F.col("batch_id") != batch_id)
-
-    def compact(sp: SparkSession) -> None:
-        recover_base(sp)
-        fs, dpath = _hadoop_fs(sp, delta_dir)
-        if not fs.exists(dpath):
-            return
-        n_deltas = sum(
-            1
-            for st in fs.listStatus(dpath)
-            if st.getPath().getName().startswith("batch_id=")
-        )
-        if n_deltas < compact_every:
-            return
-        parts = [
-            d for d in (
-                _try_read_parquet(sp, base_dir),
-                _try_read_parquet(sp, delta_dir),
-            )
-            if d is not None
-        ]
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        # full-row dedup: absorbs rows double-committed when a retry
-        # interleaves with a compaction swap
-        merged = merged.dropDuplicates().repartition(n_state_files)
-        jvm = sp._jvm
-        tmp = jvm.org.apache.hadoop.fs.Path(base_dir + ".__tmp")
-        old = jvm.org.apache.hadoop.fs.Path(base_dir + ".__old")
-        bpath = jvm.org.apache.hadoop.fs.Path(base_dir)
-        fs.delete(tmp, True)
-        merged.write.mode("overwrite").parquet(base_dir + ".__tmp")
-        fs.delete(old, True)
-        if fs.exists(bpath):
-            fs.rename(bpath, old)
-        fs.rename(tmp, bpath)
-        fs.delete(old, True)
-        fs.delete(dpath, True)
+    state = TwoTierState(
+        sdir, compact_every=compact_every, n_files=n_state_files
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -286,7 +346,7 @@ def run_incremental_dedup(
             F.col("rep_id").alias("intra_rep"),
         )
 
-        comm = read_committed(sp, batch_id)
+        comm = state.read_committed(sp, batch_id)
         if comm is not None:
             cand = (
                 bands.join(
@@ -355,17 +415,12 @@ def run_incremental_dedup(
                 .partitionBy("batch_id")
                 .parquet(out_dir)
             )
-            (
-                state_rows.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(delta_dir)
-            )
         finally:
             sp.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
-        compact(sp)
+        state.write_delta(state_rows, batch_id)
+        state.compact(sp)
 
     writer = (
         stream_pages(spark, src_dir)
@@ -385,6 +440,9 @@ def run_incremental_pipeline(
     alias_df: DataFrame,
     predicate_df: DataFrame,
     available_now: bool = True,
+    state_dir: str | None = None,
+    compact_every: int = 4,
+    n_state_files: int = 8,
 ):
     """foreachBatch: full batch extraction core per micro-batch,
     written to ``out_dir`` with end-to-end idempotence:
@@ -396,12 +454,18 @@ def run_incremental_pipeline(
       replaces its own files instead of appending duplicates;
     * **cross-batch**: a url re-crawled in a later micro-batch
       re-derives triples already committed by an earlier batch; an
-      anti-join against the committed table drops them before the
-      write, so the output table stays a set across the whole stream.
-      The anti-join's right side is the (subj, pred, obj) projection of
-      the committed store — at scale this is the classic MERGE-style
-      upsert an Iceberg sink expresses natively; the parquet fallback
-      states it as the anti-join.
+      anti-join against the committed (subj, pred, obj) set drops
+      them before the write, so the output table stays a set across
+      the whole stream.  The anti-join's right side is NOT the full
+      output table (re-reading every ``batch_id=*`` partition would
+      make per-batch cost O(stream history)): it is a **compacted
+      probe index** (``TwoTierState`` at ``state_dir``, default
+      ``out_dir + "_state"``) holding exactly the committed triple
+      keys — per-batch reads stay bounded by ``n_state_files`` base
+      files + ``compact_every`` delta partitions regardless of how
+      long the stream has run.  An Iceberg sink expresses the same
+      upsert natively as MERGE; the probe index is the parquet-
+      fallback statement of it.
     """
     from arachne_spark.operators.extract import latest_snapshot, with_text
     from arachne_spark.operators.mentions import (
@@ -410,7 +474,14 @@ def run_incremental_pipeline(
         mention_triples,
     )
 
+    state = TwoTierState(
+        state_dir if state_dir is not None else out_dir + "_state",
+        compact_every=compact_every,
+        n_files=n_state_files,
+    )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
         clean = with_text(
             latest_snapshot(batch_df).where(F.col("lang") == "en")
         )
@@ -420,21 +491,22 @@ def run_incremental_pipeline(
             .select("subj", "pred", "obj")
             .dropDuplicates()
         )
-        committed = _try_read_parquet(batch_df.sparkSession, out_dir)
+        # read_committed excludes THIS batch's delta partition: on an
+        # at-least-once retry its partial rows exist, and anti-joining
+        # against them before overwriting the same partition would
+        # drop the partially-written triples.
+        committed = state.read_committed(sp, batch_id)
         if committed is not None:
-            # exclude THIS batch's partition (partition-pruned read):
-            # on an at-least-once retry its partial files exist, and
-            # anti-joining against them before overwriting the same
-            # partition would drop the partially-written triples.
             triples = triples.join(
-                committed.where(F.col("batch_id") != batch_id)
-                .select("subj", "pred", "obj"),
+                committed.select("subj", "pred", "obj"),
                 ["subj", "pred", "obj"],
                 "left_anti",
             )
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set(
+        # two consumers (output partition + probe-index delta): persist
+        # so the extraction core runs once per batch, not twice
+        triples = triples.persist()
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode")
+        sp.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         try:
@@ -445,9 +517,14 @@ def run_incremental_pipeline(
                 .parquet(out_dir)
             )
         finally:
-            spark.conf.set(
+            sp.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+        state.write_delta(
+            triples.select("subj", "pred", "obj"), batch_id
+        )
+        triples.unpersist()
+        state.compact(sp)
 
     writer = (
         stream_pages(spark, src_dir)

@@ -154,6 +154,17 @@ def test_warc_distributed_sink_roundtrip(spark, tmp_path):
     write_warc(pages, out, member_gzip=True)
     assert read_warc(spark, out + "/part-*").count() == len(want)
 
+    # rerun with FEWER partitions into the same dir: the old
+    # higher-numbered shards must be cleared, not ingested alongside
+    # the new ones (stale-shard mixing), and a layout switch must not
+    # leave the other extension's shards behind either
+    narrow = pages.coalesce(1).limit(10)
+    n_narrow = narrow.count()
+    write_warc(narrow, out, member_gzip=False)
+    shards = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(shards) == 1 and shards[0].endswith(".warc")
+    assert read_warc(spark, out + "/part-*").count() == n_narrow
+
 
 def test_warc_metrics_audit(spark, tmp_path):
     """read_warc_metrics: per-file record / response / dropped counts
