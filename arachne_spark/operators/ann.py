@@ -33,10 +33,11 @@ Dot products have two interchangeable engines behind one API:
   ~ns/element; wins at real embedding widths.  Selected automatically
   when the caller declares ``vec_dim >= DOT_ARROW_MIN_DIM``.
 
-The crossover was MEASURED on this host (see BASELINE.md "ANN dot
-engine crossover"): the expression path degrades linearly with dim
-(~17 us/element interpreted overhead) while the Arrow path is nearly
-flat; the measured break-even sits below 256 dims, so
+The crossover was MEASURED on this host (table in BASELINE.md "ANN
+dot engine crossover"): at equal element counts the engines are at
+par up to ~256 dims, then the expression path's per-row cost grows
+with width (the zip_with intermediate array is allocated per row)
+while the Arrow path stays flat — ~3.5-4x faster at 512-1024 dims.
 ``DOT_ARROW_MIN_DIM = 256`` keeps every realistic embedding width
 (384/768/1024/1536) on the vectorized path while the small-dim
 fixtures stay JVM-side (which also keeps the value-hash oracles
@@ -73,19 +74,25 @@ def dot_expr(a_col: str, b_col: str) -> Column:
     )
 
 
-@F.pandas_udf("double")
-def _dot_arrow(a, b):
+def _dot_arrow(a: Column, b: Column) -> Column:
     """Batched pairwise dot product: one numpy einsum per Arrow batch
     (rows arrive as ndarrays of the declared fixed dim; float64
-    accumulate matches the expression engine's cast-to-double)."""
-    import numpy as np
-    import pandas as pd
+    accumulate matches the expression engine's cast-to-double).  The
+    pandas UDF is created lazily — decorating at import time would
+    require an active SparkContext just to import this module."""
+    from pyspark.sql.types import DoubleType
 
-    if len(a) == 0:
-        return pd.Series(np.empty(0, dtype=np.float64))
-    av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
-    bv = np.stack(b.to_numpy()).astype(np.float64, copy=False)
-    return pd.Series(np.einsum("ij,ij->i", av, bv))
+    def dot(pa, pb):
+        import numpy as np
+        import pandas as pd
+
+        if len(pa) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        av = np.stack(pa.to_numpy()).astype(np.float64, copy=False)
+        bv = np.stack(pb.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    return F.pandas_udf(dot, DoubleType())(a, b)
 
 
 def pair_dot(a_col: str, b_col: str, vec_dim: int | None = None) -> Column:
@@ -146,9 +153,11 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """(qvec, nvec, sim, rank): exact cosine top-k, query side
-    broadcast — linear in the corpus, never a CartesianProduct."""
+    broadcast — linear in the corpus, never a CartesianProduct.
+    ``vec_dim`` (optional declared width) picks the dot engine."""
     ns = emb.select(
         F.col(id_col).alias("nvec"),
         F.col(vec_col).alias("ne"),
@@ -165,8 +174,9 @@ def brute_force_topk(
     sims = pairs.select(
         "qvec",
         "nvec",
-        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
-        .alias("sim"),
+        F.round(
+            pair_dot("qe", "ne", vec_dim) / (F.col("qn") * F.col("nn")), 4
+        ).alias("sim"),
     )
     w = Window.partitionBy("qvec").orderBy(F.col("sim").desc(), F.col("nvec"))
     return (
@@ -214,6 +224,7 @@ def ann_topk(
     radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """(qvec, nvec, sim, rank): LSH-bucketed approximate top-k for the
     rows matching ``query_pred`` — q28's hyperplane buckets composed
@@ -227,8 +238,9 @@ def ann_topk(
     sims = cand.select(
         "qvec",
         "nvec",
-        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
-        .alias("sim"),
+        F.round(
+            pair_dot("qe", "ne", vec_dim) / (F.col("qn") * F.col("nn")), 4
+        ).alias("sim"),
     )
     w = Window.partitionBy("qvec").orderBy(F.col("sim").desc(), F.col("nvec"))
     return (
@@ -268,6 +280,7 @@ def ivf_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, nrm, cid, crank): each vector's ``nprobe``
     nearest centroids by cosine (crank 1 = nearest; ties break to the
@@ -283,7 +296,9 @@ def ivf_assign(
     )
     pairs = e.crossJoin(F.broadcast(centroids))
     sims = pairs.withColumn(
-        "csim", dot_expr("embedding", "cvec") / (F.col("nrm") * F.col("cnrm"))
+        "csim",
+        pair_dot("embedding", "cvec", vec_dim)
+        / (F.col("nrm") * F.col("cnrm")),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("cid")
@@ -303,6 +318,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """(qvec, nvec, sim, rank): IVF approximate top-k — the second
     scale path next to the hyperplane-LSH index (``ann_topk``).  The
@@ -315,10 +331,10 @@ def ivf_topk(
     table."""
     cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
     indexed = ivf_assign(emb, cents, nprobe=1, id_col=id_col,
-                         vec_col=vec_col)
+                         vec_col=vec_col, vec_dim=vec_dim)
     probing = ivf_assign(
         emb.where(query_pred), cents, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, vec_dim=vec_dim,
     )
     cand = (
         probing.select(
@@ -342,8 +358,9 @@ def ivf_topk(
     sims = cand.select(
         "qvec",
         "nvec",
-        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
-        .alias("sim"),
+        F.round(
+            pair_dot("qe", "ne", vec_dim) / (F.col("qn") * F.col("nn")), 4
+        ).alias("sim"),
     )
     w = Window.partitionBy("qvec").orderBy(F.col("sim").desc(), F.col("nvec"))
     return (
@@ -359,6 +376,7 @@ def embedding_neardup(
     radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
     """(qvec, nvec, sim), qvec < nvec: near-duplicate pairs by cosine >=
     threshold, blocked by LSH bucket (+ Hamming-1 multi-probe).
@@ -371,7 +389,8 @@ def embedding_neardup(
     sims = cand.select(
         "qvec",
         "nvec",
-        F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 4)
-        .alias("sim"),
+        F.round(
+            pair_dot("qe", "ne", vec_dim) / (F.col("qn") * F.col("nn")), 4
+        ).alias("sim"),
     )
     return sims.where(F.col("sim") >= threshold)

@@ -1,0 +1,82 @@
+"""ANN dot-engine tests: the Arrow-matmul rescorer must agree with the
+interpreted JVM expression engine (same sims after round(_, 4), same
+ranks) at high dims, and the automatic engine selection must only kick
+in at the declared crossover width (operators/ann.py module doc)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _synth_emb(spark, n: int, dim: int):
+    """Deterministic float32 embeddings: md5-derived pseudo-randoms in
+    [-0.5, 0.5) per (vec_id, component) — content-addressed, no RNG."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), j -> cast("
+            "  (conv(substr(md5(concat(cast(id as string), ':',"
+            "       cast(j as string))), 1, 6), 16, 10) / 16777216.0)"
+            "  - 0.5 as float))"
+        ).alias("embedding"),
+    )
+
+
+def test_arrow_dot_matches_expression_engine(spark):
+    """Differential: brute-force top-k at 300 dims via both engines —
+    identical (qvec, nvec, rank) sets and sims equal after round(4)."""
+    from arachne_spark.operators.ann import brute_force_topk
+
+    emb = _synth_emb(spark, 60, 300)
+    q = emb.where(F.col("vec_id") < 6)
+    expr_rows = {
+        (r["qvec"], r["nvec"]): (r["sim"], r["rank"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    arrow_rows = {
+        (r["qvec"], r["nvec"]): (r["sim"], r["rank"])
+        for r in brute_force_topk(emb, q, k=5, vec_dim=300).collect()
+    }
+    assert expr_rows == arrow_rows
+    assert len(arrow_rows) == 6 * 5
+
+
+def test_ivf_topk_arrow_matches_expression(spark):
+    """Same differential through the IVF path (centroid assignment AND
+    rescoring both route through pair_dot)."""
+    from arachne_spark.operators.ann import ivf_topk
+
+    emb = _synth_emb(spark, 80, 300)
+    pred = F.col("vec_id") < 5
+    a = {
+        tuple(r)
+        for r in ivf_topk(emb, pred, n_centroids=6, k=3, nprobe=2)
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, pred, n_centroids=6, k=3, nprobe=2, vec_dim=300
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_engine_selection_plan(spark):
+    """Below the crossover the plan must stay pure-JVM (no Python
+    eval); at/above it the rescorer appears as ArrowEvalPython — never
+    row-at-a-time BatchEvalPython."""
+    from arachne_spark.operators.ann import brute_force_topk
+
+    emb = _synth_emb(spark, 20, 64)
+    q = emb.where(F.col("vec_id") < 2)
+    low = brute_force_topk(emb, q, k=2, vec_dim=64)
+    plan_low = low._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan_low
+
+    emb_hi = _synth_emb(spark, 20, 300)
+    q_hi = emb_hi.where(F.col("vec_id") < 2)
+    hi = brute_force_topk(emb_hi, q_hi, k=2, vec_dim=300)
+    plan_hi = hi._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_hi
+    assert "BatchEvalPython" not in plan_hi
