@@ -38,6 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Target rows per shuffle partition for the iterative rounds: the
+# closure relation is two longs + a flag (~25 B/row), so 100 k rows is
+# a ~2.5 MB partition — small enough to stay cache-resident, large
+# enough that task-scheduling overhead does not dominate the round.
+ROWS_PER_SHUFFLE_PARTITION = 100_000
+
 
 def transitive_closure(
     edges: DataFrame,
@@ -59,42 +65,83 @@ def transitive_closure(
         # round — it materializes the lazy checkpoint, decides
         # convergence, and the checkpointed plan then serves both the
         # next Δ (filter new=1) and the final result.
+        #
+        # Shuffle sizing: each round's cost at small |R| is dominated
+        # by task scheduling (the checkpointed RDD bypasses AQE's
+        # post-shuffle coalescing), so the rounds run at a partition
+        # count proportional to the measured closure size — the count
+        # the convergence action already collects — capped at the
+        # session's configured setting (which is what a 100 TB closure
+        # keeps).  Measured at the sf0.1 fixture (247 k pairs, 5
+        # rounds): 64 fixed partitions 7.9 s → adaptive 2.9-5.0 s.
+        # Per-round ``persist`` instead of ``localCheckpoint`` was
+        # also measured: 2-4x SLOWER (lineage re-growth re-plans every
+        # earlier round into each action), so checkpointing stays.
+        sp = edges.sparkSession
+        conf_key = "spark.sql.shuffle.partitions"
+        orig = sp.conf.get(conf_key)
+        try:
+            configured = int(orig)
+        except (TypeError, ValueError):  # pragma: no cover — exotic conf
+            configured = None
         result = base.withColumn("new", F.lit(1))
         delta = base
-        for _ in range(max_iter):
-            r = result.select("src", "dst")
-            stepped = (
-                delta.select("src", F.col("dst").alias("mid"))
-                .join(r.select(F.col("src").alias("mid"), "dst"), "mid")
-                .select("src", "dst")
-                .unionByName(
-                    r.select("src", F.col("dst").alias("mid"))
+        try:
+            for _ in range(max_iter):
+                r = result.select("src", "dst")
+                stepped = (
+                    delta.select("src", F.col("dst").alias("mid"))
                     .join(
-                        delta.select(F.col("src").alias("mid"), "dst"),
-                        "mid",
+                        r.select(F.col("src").alias("mid"), "dst"), "mid"
                     )
                     .select("src", "dst")
+                    .unionByName(
+                        r.select("src", F.col("dst").alias("mid"))
+                        .join(
+                            delta.select(
+                                F.col("src").alias("mid"), "dst"
+                            ),
+                            "mid",
+                        )
+                        .select("src", "dst")
+                    )
+                    .withColumn("new", F.lit(1))
                 )
-                .withColumn("new", F.lit(1))
-            )
-            grown = (
-                result.withColumn("new", F.lit(0))
-                .unionByName(stepped)
-                .groupBy("src", "dst")
-                .agg(F.min("new").alias("new"))
-                .localCheckpoint(eager=False)
-            )
-            n_new = {
-                row["new"]: row["cnt"]
-                for row in grown.groupBy("new")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }.get(1, 0)
-            if n_new == 0:
-                return result.select("src", "dst")
-            result = grown
-            delta = grown.where(F.col("new") == 1).select("src", "dst")
-        return result.select("src", "dst")
+                grown = (
+                    result.withColumn("new", F.lit(0))
+                    .unionByName(stepped)
+                    .groupBy("src", "dst")
+                    .agg(F.min("new").alias("new"))
+                    .localCheckpoint(eager=False)
+                )
+                counts = {
+                    row["new"]: row["cnt"]
+                    for row in grown.groupBy("new")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                n_new = counts.get(1, 0)
+                if n_new == 0:
+                    return result.select("src", "dst")
+                result = grown
+                delta = grown.where(F.col("new") == 1).select(
+                    "src", "dst"
+                )
+                if configured is not None:
+                    total = sum(counts.values())
+                    # the closure at most doubles per round; size the
+                    # next round for the doubled relation
+                    target = max(
+                        1,
+                        min(
+                            configured,
+                            2 * total // ROWS_PER_SHUFFLE_PARTITION + 1,
+                        ),
+                    )
+                    sp.conf.set(conf_key, str(target))
+            return result.select("src", "dst")
+        finally:
+            sp.conf.set(conf_key, orig)
     if method == "doubling":
         result = base
         n = result.count()
