@@ -745,14 +745,62 @@ def q44_reachable_from(spark, sf_dir):
     )
 
 
+def _png_fixture() -> list[tuple[int, bytes, int, int]]:
+    """Deterministic valid-PNG payloads (magic + CRC-correct IHDR +
+    IDAT + IEND — the structure ``_decode_png`` validates): 40 images,
+    dims derived from the index.  Used by q45 and its spec oracle."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    out = []
+    for i in range(40):
+        w, h = i % 23 + 2, i % 13 + 3
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bytes([i % 251]) * 8)
+            + chunk(b"IEND", b"")
+        )
+        out.append((1_000_000 + i, png, w, h))
+    return out
+
+
+def _png_oracle_rows() -> str:
+    """SQL VALUES literals for the PNG half of q45's oracle: expected
+    dims, resize targets, and thumbnail-prefix md5 recomputed
+    independently from the fixture spec (the Spark side decodes the
+    actual PNG bytes; the oracle never parses PNG)."""
+    import hashlib
+
+    rows = []
+    for img_id, png, w, h in _png_fixture():
+        scale = min(1.0, 16.0 / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        th = hashlib.md5(png[:32]).hexdigest()
+        rows.append(f"({img_id}, {w}, {h}, {ow}, {oh}, '{th}')")
+    return ", ".join(rows)
+
+
 def q45_resize_ppm(spark, sf_dir):
     """Aspect-preserving resize planning over REAL decoded images:
-    valid binary-PPM (P6) payloads are constructed from part keys,
-    and ``resize_meta`` parses the actual netpbm header for the true
-    dimensions (operators/multimodal.py::decode_image) — the decode
-    step is no longer a stub for this format.  The oracle rebuilds the
-    same payloads and recomputes dimensions + resize targets + the
-    thumbnail-prefix hash byte-for-byte."""
+    valid binary-PPM (P6) payloads are constructed from part keys and
+    valid PNG payloads (CRC-correct IHDR) from ``_png_fixture``;
+    ``resize_meta`` parses the actual headers for the true dimensions
+    (operators/multimodal.py::decode_image / _decode_png) — the decode
+    step is real for both formats.  The oracle rebuilds the PPM
+    payloads in SQL and carries the PNG expectations as spec-derived
+    literal rows (dims + resize targets + thumbnail-prefix hash
+    recomputed independently from the fixture spec, the q46-style
+    spec-oracle pattern)."""
     from arachne_spark.operators.multimodal import resize_meta
 
     part = _t(spark, sf_dir, "part")
@@ -771,7 +819,12 @@ def q45_resize_ppm(spark, sf_dir):
             "UTF-8",
         ).alias("payload"),
     )
-    rm = resize_meta(payload, id_col="img_id", max_side=16)
+    pngs = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in _png_fixture()],
+        "img_id long, payload binary",
+    )
+    rm = resize_meta(payload.unionByName(pngs), id_col="img_id",
+                     max_side=16)
     return rm.select(
         "img_id", "width", "height", "out_width", "out_height",
         F.md5(F.col("thumb")).alias("thumb_hash"),
@@ -1390,7 +1443,14 @@ def oracle_sql() -> dict[str, str]:
                    as int) as out_height,
                  md5(substr(s, 1, 32)) as thumb_hash
           from p
-        """,
+          union all
+          select cast(img_id as bigint), cast(width as int),
+                 cast(height as int), cast(out_width as int),
+                 cast(out_height as int), thumb_hash
+          from (values {png_rows})
+               v(img_id, width, height, out_width, out_height,
+                 thumb_hash)
+        """.format(png_rows=_png_oracle_rows()),
         "q46_payload_features": """
           with m as (
             select doc_id,

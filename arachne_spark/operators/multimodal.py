@@ -42,19 +42,78 @@ from pyspark.sql.types import (
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> dict | None:
+    """PNG IHDR decode with structural validation, no codec library:
+    fixed 8-byte magic, first chunk must be a 13-byte IHDR whose CRC32
+    verifies (zlib.crc32 over type+data — stdlib, not a codec), field
+    ranges per the spec, and the chunk table must actually contain an
+    IDAT before IEND (header-only walk, skipping each chunk by its
+    declared length — no inflation)."""
+    import zlib
+
+    n = len(payload)
+    if n < 33 or bytes(payload[:8]) != PNG_MAGIC:
+        return None
+    if int.from_bytes(payload[8:12], "big") != 13:
+        return None
+    if bytes(payload[12:16]) != b"IHDR":
+        return None
+    crc = int.from_bytes(payload[29:33], "big")
+    if zlib.crc32(bytes(payload[12:29])) != crc:
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    bit_depth, color_type, compression, filt, interlace = payload[24:29]
+    if not (0 < w < 2**31 and 0 < h < 2**31):
+        return None
+    legal_depths = {
+        0: (1, 2, 4, 8, 16),  # greyscale
+        2: (8, 16),           # truecolour
+        3: (1, 2, 4, 8),      # indexed
+        4: (8, 16),           # grey+alpha
+        6: (8, 16),           # truecolour+alpha
+    }
+    if color_type not in legal_depths:
+        return None
+    if bit_depth not in legal_depths[color_type]:
+        return None
+    if compression != 0 or filt != 0 or interlace not in (0, 1):
+        return None
+    # walk the chunk table: an IDAT must exist before IEND
+    i, saw_idat = 33, False
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i:i + 4], "big")
+        ctype = bytes(payload[i + 4:i + 8])
+        if ctype == b"IDAT":
+            saw_idat = True
+        if ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if not saw_idat:
+        return None
+    return {"format": "png", "width": w, "height": h}
+
+
 def decode_image(payload: bytes | None) -> dict | None:
-    """REAL pure-Python image header decoder for the two formats whose
-    structure needs no codec library: netpbm binary (P6 PPM / P5 PGM,
-    whitespace-and-comment-tolerant header, pixel-length validated)
-    and BMP (BITMAPINFOHEADER).  Returns
+    """REAL pure-Python image header decoder for the three formats
+    whose structure needs no codec library: netpbm binary (P6 PPM / P5
+    PGM, whitespace-and-comment-tolerant header, pixel-length
+    validated), BMP (BITMAPINFOHEADER), and PNG (IHDR chunk,
+    CRC-verified, IDAT-present — ``_decode_png``).  Returns
     ``{"format", "width", "height"}`` or None if the payload is not a
-    valid image in either format.  Everything else (JPEG/PNG/audio/
-    video) stays behind the deliberate stubs — this container has no
-    codec libraries — but the decode CONTRACT is exercised for real
-    here: a truncated pixel array or nonsense dimensions must fail.
+    valid image in any of them.  Everything else (JPEG/audio/video)
+    stays behind the deliberate stubs — this container has no codec
+    libraries — but the decode CONTRACT is exercised for real here: a
+    truncated pixel array, a corrupt CRC, or nonsense dimensions must
+    fail.
     """
     if not payload:
         return None
+    if bytes(payload[:8]) == PNG_MAGIC:
+        return _decode_png(payload)
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         toks: list[bytes] = []
