@@ -39,8 +39,8 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange" not in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bkt_left")
-        spark.sql("DROP TABLE IF EXISTS bkt_right")
+        spark.sql(f"DROP TABLE IF EXISTS {wh._bucketed_name('bkt_left')}")
+        spark.sql(f"DROP TABLE IF EXISTS {wh._bucketed_name('bkt_right')}")
 
 
 def test_bucketed_one_side_still_correct(spark, tmp_path):
@@ -61,4 +61,22 @@ def test_bucketed_one_side_still_correct(spark, tmp_path):
         got = wh.read_table("bkt_solo").join(other, "subj").count()
         assert got == 500
     finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_solo")
+        spark.sql(f"DROP TABLE IF EXISTS {wh._bucketed_name('bkt_solo')}")
+
+
+def test_two_warehouses_same_table_name_no_clobber(spark, tmp_path):
+    """Catalog entries are namespaced by warehouse root: two Warehouse
+    instances writing the same logical bucketed-table name must not
+    overwrite each other (round-3 ADVICE finding)."""
+    wa = Warehouse(spark, str(tmp_path / "a"))
+    wb = Warehouse(spark, str(tmp_path / "b"))
+    df_a = spark.range(10).select(F.col("id").alias("k"))
+    df_b = spark.range(20).select(F.col("id").alias("k"))
+    wa.write_bucketed(df_a, "shared", 4, ["k"])
+    wb.write_bucketed(df_b, "shared", 4, ["k"])
+    try:
+        assert wa.read_table("shared").count() == 10
+        assert wb.read_table("shared").count() == 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {wa._bucketed_name('shared')}")
+        spark.sql(f"DROP TABLE IF EXISTS {wb._bucketed_name('shared')}")

@@ -63,3 +63,67 @@ def test_enrichment_join_aqe_fallback(spark):
     big = final_join(6_000_000)  # ~400 MB > autoBroadcast threshold
     assert "BroadcastHashJoin" not in big
     assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
+
+
+def test_pipeline_bucketed_canonicalize(spark, tmp_path):
+    """Round-3 VERDICT stretch item: the canonicalization join on the
+    REAL pipeline path (not synthetic tables) must be Exchange-light
+    when routed through bucketed inputs — the subj-side join reads
+    both bucket layouts with no Exchange on either side, and only the
+    obj-side probe stream plus the final dedup re-shuffle.  Results
+    must equal the unbucketed path exactly."""
+    from pyspark.sql import functions as F
+
+    from arachne_spark.pipeline import (
+        PipelineConfig,
+        bucketize_canonical_inputs,
+        canonicalize_join,
+        run_pipeline,
+    )
+    from arachne_spark.plans.storage import Warehouse
+    from arachne_spark.sources.pages import pages_df
+
+    wh_dir = str(tmp_path / "wh_bkt")
+    cfg = PipelineConfig(
+        warehouse=wh_dir, n_pages=1200, run_id="bkt",
+        bucket_canonical=True, n_buckets=8,
+    )
+    out = run_pipeline(spark, cfg, pages=pages_df(spark, 1200))
+    assert out["triples"] > 0
+
+    wh = Warehouse(spark, wh_dir)
+    t = wh.read_table("triples_raw_bkt")
+    m = wh.read_table("canonical_map_bkt")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = canonicalize_join(t, m)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # unbucketed: both join inputs shuffle twice + dedup = 5
+        # Exchanges; bucketed: only the obj-side probe re-shuffle and
+        # the final dropDuplicates aggregation may shuffle
+        assert plan.count("Exchange") <= 2, plan[:3000]
+        # and the values equal the unbucketed join exactly
+        raw = wh.read("triples_raw").where(F.col("pred") != "sameAs")
+        want = {
+            tuple(r)
+            for r in canonicalize_join(raw, wh.read("canonical_map"))
+            .collect()
+        }
+        assert {tuple(r) for r in j.collect()} == want
+        # pred is the partition column of the committed table, so it
+        # reads back last — reorder explicitly before comparing
+        assert {
+            tuple(r)
+            for r in wh.read("triples").select("subj", "pred", "obj")
+            .collect()
+        } == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(
+            f"DROP TABLE IF EXISTS {wh._bucketed_name('triples_raw_bkt')}"
+        )
+        spark.sql(
+            f"DROP TABLE IF EXISTS {wh._bucketed_name('canonical_map_bkt')}"
+        )
