@@ -97,23 +97,74 @@ def _decode_png(payload: bytes) -> dict | None:
     return {"format": "png", "width": w, "height": h}
 
 
+# SOF markers that carry frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
+# (C4 = DHT, C8 = JPG extension, CC = DAC — no dimensions)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _decode_jpeg(payload: bytes) -> dict | None:
+    """JPEG frame-header decode via the marker-segment walk, no codec
+    library: SOI, then FF-prefixed segments skipped by their declared
+    big-endian lengths until a SOF marker yields (precision, height,
+    width, components).  The walk itself is the structural validation:
+    every segment must start with 0xFF and carry a sane length —
+    arbitrary text after an SOI prefix fails the walk."""
+    n = len(payload)
+    if n < 4 or bytes(payload[:2]) != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return None
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if marker in _JPEG_SOF:
+            if seg_len < 8:
+                return None
+            precision = payload[i + 4]
+            h = int.from_bytes(payload[i + 5:i + 7], "big")
+            w = int.from_bytes(payload[i + 7:i + 9], "big")
+            ncomp = payload[i + 9]
+            if w <= 0 or h <= 0:
+                return None
+            if precision not in (8, 12, 16) or ncomp not in (1, 3, 4):
+                return None
+            return {"format": "jpeg", "width": w, "height": h}
+        i += 2 + seg_len
+    return None
+
+
 def decode_image(payload: bytes | None) -> dict | None:
-    """REAL pure-Python image header decoder for the three formats
+    """REAL pure-Python image header decoder for the four formats
     whose structure needs no codec library: netpbm binary (P6 PPM / P5
     PGM, whitespace-and-comment-tolerant header, pixel-length
-    validated), BMP (BITMAPINFOHEADER), and PNG (IHDR chunk,
-    CRC-verified, IDAT-present — ``_decode_png``).  Returns
-    ``{"format", "width", "height"}`` or None if the payload is not a
-    valid image in any of them.  Everything else (JPEG/audio/video)
-    stays behind the deliberate stubs — this container has no codec
-    libraries — but the decode CONTRACT is exercised for real here: a
-    truncated pixel array, a corrupt CRC, or nonsense dimensions must
+    validated), BMP (BITMAPINFOHEADER), PNG (IHDR chunk, CRC-verified,
+    IDAT-present — ``_decode_png``), and JPEG (marker-segment walk to
+    SOF — ``_decode_jpeg``).  Returns ``{"format", "width", "height"}``
+    or None if the payload is not a valid image in any of them.
+    Pixel decoding and the remaining media types (audio codecs beyond
+    WAV — see ``decode_audio`` — and video) stay behind the deliberate
+    stubs — this container has no codec libraries — but the decode
+    CONTRACT is exercised for real here: a truncated pixel array, a
+    corrupt CRC, a broken marker walk, or nonsense dimensions must
     fail.
     """
     if not payload:
         return None
     if bytes(payload[:8]) == PNG_MAGIC:
         return _decode_png(payload)
+    if bytes(payload[:2]) == b"\xff\xd8":
+        return _decode_jpeg(payload)
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         toks: list[bytes] = []
@@ -179,6 +230,104 @@ def decode_image(payload: bytes | None) -> dict | None:
             return None
         return {"format": "bmp", "width": w, "height": abs(h)}
     return None
+
+
+def decode_audio(payload: bytes | None) -> dict | None:
+    """REAL pure-Python audio header decoder for WAV (RIFF/WAVE): walk
+    the RIFF chunk table, read the fmt chunk (PCM or IEEE-float
+    format tag, channels, sample rate, bits/sample) and size the data
+    chunk into a sample count + duration.  Returns ``{"format",
+    "channels", "sample_rate", "bits_per_sample", "n_samples",
+    "duration_ms"}`` or None.  Compressed audio (MP3/AAC/OGG) stays a
+    labeled stub — no codec libraries in this container."""
+    if not payload or len(payload) < 44:
+        return None
+    if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        return None
+    n = len(payload)
+    i, fmt, data_size = 12, None, None
+    while i + 8 <= n:
+        cid = bytes(payload[i:i + 4])
+        csize = int.from_bytes(payload[i + 4:i + 8], "little")
+        if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= n:
+            tag = int.from_bytes(payload[i + 8:i + 10], "little")
+            channels = int.from_bytes(payload[i + 10:i + 12], "little")
+            rate = int.from_bytes(payload[i + 12:i + 16], "little")
+            bits = int.from_bytes(payload[i + 22:i + 24], "little")
+            # 1 = PCM, 3 = IEEE float; anything else needs a codec
+            if tag not in (1, 3):
+                return None
+            if channels == 0 or rate == 0 or bits not in (8, 16, 24, 32, 64):
+                return None
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            # the data chunk's declared size must actually be present
+            # (truncated payloads fail), up to one RIFF pad byte
+            if i + 8 + csize > n:
+                return None
+            data_size = csize
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, bits = fmt
+    frame_bytes = channels * (bits // 8)
+    if frame_bytes == 0 or data_size % frame_bytes != 0:
+        return None
+    n_samples = data_size // frame_bytes
+    return {
+        "format": "wav",
+        "channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+    }
+
+
+def audio_meta(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, is_decodable, format, channels, sample_rate,
+    bits_per_sample, n_samples, duration_ms) via Arrow-batched
+    ``decode_audio`` — real for WAV, null for codec formats."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("is_decodable", BooleanType()),
+            StructField("format", StringType()),
+            StructField("channels", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("bits_per_sample", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf[payload_col].map(decode_audio)
+            get = lambda k: metas.map(  # noqa: E731
+                lambda m: m[k] if m else None
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "is_decodable": metas.map(lambda m: m is not None),
+                    "format": get("format"),
+                    "channels": get("channels").astype("Int32"),
+                    "sample_rate": get("sample_rate").astype("Int32"),
+                    "bits_per_sample": get("bits_per_sample").astype(
+                        "Int32"
+                    ),
+                    "n_samples": get("n_samples").astype("Int64"),
+                    "duration_ms": get("duration_ms").astype("Int64"),
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema)
 
 
 def fake_decode(payload: bytes) -> dict:

@@ -234,3 +234,96 @@ def test_multimodal_arrow_only(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+def _jpeg(w, h, precision=8, ncomp=3, sof=0xC0, with_sof=True):
+    """Minimal structurally-valid JPEG prefix: SOI, APP0, DQT stub,
+    SOF with the frame dims."""
+    out = b"\xff\xd8"                                     # SOI
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    dqt = b"\x00" + bytes(64)
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    if with_sof:
+        comp = b"".join(
+            bytes([i + 1, 0x11, 0]) for i in range(ncomp)
+        )
+        sof_data = (
+            bytes([precision])
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([ncomp]) + comp
+        )
+        out += bytes([0xFF, sof]) + (len(sof_data) + 2).to_bytes(2, "big") \
+            + sof_data
+    return out
+
+
+def test_decode_image_jpeg():
+    """JPEG SOF decode is REAL: the marker walk finds the frame header
+    and rejects structurally-broken payloads."""
+    assert decode_image(_jpeg(640, 480)) == {
+        "format": "jpeg", "width": 640, "height": 480
+    }
+    assert decode_image(_jpeg(31, 17, sof=0xC2))["height"] == 17  # prog.
+    assert decode_image(_jpeg(8, 8, ncomp=1, precision=12)) == {
+        "format": "jpeg", "width": 8, "height": 8
+    }
+    assert decode_image(_jpeg(640, 480, with_sof=False)) is None
+    assert decode_image(_jpeg(0, 480)) is None
+    assert decode_image(_jpeg(4, 4, precision=7)) is None
+    assert decode_image(_jpeg(4, 4, ncomp=5)) is None
+    assert decode_image(_jpeg(640, 480)[:10]) is None       # truncated
+    # SOI followed by arbitrary text must fail the marker walk
+    assert decode_image(b"\xff\xd8not really a jpeg body") is None
+
+
+def _wav(channels=2, rate=8000, bits=16, n_samples=100, tag=1,
+         truncate=0, extra_chunk=True):
+    import struct
+
+    data = bytes(n_samples * channels * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    body = b"WAVE"
+    if extra_chunk:  # a LIST chunk the walk must skip (odd size → pad)
+        body += b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    body += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+    if truncate:
+        blob = blob[:-truncate]
+    return blob
+
+
+def test_decode_audio_wav(spark):
+    from arachne_spark.operators.multimodal import audio_meta, decode_audio
+
+    got = decode_audio(_wav(2, 8000, 16, 4000))
+    assert got == {
+        "format": "wav", "channels": 2, "sample_rate": 8000,
+        "bits_per_sample": 16, "n_samples": 4000, "duration_ms": 500,
+    }
+    assert decode_audio(_wav(1, 44100, 32, 441, tag=3))["duration_ms"] \
+        == 10
+    assert decode_audio(_wav(truncate=8)) is None       # short data
+    assert decode_audio(_wav(tag=85)) is None           # MP3-in-WAV
+    assert decode_audio(_wav(bits=12)) is None
+    assert decode_audio(b"RIFFxxxxWAVE") is None        # no chunks
+    assert decode_audio(b"not audio at all, just text") is None
+    assert decode_audio(None) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(2, 8000, 16, 4000))),
+         (2, bytearray(b"mp3 junk")), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in
+            audio_meta(df, id_col="doc_id").collect()}
+    assert rows[1]["is_decodable"] and rows[1]["duration_ms"] == 500
+    assert not rows[2]["is_decodable"] and rows[2]["format"] is None
+    assert not rows[3]["is_decodable"]
+    plan = audio_meta(df, id_col="doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
