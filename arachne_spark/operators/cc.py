@@ -106,14 +106,47 @@ def connected_components(
         F.count("*").alias("c"),
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
-    prev_sig = sig(e)
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur_sig = sig(e2)  # materializes the lazy checkpoint
-        if cur_sig == prev_sig:
-            e = e2
-            break
-        e, prev_sig = e2, cur_sig
+
+    # Shuffle sizing mirrors operators/closure.py: per-round cost at
+    # small frontiers is task scheduling (checkpointed RDDs bypass
+    # AQE's coalescing), and the sig action already measures the edge
+    # count — plan each round at ~100k rows/partition, capped at the
+    # configured setting (which a web-scale edge set keeps).  The conf
+    # is restored in the finally.
+    from arachne_spark.operators.closure import ROWS_PER_SHUFFLE_PARTITION
+
+    sp = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig = sp.conf.get(conf_key)
+    try:
+        configured = int(orig)
+    except (TypeError, ValueError):  # pragma: no cover — exotic conf
+        configured = None
+
+    def adapt(n_edges: int) -> None:
+        if configured is not None:
+            target = max(
+                1,
+                min(
+                    configured,
+                    int(n_edges) // ROWS_PER_SHUFFLE_PARTITION + 1,
+                ),
+            )
+            sp.conf.set(conf_key, str(target))
+
+    try:
+        prev_sig = sig(e)
+        adapt(prev_sig["c"])
+        for _ in range(max_iter):
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            cur_sig = sig(e2)  # materializes the lazy checkpoint
+            if cur_sig == prev_sig:
+                e = e2
+                break
+            e, prev_sig = e2, cur_sig
+            adapt(cur_sig["c"])
+    finally:
+        sp.conf.set(conf_key, orig)
 
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component")).distinct().select(
