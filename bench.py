@@ -55,6 +55,11 @@ guessed; see BENCH notes in BASELINE.md):
   at 1.5M, buying enough margin that even a noisy-window pair clears
   the 0.8 gate; the retry budget is raised to match the longer
   pairs.
+* 32 GB bench heap (round-4 revision; see the env comment below the
+  imports): at 1.5M pages the old 8 GB heap starved the local[8]
+  side's per-task execution memory (~550 MB vs ~2.2 GB at local[2])
+  into spilling — an asymmetric penalty misread as bad scaling.
+  Measured: 4N wall 206-233 s at 8 GB vs 183-192 s at 32 GB.
 """
 
 from __future__ import annotations
