@@ -132,13 +132,74 @@ def probe_expr(bucket_col: str, n_bits: int, radius: int = 1) -> Column:
     return F.array(*probes)
 
 
+def _index_arrow(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """struct(nrm, bucket) per vector, one numpy pass per Arrow batch:
+    norms and ALL hyperplane sign bits come out of a single
+    (batch x dim) @ (dim x n_bits) matmul — the indexing-side
+    counterpart of ``_dot_arrow`` (the expression engine pays n_bits
+    interpreted dot products per row).  Lazily created, like
+    ``_dot_arrow``."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("nrm", DoubleType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def index(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "nrm": np.empty(0, dtype=np.float64),
+                    "bucket": np.empty(0, dtype=np.int64),
+                }
+            )
+        hp = np.asarray(hyperplanes, dtype=np.float64)
+        vm = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt(np.einsum("ij,ij->i", vm, vm))
+        signs = (vm @ hp.T) > 0
+        weights = np.left_shift(
+            np.int64(1), np.arange(len(hyperplanes), dtype=np.int64)
+        )
+        bucket = (signs * weights).sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"nrm": nrm, "bucket": bucket})
+
+    return F.pandas_udf(index, out_type)(vec)
+
+
 def with_buckets(
     emb: DataFrame,
     hyperplanes: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_dim: int | None = None,
 ) -> DataFrame:
-    """(id, vec, nrm, bucket): the indexed side of every ANN join."""
+    """(id, vec, nrm, bucket): the indexed side of every ANN join.
+    ``vec_dim`` at/past ``DOT_ARROW_MIN_DIM`` routes norm + bucket
+    through one Arrow matmul per batch instead of 1 + n_bits
+    interpreted dot products per row."""
+    if vec_dim is not None and vec_dim >= DOT_ARROW_MIN_DIM:
+        idx = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            _index_arrow(F.col(vec_col), hyperplanes).alias("_ix"),
+        )
+        return idx.select(
+            "vec_id",
+            "embedding",
+            F.col("_ix.nrm").alias("nrm"),
+            F.col("_ix.bucket").alias("bucket"),
+        )
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
@@ -230,7 +291,7 @@ def ann_topk(
     rows matching ``query_pred`` — q28's hyperplane buckets composed
     with the search: candidates share a probe bucket, exact cosine
     rescoring ranks them."""
-    e = with_buckets(emb, hyperplanes, id_col, vec_col)
+    e = with_buckets(emb, hyperplanes, id_col, vec_col, vec_dim)
     cand = _candidate_pairs(
         e, e.where(query_pred), len(hyperplanes), radius,
         F.col("qvec") != F.col("nvec"),
@@ -382,7 +443,7 @@ def embedding_neardup(
     threshold, blocked by LSH bucket (+ Hamming-1 multi-probe).
     All-pairs comparison happens only inside buckets — the scale-safe
     form of the embedding-cosine dedup sweep."""
-    e = with_buckets(emb, hyperplanes, id_col, vec_col)
+    e = with_buckets(emb, hyperplanes, id_col, vec_col, vec_dim)
     cand = _candidate_pairs(
         e, e, len(hyperplanes), radius, F.col("qvec") < F.col("nvec")
     )

@@ -80,3 +80,37 @@ def test_engine_selection_plan(spark):
     plan_hi = hi._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan_hi
     assert "BatchEvalPython" not in plan_hi
+
+
+def test_arrow_index_matches_expression_engine(spark):
+    """Indexing-side differential: with_buckets at 300 dims via the
+    Arrow matmul must produce the same buckets and norms as the
+    expression engine, and the full LSH search (index + rescore on the
+    Arrow path) must return identical rows."""
+    from arachne_spark.operators.ann import ann_topk, with_buckets
+
+    hyperplanes = [
+        [((i * 7 + j * 13) % 11 - 5) / 7.0 for j in range(300)]
+        for i in range(4)
+    ]
+    emb = _synth_emb(spark, 60, 300)
+    a = {
+        r["vec_id"]: (r["bucket"], round(r["nrm"], 9))
+        for r in with_buckets(emb, hyperplanes).collect()
+    }
+    b = {
+        r["vec_id"]: (r["bucket"], round(r["nrm"], 9))
+        for r in with_buckets(emb, hyperplanes, vec_dim=300).collect()
+    }
+    assert a == b and len(a) == 60
+
+    pred = F.col("vec_id") < 5
+    expr_rows = {
+        tuple(r) for r in ann_topk(emb, hyperplanes, pred, k=3).collect()
+    }
+    arrow_rows = {
+        tuple(r)
+        for r in ann_topk(emb, hyperplanes, pred, k=3, vec_dim=300)
+        .collect()
+    }
+    assert expr_rows == arrow_rows and len(arrow_rows) > 0
