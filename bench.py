@@ -303,7 +303,11 @@ def main() -> None:
     # clean (>= KG_EFF_ACCEPT); after two pairs stop if it already
     # clears the 0.8 gate; a third pair runs only when the host was
     # noisy enough to sink both AND the time budget still allows it.
-    budgets = [KG_RETRY_BUDGET_SEC, KG_RETRY_BUDGET_SEC + 800]
+    # a third pair only runs when the first two completed FAST but
+    # still landed under the gate (fast-but-low-eff is the case a
+    # retry can fix); two noise-slowed pairs already spent the budget
+    # and a third would push the whole bench past the hour
+    budgets = [KG_RETRY_BUDGET_SEC, KG_RETRY_BUDGET_SEC - 400]
     for attempt in range(3):
         w_n_i, rows_n_i = kg_core_run(KG_CORES_N, KG_PAGES)
         w_4n_i, rows_4n_i = kg_core_run(KG_CORES_4N, KG_PAGES)
