@@ -19,8 +19,11 @@ In a Spark engine there is no HTTP client; the routing decides which
 ``routed_enrich`` is that join: each kind partition broadcast-joins its
 own source and the union restores one relation.  The reference's
 ``flush(any)`` round-robin doc promise (include/arachne.hpp:114-123) is
-deliberately not modeled: its own flush body ignores the promise, and a
-declarative engine drains every queue anyway.
+modeled by ``flush_order``: a dispatch-order key that interleaves one
+batch per kind per round — the documented contract, even though the
+reference's own flush body ignores it (src/arachne.cpp:99-105).  A
+declarative engine drains every queue regardless; the key matters only
+when a downstream consumer throttles dispatch.
 """
 
 from __future__ import annotations
@@ -100,3 +103,32 @@ def routed_enrich(
         .drop("title")
     )
     return wd.unionByName(cm).unionByName(es)
+
+
+def flush_order(
+    batches: DataFrame,
+    kind_col: str = "kind",
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """The ``flush(any)`` round-robin (include/arachne.hpp:114-123) as
+    a declarative dispatch order: distinct (kind, batch) pairs gain an
+    ``rr_round`` — batch #r of every kind dispatches before batch
+    #r+1 of any kind; within a round, kinds dispatch in name order.
+    Sort by (rr_round, kind) to obtain the reference's documented
+    interleaving.  No global row_number: the order key is composite,
+    so nothing funnels through a single window partition — the only
+    window is per kind over the BATCH relation (|queue| / 50 rows,
+    not data-scale).  The reference's own flush body ignores its
+    round-robin promise (src/arachne.cpp:99-105); this models the
+    documented contract."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(kind_col).orderBy(batch_col)
+    return (
+        batches.select(kind_col, batch_col)
+        .dropDuplicates([kind_col, batch_col])
+        .withColumn(
+            "rr_round",
+            (F.row_number().over(w) - 1).cast("bigint"),
+        )
+    )

@@ -183,3 +183,37 @@ def test_resume_skips_committed_stages(spark, tmp_path):
     assert by_stage["mentions"]["resumed"]
     assert not by_stage["triples"]["resumed"]
     assert second["triples"] == first["triples"]
+
+
+def test_flush_any_round_robin(spark):
+    """flush(any)'s documented round-robin (include/arachne.hpp:
+    114-123): sorted by (rr_round, kind), every kind's batch #r
+    dispatches before any kind's batch #r+1, and kinds alternate
+    within a round."""
+    from pyspark.sql import functions as F
+
+    from arachne_spark.operators.routing import flush_order
+
+    rows = (
+        [("item", f"item:{i}") for i in range(4)]
+        + [("property", f"property:{i}") for i in range(2)]
+        + [("lexeme", f"lexeme:{i}") for i in range(3)]
+    )
+    batches = spark.createDataFrame(rows, "kind string, batch_id string")
+    # duplicate rows must not produce duplicate dispatch entries
+    ordered = (
+        flush_order(batches.unionByName(batches))
+        .orderBy("rr_round", "kind")
+        .collect()
+    )
+    assert len(ordered) == 9
+    seq = [(r["rr_round"], r["kind"], r["batch_id"]) for r in ordered]
+    # round 0 dispatches one batch of every kind before round 1 starts
+    assert [s[1] for s in seq[:3]] == ["item", "lexeme", "property"]
+    assert [s[0] for s in seq] == sorted(s[0] for s in seq)
+    # a kind's batches dispatch in batch order across rounds
+    item_batches = [s[2] for s in seq if s[1] == "item"]
+    assert item_batches == [f"item:{i}" for i in range(4)]
+    # exhausted kinds drop out of later rounds (property has 2 batches)
+    assert [s[1] for s in seq if s[0] == 2] == ["item", "lexeme"]
+    assert [s[1] for s in seq if s[0] == 3] == ["item"]
