@@ -243,3 +243,54 @@ def minhash_doc_dedup(
         )
         .withColumn("keep", F.col("doc_id") == F.col("rep_id"))
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    k: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_overlap, n_shingles, overlap_frac):
+    training-corpus decontamination — corpus documents sharing at
+    least ``min_overlap`` token ``k``-gram shingles with a benchmark
+    item (the published GPT-3/PaLM-style decontamination used 13-gram
+    overlap, hence the default).
+
+    Scale posture: the benchmark side is bounded by construction
+    (eval suites are tiny next to a crawl), so the probe is a plain
+    equi-join of corpus shingles against a benchmark-sized relation —
+    AQE broadcasts it while it fits; the corpus never self-joins and
+    corpus-scale data never shuffles beyond its own shingle
+    projection.  Composes ``doc_shingles`` (ANSI-safe short-doc
+    guard) on both sides."""
+    ds = doc_shingles(docs, id_col, text_col, k)
+    bs = doc_shingles(
+        benchmark.select(
+            F.col(bench_id_col).alias("doc_id"),
+            F.col(bench_text_col).alias("text"),
+        ),
+        "doc_id",
+        "text",
+        k,
+    ).select(F.col("doc_id").alias("bench_id"), "s")
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        ds.join(bs, "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "bench_id",
+        "n_overlap",
+        "n_shingles",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias(
+            "overlap_frac"
+        ),
+    )

@@ -155,3 +155,44 @@ def test_minhash_dedup_20k_vs_python_twin(spark):
         if got[i] != (want[i], want[i] == i)
     ]
     assert not bad, (len(bad), bad[:5])
+
+
+def test_benchmark_contamination(spark):
+    """Decontamination sweep: documents embedding a benchmark item's
+    k-gram verbatim are flagged with the right overlap counts;
+    paraphrases sharing no k-gram and short docs are not."""
+    from arachne_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "pack my box with five dozen liquor jugs"),
+        ],
+        "bench_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim inclusion of bench 100's opening
+            (1, "intro text the quick brown fox jumps over something"),
+            # paraphrase: same words, different order -> no shared 5-gram
+            (2, "over the lazy dog jumps the brown quick fox"),
+            (3, "completely unrelated page about spark plans"),
+            (4, "too short"),
+            # contains a 5-gram from bench 101
+            (5, "please pack my box with five dozen items today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["n_overlap"], r["n_shingles"])
+        for r in benchmark_contamination(docs, bench, k=5).collect()
+    }
+    # doc 1 shares the 5-grams "the quick brown fox jumps" and
+    # "quick brown fox jumps over" — the windows fully inside both the
+    # doc and the benchmark item
+    assert (1, 100) in got and got[(1, 100)][0] == 2
+    assert (5, 101) in got and got[(5, 101)][0] == 2
+    assert not any(d in (2, 3, 4) for d, _ in got)
+    # overlap_frac derives from the document's own shingle count
+    n_overlap, n_shingles = got[(1, 100)]
+    assert n_shingles == 5  # 9 tokens -> 5 distinct 5-grams
