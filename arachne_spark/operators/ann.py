@@ -380,6 +380,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vec_dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(qvec, nvec, sim, rank): IVF approximate top-k — the second
     scale path next to the hyperplane-LSH index (``ann_topk``).  The
@@ -389,8 +390,20 @@ def ivf_topk(
     Cost: one linear assignment pass + sum over probed cells of
     |cell| — never all-pairs.  At 10^9 vectors: thousands of centroids
     (cells of ~10^5-10^6), nprobe 8-32; same code, bigger centroid
-    table."""
-    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    table.
+
+    ``centroids`` injects an externally-trained coarse quantizer
+    (cid, cvec[, cnrm]) — the production path: MLlib KMeans offline
+    over a corpus sample, this operator for index + search.  Omitted,
+    the deterministic seeded pick (``ivf_centroids``) is used."""
+    if centroids is not None:
+        cents = centroids
+        if "cnrm" not in cents.columns:
+            cents = cents.select(
+                "cid", "cvec", norm_expr("cvec").alias("cnrm")
+            )
+    else:
+        cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
     indexed = ivf_assign(emb, cents, nprobe=1, id_col=id_col,
                          vec_col=vec_col, vec_dim=vec_dim)
     probing = ivf_assign(

@@ -114,3 +114,36 @@ def test_arrow_index_matches_expression_engine(spark):
         .collect()
     }
     assert expr_rows == arrow_rows and len(arrow_rows) > 0
+
+
+def test_ivf_external_centroids(spark):
+    """The production path: inject externally-trained centroids
+    (MLlib KMeans offline).  Passing the seeded pick explicitly must
+    reproduce the default exactly; a different quantizer still returns
+    a full top-k per query."""
+    from arachne_spark.operators.ann import ivf_centroids, ivf_topk
+
+    emb = _synth_emb(spark, 80, 64)
+    pred = F.col("vec_id") < 5
+    default = {
+        tuple(r)
+        for r in ivf_topk(emb, pred, n_centroids=6, k=3, nprobe=2)
+        .collect()
+    }
+    seeded = ivf_centroids(emb, 6)
+    explicit = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, pred, k=3, nprobe=2, centroids=seeded
+        ).collect()
+    }
+    assert default == explicit and len(default) == 5 * 3
+
+    # a quantizer without cnrm (the external-training shape) works too
+    other = ivf_centroids(emb.where(F.col("vec_id") % 3 == 0), 4).select(
+        "cid", "cvec"
+    )
+    alt = ivf_topk(emb, pred, k=3, nprobe=2, centroids=other)
+    rows = alt.collect()
+    assert len(rows) == 5 * 3
+    assert all(r["rank"] <= 3 for r in rows)
