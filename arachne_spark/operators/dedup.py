@@ -267,8 +267,14 @@ def benchmark_contamination(
     AQE broadcasts it while it fits; the corpus never self-joins and
     corpus-scale data never shuffles beyond its own shingle
     projection.  Composes ``doc_shingles`` (ANSI-safe short-doc
-    guard) on both sides."""
-    ds = doc_shingles(docs, id_col, text_col, k)
+    guard) on both sides.
+
+    The corpus shingle projection feeds two consumers (the hits join
+    and the per-doc size aggregate), so it is persisted — one corpus
+    scan per sweep, not two; the cache entry is evictable storage and
+    is released with the session (or by the caller unpersisting
+    after its action)."""
+    ds = doc_shingles(docs, id_col, text_col, k).persist()
     bs = doc_shingles(
         benchmark.select(
             F.col(bench_id_col).alias("doc_id"),

@@ -82,17 +82,23 @@ def _decode_png(payload: bytes) -> dict | None:
         return None
     if compression != 0 or filt != 0 or interlace not in (0, 1):
         return None
-    # walk the chunk table: an IDAT must exist before IEND
-    i, saw_idat = 33, False
+    # walk the chunk table: every chunk's declared length must FIT the
+    # payload (a truncated-mid-chunk or bogus-length file must fail,
+    # same contract as the PPM pixel-length check), an IDAT must
+    # appear, and the walk must reach IEND
+    i, saw_idat, saw_iend = 33, False, False
     while i + 8 <= n:
         clen = int.from_bytes(payload[i:i + 4], "big")
         ctype = bytes(payload[i + 4:i + 8])
+        if ctype == b"IEND":
+            saw_iend = True
+            break
+        if i + 12 + clen > n:  # len + type + data + crc must fit
+            return None
         if ctype == b"IDAT":
             saw_idat = True
-        if ctype == b"IEND":
-            break
-        i += 12 + clen  # len + type + data + crc
-    if not saw_idat:
+        i += 12 + clen
+    if not saw_idat or not saw_iend:
         return None
     return {"format": "png", "width": w, "height": h}
 

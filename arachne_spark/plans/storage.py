@@ -40,6 +40,16 @@ def hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def checked_rename(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure by RETURNING FALSE
+    (cross-device moves, permission errors, some object-store paths) —
+    unlike ``os.rename``, which raises.  Every swap-protocol rename
+    must go through this wrapper: ignoring the boolean and then
+    deleting the backup turns a failed rename into silent data loss."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 class Warehouse:
     def __init__(
         self,
@@ -112,8 +122,10 @@ class Warehouse:
         fpath = self._jpath(final)
         fs.delete(old, True)
         if fs.exists(fpath):
-            fs.rename(fpath, old)
-        fs.rename(self._jpath(tmp), fpath)
+            checked_rename(fs, fpath, old)
+        # a failed rename raises BEFORE the backup delete below — the
+        # previous committed copy stays recoverable at .__old
+        checked_rename(fs, self._jpath(tmp), fpath)
         fs.delete(old, True)
 
     def read(self, table: str) -> DataFrame:
@@ -136,7 +148,11 @@ class Warehouse:
         itself is still session-scoped — a new session re-registers by
         re-running write_bucketed, or moves to the Iceberg backend
         where bucket metadata lives in the table format.)"""
-        tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        # normalized root: '/wh' and '/wh/' resolve every table to the
+        # same directory, so they must hash to the same namespace
+        tag = hashlib.md5(
+            self.root.rstrip("/").encode()
+        ).hexdigest()[:8]
         return f"wh_{tag}_{table}"
 
     def write_bucketed(

@@ -103,11 +103,13 @@ class TwoTierState:
         dir is only cleared AFTER a completed swap, restoring old
         reconstructs exactly the committed state (old ∪ deltas =
         the merged tmp)."""
+        from arachne_spark.plans.storage import checked_rename
+
         fs, bpath = _hadoop_fs(sp, self.base_dir)
         jvm = sp._jvm
         old = jvm.org.apache.hadoop.fs.Path(self.base_dir + ".__old")
         if not fs.exists(bpath) and fs.exists(old):
-            fs.rename(old, bpath)
+            checked_rename(fs, old, bpath)
 
     def _read_all(self, sp: SparkSession) -> DataFrame | None:
         parts = [
@@ -138,6 +140,36 @@ class TwoTierState:
         return comm.where(
             F.col("batch_id") != batch_id
         ).dropDuplicates()
+
+    def exists(self, sp: SparkSession) -> bool:
+        """True if either tier (or a recoverable base) is present."""
+        fs, bpath = _hadoop_fs(sp, self.base_dir)
+        jvm = sp._jvm
+        mk = jvm.org.apache.hadoop.fs.Path
+        return bool(
+            fs.exists(bpath)
+            or fs.exists(mk(self.delta_dir))
+            or fs.exists(mk(self.base_dir + ".__old"))
+        )
+
+    def seed_base(self, df: DataFrame) -> None:
+        """One-time bootstrap: write ``df`` as the compacted base
+        (atomic tmp-write + checked rename, so a crash mid-seed never
+        leaves a partial base that would silently shrink the probe).
+        Caller ensures the state does not already exist."""
+        from arachne_spark.plans.storage import checked_rename
+
+        sp = df.sparkSession
+        fs, bpath = _hadoop_fs(sp, self.base_dir)
+        jvm = sp._jvm
+        tmp = jvm.org.apache.hadoop.fs.Path(self.base_dir + ".__tmp")
+        fs.delete(tmp, True)
+        (
+            df.repartition(self.n_files)
+            .write.mode("overwrite")
+            .parquet(self.base_dir + ".__tmp")
+        )
+        checked_rename(fs, tmp, bpath)
 
     def write_delta(self, df: DataFrame, batch_id: int) -> None:
         """Append ``df`` as the batch's ``batch_id=<n>`` delta
@@ -175,6 +207,8 @@ class TwoTierState:
         merged = self._read_all(sp)
         # full-row dedup: absorbs rows double-committed when a retry
         # interleaves with a compaction swap
+        from arachne_spark.plans.storage import checked_rename
+
         merged = merged.dropDuplicates().repartition(self.n_files)
         jvm = sp._jvm
         tmp = jvm.org.apache.hadoop.fs.Path(self.base_dir + ".__tmp")
@@ -184,8 +218,12 @@ class TwoTierState:
         merged.write.mode("overwrite").parquet(self.base_dir + ".__tmp")
         fs.delete(old, True)
         if fs.exists(bpath):
-            fs.rename(bpath, old)
-        fs.rename(tmp, bpath)
+            checked_rename(fs, bpath, old)
+        # a failed swap raises HERE, before the backup and delta dirs
+        # are cleared — the batch fails, foreachBatch retries it, and
+        # recover_base restores the old base; silent state loss is the
+        # one unacceptable outcome
+        checked_rename(fs, tmp, bpath)
         fs.delete(old, True)
         fs.delete(dpath, True)
 
@@ -479,6 +517,18 @@ def run_incremental_pipeline(
         compact_every=compact_every,
         n_files=n_state_files,
     )
+    # Migration / divergence bootstrap: a stream whose output was
+    # committed before the probe index existed (or whose state dir was
+    # lost) must NOT silently run with an empty probe — that would
+    # re-admit every already-committed triple and break the
+    # output-is-a-set contract.  Seed the base once from the committed
+    # output's own rows; from then on the probe stays bounded.
+    if not state.exists(spark):
+        committed = _try_read_parquet(spark, out_dir)
+        if committed is not None:
+            state.seed_base(
+                committed.select("subj", "pred", "obj", "batch_id")
+            )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession

@@ -115,6 +115,15 @@ def test_decode_image_png():
     # magic alone followed by text must not decode
     assert decode_image(b"\x89PNG\r\n\x1a\n" + b"not a chunk table x") \
         is None
+    # truncated MID-IDAT (IEND lost): the chunk walk must reject it
+    whole = _png(4, 4)
+    assert decode_image(whole[:len(whole) - 15]) is None
+    # a bogus multi-GB IDAT length that cannot fit the payload
+    import struct as _struct
+
+    bogus = (whole[:33]
+             + _struct.pack(">I", 1 << 30) + b"IDAT" + b"\x00" * 12)
+    assert decode_image(bogus) is None
 
 
 def _payloads(spark):

@@ -248,6 +248,47 @@ def test_incremental_pipeline_state_bounded(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_incremental_pipeline_probe_bootstrap(spark, tmp_path):
+    """Migration safety: an output committed BEFORE the probe index
+    existed (or whose state dir was lost) must seed the probe from the
+    committed rows instead of silently running with an empty one — a
+    re-crawl after the state loss must still not duplicate triples."""
+    import shutil as sh
+
+    src = str(tmp_path / "pages_boot")
+    out = str(tmp_path / "triples_boot")
+    ckpt = str(tmp_path / "ckpt_boot")
+    pages = pages_df(spark, 120, partitions=4)
+    first = pages.groupBy("url").agg(
+        F.min_by(
+            F.struct("warc_ts", "html", "text", "lang"), "warc_ts"
+        ).alias("s")
+    ).select("url", "s.warc_ts", "s.html", "s.text", "s.lang")
+    first.write.parquet(src)
+    q = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark)
+    )
+    q.awaitTermination(300)
+
+    # simulate the legacy / state-lost stream
+    sh.rmtree(out + "_state")
+
+    recrawls = pages.join(
+        first.select("url", F.col("warc_ts").alias("first_ts")), "url"
+    ).where(F.col("warc_ts") > F.col("first_ts")).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    recrawls.write.mode("append").parquet(src)
+    q2 = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark)
+    )
+    q2.awaitTermination(300)
+
+    rows = spark.read.parquet(out).select("subj", "pred", "obj")
+    assert rows.count() == rows.distinct().count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_incremental_dedup_stable_reps(spark, tmp_path):
     """Streaming near-dup dedup: pages arriving in a later micro-batch
     that duplicate committed pages adopt the committed representative
