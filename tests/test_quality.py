@@ -1,0 +1,133 @@
+"""Gopher-style repetition quality filters vs an independent
+pure-Python twin.  The fixture corpus is adversarial on purpose:
+clean prose, a fully-degenerate repeated phrase, duplicated
+boilerplate lines, a single-token doc, an empty-ish doc, and a doc
+whose repetition sits exactly at a threshold — every branch of the
+char-accounting definitions in operators/quality.py is exercised, and
+the Spark plan is asserted shuffle-lean (no BatchEvalPython, no
+CartesianProduct)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from decimal import Decimal, ROUND_HALF_UP
+
+
+def _r4(x: float) -> float:
+    """Spark's F.round is HALF_UP; Python's round is banker's."""
+    return float(Decimal(repr(x)).quantize(
+        Decimal("0.0001"), rounding=ROUND_HALF_UP
+    ))
+
+from pyspark.sql import functions as F
+
+from arachne_spark.operators.quality import (
+    repetition_filter,
+    repetition_stats,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river "
+        "bank while birds sing in the morning light"),
+    # degenerate: one phrase repeated — top2/dup5 fractions near 1
+    (1, "buy now " * 20),
+    # duplicated boilerplate lines
+    (2, "header line\nunique content alpha\nheader line\n"
+        "unique content beta\nheader line"),
+    (3, "word"),
+    (4, ""),
+    # mild repetition: a 2-gram appearing twice in otherwise-unique text
+    (5, "alpha beta gamma delta alpha beta epsilon zeta eta theta "
+        "iota kappa"),
+]
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _py_stats(doc_id: int, text: str) -> dict:
+    out = {"doc_id": doc_id}
+    lines = text.split("\n")
+    lc = Counter(lines)
+    out["n_lines"] = len(lines)
+    out["dup_line_frac"] = _r4(1.0 - len(lc) / len(lines))
+    tot = sum(c * len(ln) for ln, c in lc.items())
+    dup = sum((c - 1) * len(ln) for ln, c in lc.items())
+    out["dup_line_char_frac"] = _r4(dup / max(tot, 1))
+    toks = text.split(" ")
+    n_chars = max(len(text), 1)
+    for n in sorted(set(TOP_NS) | set(DUP_NS)):
+        grams = Counter(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )
+        if n in TOP_NS:
+            top = max(
+                ((c * len(g), g) for g, c in grams.items()),
+                default=(0.0, ""),
+            )[0]
+            out[f"top{n}_gram_char_frac"] = _r4(min(top / n_chars, 1.0))
+        if n in DUP_NS:
+            d = sum(c * len(g) for g, c in grams.items() if c > 1)
+            out[f"dup{n}_gram_char_frac"] = _r4(min(d / n_chars, 1.0))
+    return out
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_repetition_stats_match_python_twin(spark):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(
+            _docs_df(spark), top_ns=TOP_NS, dup_ns=DUP_NS
+        ).collect()
+    }
+    assert set(got) == {d for d, _ in DOCS}
+    for doc_id, text in DOCS:
+        exp = _py_stats(doc_id, text)
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+
+
+def test_repetition_stats_sanity_extremes(spark):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(_docs_df(spark)).collect()
+    }
+    # degenerate doc: dominated by the repeated phrase
+    assert got[1]["top2_gram_char_frac"] >= 0.85
+    assert got[1]["dup5_gram_char_frac"] == 1.0
+    # clean prose: low everywhere
+    assert got[0]["top2_gram_char_frac"] < 0.15
+    assert got[0]["dup5_gram_char_frac"] == 0.0
+    assert got[0]["dup_line_frac"] == 0.0
+    # boilerplate lines: 3 "header line" occurrences out of 5 lines
+    assert got[2]["dup_line_frac"] == 0.4
+    # single-token / empty docs survive with zeros
+    for d in (3, 4):
+        assert got[d]["top2_gram_char_frac"] == 0.0
+        assert got[d]["dup5_gram_char_frac"] == 0.0
+
+
+def test_repetition_filter_gopher_rules(spark):
+    kept = {
+        r["doc_id"]
+        for r in repetition_filter(_docs_df(spark)).collect()
+    }
+    # the degenerate doc is dropped; clean prose and short docs stay
+    assert 1 not in kept
+    assert {0, 3, 4}.issubset(kept)
+    # columns pass through unchanged
+    cols = repetition_filter(_docs_df(spark)).columns
+    assert cols == ["doc_id", "text"]
+
+
+def test_repetition_plan_is_jvm_side(spark):
+    s = (
+        repetition_stats(_docs_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in s
+    assert "ArrowEvalPython" not in s
+    assert "CartesianProduct" not in s
