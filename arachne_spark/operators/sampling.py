@@ -48,6 +48,29 @@ def deterministic_sample(
     return df.where(hash_unit(F.col(key_col), salt) < F.lit(rate))
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global training-order shuffle that is a pure function of row
+    content: repartition by the key hash, sort within partitions by
+    (hash, key).  Reading the output partitions in order visits rows
+    in one fixed pseudorandom permutation — same permutation every
+    run, any cluster size (``num_partitions`` changes the file split
+    points, not the order).  Change ``salt`` to get an independent
+    permutation per training run."""
+    u = hash_unit(F.col(key_col), salt).alias("__u")
+    out = df.withColumn("__u", u)
+    out = (
+        out.repartitionByRange(num_partitions, "__u")
+        if num_partitions
+        else out.repartitionByRange("__u")
+    )
+    return out.sortWithinPartitions("__u", key_col).drop("__u")
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
