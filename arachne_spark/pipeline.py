@@ -47,7 +47,11 @@ from arachne_spark.operators.mentions import (
     extract_relations,
     mention_triples,
 )
+from arachne_spark.operators.quality import repetition_filter
+from arachne_spark.operators.sampling import hash_unit
+from arachne_spark.operators.scrub import scrub_expr
 from arachne_spark.operators.skew import promote_candidates
+from arachne_spark.operators.urls import with_canonical
 from arachne_spark.plans.lineage import StageRecorder
 from arachne_spark.plans.storage import Warehouse
 from arachne_spark.sources.dictionary import alias_df, labels_df, predicate_df
@@ -90,6 +94,17 @@ class PipelineConfig:
     # scale (two extra table writes).
     bucket_canonical: bool = False
     n_buckets: int = 64
+    # corpus-curation pre-stages (operators/{urls,scrub,quality}.py),
+    # applied between snapshot cleaning and page dedup; each is the
+    # standard pre-training hygiene pass, off by default so the KG
+    # outputs stay byte-identical unless a deployment opts in:
+    # collapse recrawl URL spellings to one page per canonical URL
+    canonical_url_dedup: bool = False
+    # redact email/IP/phone BEFORE dedup so pages differing only in
+    # injected contact details dedup together
+    scrub_pii: bool = False
+    # drop Gopher-rule repetition-degenerate pages
+    quality_filter: bool = False
 
 
 FETCH_STATE = "fetch_state"
@@ -203,6 +218,35 @@ def bucketize_canonical_inputs(
     )
 
 
+def _curate_pages(pages_clean: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Optional corpus-hygiene passes, in the order a pre-training
+    pipeline runs them: URL-canonical dedup first (cheapest key, folds
+    recrawl spellings before any text work), then PII scrub (so the
+    near-dup stage sees redacted text and contact-detail-only
+    variants collapse), then the Gopher repetition filter.  Preserves
+    the pages_clean schema exactly."""
+    out = pages_clean
+    cols = pages_clean.columns
+    if cfg.canonical_url_dedup:
+        from pyspark.sql import Window
+
+        canon = with_canonical(out)
+        key = F.coalesce(F.col("canonical_url"), F.col("url"))
+        w = Window.partitionBy(key).orderBy(
+            hash_unit(F.col("url"), "canon_rep"), "url"
+        )
+        out = (
+            canon.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(*cols)
+        )
+    if cfg.scrub_pii:
+        out = out.withColumn("text", scrub_expr(F.col("text")))
+    if cfg.quality_filter:
+        out = repetition_filter(out, id_col="url", text_col="text")
+    return out
+
+
 def run_pipeline(
     spark: SparkSession,
     cfg: PipelineConfig,
@@ -224,6 +268,13 @@ def run_pipeline(
         ),
         force=cfg.force,
     )
+
+    if cfg.canonical_url_dedup or cfg.scrub_pii or cfg.quality_filter:
+        pages_clean = rec.run_stage(
+            "pages_curated",
+            lambda: _curate_pages(pages_clean, cfg),
+            force=cfg.force,
+        )
 
     # near-duplicate page map (url → min-url representative): the
     # LLM-training-data dedup pass, composed from MinHash bands +

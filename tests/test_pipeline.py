@@ -217,3 +217,74 @@ def test_flush_any_round_robin(spark):
     # exhausted kinds drop out of later rounds (property has 2 batches)
     assert [s[1] for s in seq if s[0] == 2] == ["item", "lexeme"]
     assert [s[1] for s in seq if s[0] == 3] == ["item"]
+
+
+def test_corpus_curation_stages(spark, tmp_path):
+    """cfg.{canonical_url_dedup, scrub_pii, quality_filter}: the
+    optional hygiene pre-stages fold a tracking-param URL mirror,
+    redact PII before dedup (so contact-detail-only variants become
+    exact dups), and drop a repetition-degenerate page — while the
+    bulk of the clean corpus passes untouched."""
+    import datetime as dt
+
+    wh = str(tmp_path / "curate_wh")
+    pages = pages_df(spark, 60, partitions=4)
+    # same page under a tracking-tagged URL spelling
+    mirror = pages.where(
+        F.col("url") == "https://example.org/p/3"
+    ).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm_source=feed"))
+    )
+    ts = dt.datetime(2024, 1, 1)
+    prose = (
+        "the committee reviewed the annual report and approved the "
+        "new budget for infrastructure spending next year"
+    )
+    extra = [
+        # PII pair: identical text except the email address
+        ("https://example.org/pii/a", ts, None,
+         f"contact alice@example.com today\n{prose}", "en"),
+        ("https://example.org/pii/b", ts, None,
+         f"contact bob@example.net today\n{prose}", "en"),
+        # repetition-degenerate page
+        ("https://example.org/spam", ts, None,
+         "buy cheap now " * 40, "en"),
+    ]
+    extra_df = spark.createDataFrame(
+        extra, "url string, warc_ts timestamp, html binary, "
+               "text string, lang string"
+    )
+    cfg = PipelineConfig(
+        warehouse=wh, n_pages=60, run_id="cur",
+        canonical_url_dedup=True, scrub_pii=True, quality_filter=True,
+        dedup_pages=True, dedup_threshold=0.9,
+    )
+    run_pipeline(
+        spark, cfg, pages=pages.unionByName(mirror).unionByName(extra_df)
+    )
+    curated = spark.read.parquet(f"{wh}/pages_curated")
+    urls = {r["url"] for r in curated.select("url").collect()}
+    # exactly one spelling of the mirrored page survives
+    assert len(
+        urls & {"https://example.org/p/3",
+                "https://example.org/p/3?utm_source=feed"}
+    ) == 1
+    # the degenerate page is gone; the bulk of the corpus survives
+    # (the synthetic fixture is TEMPLATED text, so a handful of pages
+    # legitimately trip the published Gopher thresholds — ~90% pass)
+    assert "https://example.org/spam" not in urls
+    assert curated.count() >= 50
+    # PII is redacted corpus-wide...
+    assert curated.where(F.col("text").contains("@example")).count() == 0
+    assert curated.where(
+        F.col("text").contains("<EMAIL>")
+    ).count() == 2
+    # ...and the two contact variants now dedup to one representative
+    dupes = {
+        r["url"]: r["keep"]
+        for r in spark.read.parquet(f"{wh}/page_dupes")
+        .where(F.col("url").startswith("https://example.org/pii/"))
+        .collect()
+    }
+    assert sorted(dupes.values()) == [False, True]
+    shutil.rmtree(wh, ignore_errors=True)
