@@ -9,14 +9,15 @@ surface lacks entirely; they complete the q20 text-analysis family
 repetition axis that actually removes degenerate machine-generated
 pages at 100 TB.
 
-Scale shape: everything here is one explode + one hash aggregation
+Scale shape: a union of per-n explodes feeding ONE hash aggregation
 keyed by (doc_id, n, gram) — map-side partial aggregation bounds the
 shuffle by the number of DISTINCT grams per doc, never by corpus
 size, and no stage ever compares two documents (this is a per-doc
 profile, not a dedup).  The gram lists are built with
-``transform``+``explode`` (one pass, no shuffle) rather than
-posexplode+self-join; the interpreted-lambda cost is per token, not
-per pair, and stays far below a shuffle at any corpus size.
+``transform``+``explode`` of plain strings (one pass per n, no
+shuffle) rather than posexplode+self-join; the interpreted-lambda
+cost is per token, not per pair, and stays far below a shuffle at
+any corpus size.
 
 Definitions (documented because the literature leaves the char
 accounting ambiguous; the pure-Python twin in tests/test_quality.py
@@ -97,24 +98,32 @@ def repetition_stats(
     One row per input doc with ``n_lines``, ``dup_line_frac``,
     ``dup_line_char_frac``, ``top{n}_gram_char_frac`` for each n in
     ``top_ns`` and ``dup{n}_gram_char_frac`` for each n in
-    ``dup_ns``.  All n values share ONE explode and ONE
-    (doc_id, n, gram) aggregation — adding an n widens the exploded
-    relation, it does not add a stage."""
+    ``dup_ns``.  All n values share ONE (doc_id, n, gram)
+    aggregation; each n adds a union branch over the pruned token
+    array, not an aggregation stage."""
     ns = sorted(set(top_ns) | set(dup_ns))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("double").alias("n_chars"),
         F.split(F.col(text_col), " ", -1).alias("toks"),
     )
-    # one array-of-structs per doc covering every n, exploded once
-    gram_arrays = ", ".join(
-        f"transform({_gram_expr(n)}, g -> struct({n} as n, g as gram))"
+    # one union branch per n, each exploding PLAIN gram strings: a
+    # single concat-of-struct-transforms explode was measured 2.3x
+    # slower (per-element struct materialization is interpreted,
+    # never codegen'd — the CLAUDE.md higher-order-function trap);
+    # the extra branch scans are projection-pruned token arrays and
+    # come out far cheaper
+    branches = [
+        base.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(F.expr(_gram_expr(n))).alias("gram"),
+        )
         for n in ns
-    )
-    grams = base.select(
-        "doc_id",
-        F.explode(F.expr(f"concat({gram_arrays})")).alias("t"),
-    ).select("doc_id", "t.n", "t.gram")
+    ]
+    grams = branches[0]
+    for b in branches[1:]:
+        grams = grams.unionByName(b)
     counts = grams.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )

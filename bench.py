@@ -151,6 +151,60 @@ def run_headline(
     return med, raw
 
 
+def run_curation(sf_dir: str, cpus: int, n_runs: int = 3) -> dict:
+    """Median warm timings for the corpus-curation operator family
+    (operators/{quality,packing,scrub,sampling,mixing}.py) over the
+    ``documents`` table — these live outside the 50-query driver
+    registry, so the bench is where their round-over-round perf is
+    recorded.  Every timed action forces full column evaluation
+    (``agg(sum(...))`` over a computed column, never a prunable
+    ``count()``)."""
+    from pyspark.sql import functions as F
+
+    from arachne_spark.operators.mixing import sample_epochs
+    from arachne_spark.operators.packing import pack_bins, pack_concat
+    from arachne_spark.operators.quality import repetition_stats
+    from arachne_spark.operators.sampling import hash_split
+    from arachne_spark.operators.scrub import scrub_pii
+    from arachne_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-curation", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    ops = {
+        "repetition_stats": lambda: repetition_stats(docs).agg(
+            F.sum("dup5_gram_char_frac")
+        ).collect(),
+        "scrub_pii": lambda: scrub_pii(docs).agg(
+            F.sum(F.length("text"))
+        ).collect(),
+        "pack_concat": lambda: pack_concat(sized, 2048, n_shards=64).agg(
+            F.sum("seq_start")
+        ).collect(),
+        "pack_bins": lambda: pack_bins(sized, 2048, n_shards=64).agg(
+            F.sum("bin_tokens")
+        ).collect(),
+        "split_mix": lambda: sample_epochs(
+            hash_split(docs, "doc_id"), "doc_id", 1.5
+        ).groupBy("split", "epoch").count().collect(),
+    }
+    for fn in ops.values():  # warm: JIT + parquet footers
+        fn()
+    raw: dict[str, list[float]] = {k: [] for k in ops}
+    for _ in range(n_runs):
+        for name, fn in ops.items():
+            t0 = time.time()
+            fn()
+            raw[name].append(round(time.time() - t0, 3))
+    spark.stop()
+    return {k: sorted(v)[len(v) // 2] for k, v in raw.items()}
+
+
 def kg_core_run(cores: int, n_pages: int) -> tuple[float, int]:
     """Wall seconds + triple count for the warmed pipeline core."""
     from pyspark.sql import SparkSession
@@ -276,6 +330,7 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     queries, query_runs = run_headline(sf_dir, cpus)
+    curation = run_curation(sf_dir, cpus)
 
     # paired measurement: this sandbox shows bursty whole-host slow
     # periods (entire runs 2x slower, headline included, with no local
@@ -336,6 +391,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "query_runs": query_runs,
+        "curation": curation,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg": {
             "pages": KG_PAGES,
