@@ -108,6 +108,63 @@ def _decode_png(payload: bytes) -> dict | None:
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
+def _skip_subblocks(payload: bytes, i: int) -> int | None:
+    """Advance past a GIF sub-block chain (size-prefixed blocks ending
+    at a 0 terminator); None if the chain runs off the payload."""
+    n = len(payload)
+    while i < n:
+        sz = payload[i]
+        i += 1
+        if sz == 0:
+            return i
+        i += sz
+    return None
+
+
+def _decode_gif(payload: bytes) -> dict | None:
+    """GIF logical-screen decode with a full block walk: header +
+    screen descriptor give (width, height); the walk skips the global
+    color table, extension and image blocks (each sub-block chain
+    bounds-checked) and must find at least one image descriptor AND
+    the 0x3B trailer — "GIF89a" followed by junk fails, same contract
+    as the PNG chunk walk."""
+    n = len(payload)
+    if n < 14 or bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    if w <= 0 or h <= 0:
+        return None
+    flags = payload[10]
+    i = 13
+    if flags & 0x80:  # global color table: 3 bytes x 2^(bits+1)
+        i += 3 * (2 << (flags & 0x07))
+    saw_image = False
+    while i < n:
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            if saw_image:
+                return {"format": "gif", "width": w, "height": h}
+            return None
+        if b == 0x21:  # extension: introducer + label + sub-blocks
+            nxt = _skip_subblocks(payload, i + 2)
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            lflags = payload[i + 9]
+            j = i + 10
+            if lflags & 0x80:  # local color table
+                j += 3 * (2 << (lflags & 0x07))
+            nxt = _skip_subblocks(payload, j + 1)  # +1: LZW code size
+            saw_image = True
+        else:
+            return None
+        if nxt is None:
+            return None
+        i = nxt
+    return None  # ran out of payload before the trailer
+
+
 def _decode_jpeg(payload: bytes) -> dict | None:
     """JPEG frame-header decode via the marker-segment walk, no codec
     library: SOI, then FF-prefixed segments skipped by their declared
@@ -151,12 +208,14 @@ def _decode_jpeg(payload: bytes) -> dict | None:
 
 
 def decode_image(payload: bytes | None) -> dict | None:
-    """REAL pure-Python image header decoder for the four formats
+    """REAL pure-Python image header decoder for the five formats
     whose structure needs no codec library: netpbm binary (P6 PPM / P5
     PGM, whitespace-and-comment-tolerant header, pixel-length
     validated), BMP (BITMAPINFOHEADER), PNG (IHDR chunk, CRC-verified,
-    IDAT-present — ``_decode_png``), and JPEG (marker-segment walk to
-    SOF — ``_decode_jpeg``).  Returns ``{"format", "width", "height"}``
+    IDAT-present — ``_decode_png``), JPEG (marker-segment walk to
+    SOF — ``_decode_jpeg``), and GIF (logical screen descriptor +
+    block walk to the trailer — ``_decode_gif``).  Returns
+    ``{"format", "width", "height"}``
     or None if the payload is not a valid image in any of them.
     Pixel decoding and the remaining media types (audio codecs beyond
     WAV — see ``decode_audio`` — and video) stay behind the deliberate
@@ -171,6 +230,8 @@ def decode_image(payload: bytes | None) -> dict | None:
         return _decode_png(payload)
     if bytes(payload[:2]) == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         toks: list[bytes] = []

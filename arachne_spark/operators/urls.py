@@ -87,14 +87,13 @@ def _canonical_expr() -> Column:
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
     path0 = F.try_parse_url(u, F.lit("PATH"))
-    path = (
-        F.when(path0.isNull() | (path0 == ""), F.lit("/"))
-        .when(
-            (F.length(path0) > 1) & path0.endswith("/"),
-            F.expr("substring(__path0, 1, length(__path0) - 1)"),
-        )
-        .otherwise(path0)
-    )
+    # strip ALL trailing slashes (one pass of stripping just one is
+    # not idempotent: /a// -> /a/ -> /a across recrawl runs — caught
+    # by test_canonical_is_idempotent), then restore root to "/"
+    stripped = F.regexp_replace(path0, "/+$", "")
+    path = F.when(
+        path0.isNull() | (stripped == ""), F.lit("/")
+    ).otherwise(stripped)
     query = _norm_query(u)
     q_part = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), query)

@@ -336,3 +336,40 @@ def test_decode_audio_wav(spark):
     plan = audio_meta(df, id_col="doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def _gif(w=1, h=1):
+    """Minimal valid GIF89a: 2-entry GCT, GCE extension, one 1-pixel
+    image block, trailer."""
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + b"\x80\x00\x00"              # flags (GCT, 2 entries), bg, aspect
+        + b"\x00\x00\x00\xff\xff\xff"  # global color table
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"      # GCE extension
+        + b"\x2c\x00\x00\x00\x00" + struct.pack("<HH", w, h) + b"\x00"
+        + b"\x02\x02\x44\x01\x00"      # LZW min code + data sub-blocks
+        + b"\x3b"                      # trailer
+    )
+
+
+def test_decode_image_gif():
+    from arachne_spark.operators.multimodal import decode_image
+
+    g = _gif(3, 7)
+    assert decode_image(g) == {"format": "gif", "width": 3, "height": 7}
+    assert decode_image(_gif()) == {
+        "format": "gif", "width": 1, "height": 1
+    }
+    # magic + junk must not decode (block walk fails)
+    assert decode_image(b"GIF89a" + b"x" * 40) is None
+    # truncated before the trailer
+    assert decode_image(g[:-1]) is None
+    # sub-block size running off the payload
+    bogus = bytearray(g)
+    bogus[-5] = 0xFE  # inflate a data sub-block length
+    assert decode_image(bytes(bogus)) is None
+    # zero dimensions
+    assert decode_image(_gif(0, 5)) is None

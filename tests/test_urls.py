@@ -23,7 +23,7 @@ CANON_CASES = [
     ("https://example.com/a?utm_source=x&gclid=1",
      "https://example.com/a"),
     ("HTTPS://example.com", "https://example.com/"),
-    ("http://example.com/a//", "http://example.com/a/"),
+    ("http://example.com/a//", "http://example.com/a"),
     ("not a url", None),
 ]
 
@@ -120,3 +120,22 @@ def test_domain_cap_deterministic_under_repartition(spark):
 def test_domain_cap_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         domain_cap(_corpus(spark), "domain", 0, "doc_id")
+
+
+def test_canonical_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): an incremental
+    recrawl pipeline re-canonicalizes already-canonical keys, which
+    must be a fixed point or URL-level dedup drifts between runs."""
+    urls = [u for u, _ in CANON_CASES] + [
+        f"https://Sub{i}.Example.org:443/a/b{i}/?z=1&utm_term=x&a={i}#f"
+        for i in range(50)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = with_canonical(df).where(
+        F.col("canonical_url").isNotNull()
+    ).select(F.col("canonical_url").alias("url"))
+    twice = with_canonical(once).select("url", "canonical_url")
+    drift = twice.where(
+        F.col("url") != F.col("canonical_url")
+    ).collect()
+    assert drift == [], drift
