@@ -199,6 +199,90 @@ def repetition_stats(
     return out.select(*cols)
 
 
+def boilerplate_lines(
+    docs: DataFrame,
+    max_occurrences: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Lines whose exact text occurs in more than ``max_occurrences``
+    documents corpus-wide (one occurrence per doc — a line repeated
+    inside a single page is the per-doc repetition signal, not
+    boilerplate).  The count runs through the salted two-phase
+    aggregation (operators/skew.py): boilerplate is skew BY DEFINITION
+    ("Home", cookie banners, copyright footers appear on millions of
+    pages), so the hot-line counting must never funnel one reducer.
+    Lines shorter than ``min_len`` chars are ignored (never treated as
+    boilerplate; blank separators stay)."""
+    from arachne_spark.operators.skew import salted_count
+
+    lines = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+        )
+        .where(F.length("line") >= min_len)
+        .dropDuplicates(["__id", "line"])
+    )
+    counts = salted_count(lines, ["line"], F.col("__id"))
+    return counts.where(F.col("cnt") > max_occurrences).select(
+        "line", F.col("cnt").alias("n_docs")
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    max_occurrences: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal: delete every line
+    that appears in more than ``max_occurrences`` documents, preserving
+    the order of the surviving lines; all other columns pass through.
+
+    Scale shape: one posexplode of the corpus (line order carried as
+    the position), a left-anti join against the (small) boilerplate
+    line set — AQE broadcasts it; corpus-scale data shuffles only for
+    the per-doc reassembly groupBy, and the reassembly aggregates
+    (pos, line) structs with ``sort_array`` so no window or
+    per-group ordering assumption is needed."""
+    boiler = boilerplate_lines(
+        docs, max_occurrences, id_col, text_col, min_len
+    ).select("line")
+    other_cols = [c for c in docs.columns if c != text_col]
+    exploded = docs.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    kept = exploded.join(
+        boiler, exploded["__line"] == boiler["line"], "left_anti"
+    )
+    rebuilt = kept.groupBy(*other_cols).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # docs whose every line was boilerplate drop out of the groupBy
+    # input entirely; restore them with empty text so the operator is
+    # row-preserving (filtering empties is the caller's policy call)
+    empties = (
+        docs.select(*other_cols)
+        .join(rebuilt.select(*other_cols), other_cols, "left_anti")
+        .withColumn(text_col, F.lit(""))
+    )
+    return rebuilt.unionByName(empties).select(*docs.columns)
+
+
 def repetition_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -131,3 +131,59 @@ def test_repetition_plan_is_jvm_side(spark):
     assert "BatchEvalPython" not in s
     assert "ArrowEvalPython" not in s
     assert "CartesianProduct" not in s
+
+
+BOILER_DOCS = [
+    # 30 docs sharing a header/footer; distinct middles; one doc that
+    # is ALL boilerplate; one empty doc
+    *[
+        (100 + i,
+         f"SITE HEADER\nunique article body number {i} with words\n"
+         f"more unique prose {i}\nCOPYRIGHT FOOTER")
+        for i in range(30)
+    ],
+    (200, "SITE HEADER\nCOPYRIGHT FOOTER"),
+    (201, ""),
+    # a line repeated INSIDE one doc only — per-doc repetition, not
+    # corpus boilerplate: must survive
+    (202, "local refrain\nlocal refrain\nsome body text here"),
+]
+
+
+def test_boilerplate_lines_and_strip(spark):
+    from arachne_spark.operators.quality import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    df = spark.createDataFrame(BOILER_DOCS, "doc_id long, text string")
+    boiler = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(df, max_occurrences=5).collect()
+    }
+    assert boiler == {"SITE HEADER": 31, "COPYRIGHT FOOTER": 31}
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate(df, max_occurrences=5).collect()
+    }
+    assert len(out) == len(BOILER_DOCS)  # row-preserving
+    assert out[100] == (
+        "unique article body number 0 with words\nmore unique prose 0"
+    )
+    assert out[200] == ""  # all-boilerplate doc survives, emptied
+    assert out[201] == ""
+    assert out[202] == "local refrain\nlocal refrain\nsome body text here"
+    # python twin over the whole fixture
+    from collections import Counter
+
+    per_doc_lines = {d: t.split("\n") for d, t in BOILER_DOCS}
+    df_counts = Counter(
+        ln
+        for lines in per_doc_lines.values()
+        for ln in set(lines)
+        if len(ln) >= 1
+    )
+    hot = {ln for ln, c in df_counts.items() if c > 5}
+    for d, lines in per_doc_lines.items():
+        want = "\n".join(ln for ln in lines if ln not in hot)
+        assert out[d] == want, (d, out[d], want)
