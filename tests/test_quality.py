@@ -187,3 +187,41 @@ def test_boilerplate_lines_and_strip(spark):
     for d, lines in per_doc_lines.items():
         want = "\n".join(ln for ln in lines if ln not in hot)
         assert out[d] == want, (d, out[d], want)
+
+
+def test_strip_boilerplate_hot_lines_at_scale(spark):
+    """1e5 docs sharing two boilerplate lines: the hot-line count runs
+    through the salted two-phase aggregation, so the two 1e5-count
+    keys spread over all reducers instead of funneling one, and the
+    anti-join side stays 2 rows (broadcast).  Correctness at the skew
+    point: exactly the two hot lines are removed, all rows survive."""
+    from arachne_spark.operators.quality import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("SITE HEADER\nunique body "),
+            F.col("id").cast("string"),
+            F.lit("\nCOPYRIGHT FOOTER"),
+        ).alias("text"),
+    )
+    hot = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(docs, max_occurrences=1000).collect()
+    }
+    assert hot == {"SITE HEADER": n, "COPYRIGHT FOOTER": n}
+    out = strip_boilerplate(docs, max_occurrences=1000)
+    assert out.count() == n
+    assert out.where(
+        F.col("text").contains("SITE HEADER")
+        | F.col("text").contains("COPYRIGHT FOOTER")
+    ).count() == 0
+    assert out.where(
+        F.col("text") == F.concat(
+            F.lit("unique body "), F.col("doc_id").cast("string")
+        )
+    ).count() == n

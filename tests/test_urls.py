@@ -139,3 +139,24 @@ def test_canonical_is_idempotent(spark):
         F.col("url") != F.col("canonical_url")
     ).collect()
     assert drift == [], drift
+
+
+def test_domain_cap_hot_domain_at_scale(spark):
+    """1e5 rows in ONE domain with k=10: the salted first phase keeps
+    ≤ k per (domain, salt) — at most n_salts·k = 320 rows reach the
+    exact second phase regardless of domain size — and the final
+    answer is exactly the k hash-order winners, reproducibly."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.concat(F.lit("r"), F.col("id")).alias("doc_id"),
+        F.lit("hot.example.com").alias("domain"),
+    )
+    got = domain_cap(df, "domain", 10, "doc_id")
+    rows = sorted(r["doc_id"] for r in got.collect())
+    assert len(rows) == 10
+    again = sorted(
+        r["doc_id"]
+        for r in domain_cap(df.repartition(31), "domain", 10, "doc_id")
+        .collect()
+    )
+    assert again == rows
