@@ -330,7 +330,12 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     queries, query_runs = run_headline(sf_dir, cpus)
-    curation = run_curation(sf_dir, cpus)
+    # auxiliary measurement: a failure here must never cost the round
+    # its headline/scaling artifact
+    try:
+        curation = run_curation(sf_dir, cpus)
+    except Exception as e:  # pragma: no cover - defensive
+        curation = {"error": str(e)[:200]}
 
     # paired measurement: this sandbox shows bursty whole-host slow
     # periods (entire runs 2x slower, headline included, with no local
