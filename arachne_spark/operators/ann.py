@@ -335,6 +335,91 @@ def ivf_centroids(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+) -> DataFrame:
+    """In-engine deterministic Lloyd's k-means → (cid, cvec, cnrm),
+    drop-in for the ``centroids=`` input of ``ivf_assign``/``ivf_topk``
+    (upgrading the seeded-pick default) and the clustering stage of
+    SemDeDup-style semantic dedup (cluster, then near-dup within
+    cells via ``embedding_neardup``).
+
+    Determinism is the hard part: float SUMS are reduction-order-
+    nondeterministic under Spark's partition-order-free aggregation,
+    which would break the repo's bit-reproducibility invariant.  The
+    mean step therefore sums components as ``decimal(30,9)`` — exact,
+    associative, commutative — and divides by the exact count before
+    casting back to float: byte-identical centroids at any
+    parallelism (test-pinned across repartitionings).
+
+    Scale shape per iteration: one broadcast-assignment scan (the k×d
+    centroid table is bounded), one posexplode to (row × dim)
+    component rows with map-side partial decimal sums — linear, no
+    pairwise anything.  Centroids (k×d floats, bounded) come to the
+    driver between iterations, the same bounded-scalar collect the CC
+    convergence loop uses.  Init: the k hash-order-first vectors (a
+    deterministic pseudorandom sample).  A cell that loses every
+    member keeps its previous centroid."""
+    if k <= 0 or n_iters < 0:
+        raise ValueError(f"bad k={k} / n_iters={n_iters}")
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    cent_rows = [
+        (i, r["embedding"])
+        for i, r in enumerate(
+            base.orderBy(
+                F.xxhash64(F.col("vec_id"), F.lit("kmeans_init")),
+                "vec_id",
+            )
+            .limit(k)
+            .collect()
+        )
+    ]
+
+    def as_df(rows):
+        return spark.createDataFrame(
+            rows, "cid long, cvec array<float>"
+        ).withColumn("cnrm", norm_expr("cvec"))
+
+    for _ in range(n_iters):
+        assigned = ivf_assign(
+            base, as_df(cent_rows), nprobe=1, vec_dim=vec_dim
+        ).select("cid", "embedding")
+        comp = assigned.select(
+            "cid", F.posexplode("embedding").alias("pos", "v")
+        )
+        means = (
+            comp.groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(30,9)"))
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "m"))
+                    ),
+                    lambda s: s["m"].cast("float"),
+                ).alias("cvec")
+            )
+        )
+        new = {r["cid"]: r["cvec"] for r in means.collect()}
+        cent_rows = [
+            (cid, new.get(cid, old)) for cid, old in cent_rows
+        ]
+    return as_df(cent_rows)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

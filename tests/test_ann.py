@@ -147,3 +147,59 @@ def test_ivf_external_centroids(spark):
     rows = alt.collect()
     assert len(rows) == 5 * 3
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_kmeans_fit_separated_blobs(spark):
+    """3 well-separated deterministic blobs: kmeans_fit recovers one
+    centroid per blob (every member's nearest fitted centroid is its
+    blob-mates'), centroids are byte-identical across repartitionings
+    (exact decimal means), and the result drops into ivf_topk."""
+    from arachne_spark.operators.ann import ivf_assign, kmeans_fit
+
+    dim = 16
+
+    def blob(center, n0, n):
+        # axis-aligned blob: center one-hot at `center`, small
+        # deterministic jitter on the remaining axes
+        rows = []
+        for i in range(n0, n0 + n):
+            v = [((i * 31 + j * 7) % 5) * 0.01 for j in range(dim)]
+            v[center] += 1.0
+            rows.append((i, [float(x) for x in v]))
+        return rows
+
+    rows = blob(0, 0, 40) + blob(5, 100, 40) + blob(11, 200, 40)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = kmeans_fit(df, k=3, n_iters=4)
+    got = cents.collect()
+    assert len(got) == 3
+    # each fitted centroid is dominated by exactly one blob axis
+    axes = sorted(
+        max(range(dim), key=lambda j: r["cvec"][j]) for r in got
+    )
+    assert axes == [0, 5, 11]
+    # assignments are pure: every blob lands in one cell
+    a = ivf_assign(df, cents, nprobe=1).select("vec_id", "cid").collect()
+    by_blob = {}
+    for r in a:
+        by_blob.setdefault(r["vec_id"] // 100, set()).add(r["cid"])
+    assert all(len(cids) == 1 for cids in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
+    # byte-identical across repartitionings
+    again = kmeans_fit(df.repartition(13), k=3, n_iters=4).collect()
+    assert sorted(map(str, again)) == sorted(map(str, got))
+
+
+def test_kmeans_fit_empty_cell_keeps_centroid(spark):
+    """k larger than the number of distinct points: starved cells
+    keep their previous centroid instead of vanishing."""
+    from arachne_spark.operators.ann import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) if i < 5 else (i, [0.0, 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(df, k=4, n_iters=3)
+    assert cents.count() == 4
