@@ -299,16 +299,64 @@ def decode_image(payload: bytes | None) -> dict | None:
     return None
 
 
+def _decode_flac(payload: bytes) -> dict | None:
+    """FLAC STREAMINFO decode: "fLaC" magic, then the metadata-block
+    walk (1-byte last-flag|type + 3-byte big-endian length each); the
+    FIRST block must be a 34-byte STREAMINFO (spec requirement) whose
+    bit-packed fields give sample rate (20 bits), channels-1 (3),
+    bits-per-sample-1 (5) and total samples (36).  The walk must reach
+    the last-flag block inside the payload and audio frames must
+    follow (first frame's 14-bit sync code 0b11111111111110) — magic
+    plus junk fails, same contract as the other format walks."""
+    n = len(payload)
+    if n < 42 or bytes(payload[:4]) != b"fLaC":
+        return None
+    if payload[4] & 0x7F != 0:  # first block must be STREAMINFO
+        return None
+    if int.from_bytes(payload[5:8], "big") != 34:
+        return None
+    # sample rate 20 bits, channels-1 3 bits, bps-1 5 bits, total 36
+    # bits, packed big-endian starting at STREAMINFO byte 10
+    packed = int.from_bytes(payload[18:26], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0 or rate > 655350:
+        return None
+    i, last = 4, False
+    while not last:
+        if i + 4 > n:
+            return None  # truncated metadata table
+        last = bool(payload[i] & 0x80)
+        if payload[i] & 0x7F > 6:
+            return None  # invalid block type (127 is forbidden)
+        i += 4 + int.from_bytes(payload[i + 1:i + 4], "big")
+    if i + 2 > n or payload[i] != 0xFF or payload[i + 1] & 0xFC != 0xF8:
+        return None  # no audio frame after the metadata table
+    return {
+        "format": "flac",
+        "channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_samples": total,
+        "duration_ms": total * 1000 // rate,
+    }
+
+
 def decode_audio(payload: bytes | None) -> dict | None:
-    """REAL pure-Python audio header decoder for WAV (RIFF/WAVE): walk
+    """REAL pure-Python audio header decoder for WAV (RIFF/WAVE — walk
     the RIFF chunk table, read the fmt chunk (PCM or IEEE-float
     format tag, channels, sample rate, bits/sample) and size the data
-    chunk into a sample count + duration.  Returns ``{"format",
+    chunk into a sample count + duration) and FLAC (STREAMINFO
+    metadata block — ``_decode_flac``).  Returns ``{"format",
     "channels", "sample_rate", "bits_per_sample", "n_samples",
     "duration_ms"}`` or None.  Compressed audio (MP3/AAC/OGG) stays a
     labeled stub — no codec libraries in this container."""
-    if not payload or len(payload) < 44:
+    if not payload or len(payload) < 42:
         return None
+    if bytes(payload[:4]) == b"fLaC":
+        return _decode_flac(payload)
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
         return None
     n = len(payload)
@@ -391,6 +439,173 @@ def audio_meta(
                     ),
                     "n_samples": get("n_samples").astype("Int64"),
                     "duration_ms": get("duration_ms").astype("Int64"),
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for the ISO-BMFF box
+    table in payload[start:end]; raises ValueError on a malformed
+    table (size too small, box overrunning the range, truncated
+    header) — the walk itself is the structural validation."""
+    i = end_of_prev = start
+    while i < end:
+        if i + 8 > end:
+            raise ValueError("truncated box header")
+        size = int.from_bytes(payload[i:i + 4], "big")
+        btype = bytes(payload[i + 4:i + 8])
+        body = i + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > end:
+                raise ValueError("truncated largesize")
+            size = int.from_bytes(payload[i + 8:i + 16], "big")
+            body = i + 16
+            if size < 16:
+                raise ValueError("largesize too small")
+        elif size == 0:  # box extends to the end of the enclosing range
+            size = end - i
+            if size < 8:
+                raise ValueError("empty to-end box")
+        elif size < 8:
+            raise ValueError("box size below header size")
+        if i + size > end:
+            raise ValueError("box overruns enclosing range")
+        yield btype, body, i + size
+        i = end_of_prev = i + size
+    if end_of_prev != end:  # pragma: no cover — loop exits exactly at end
+        raise ValueError("box table does not tile the range")
+
+
+def decode_video(payload: bytes | None) -> dict | None:
+    """REAL pure-Python video container decoder for MP4 (ISO base
+    media file format): walk the top-level box table (every declared
+    box size must tile the payload exactly — arbitrary bytes after a
+    valid prefix fail, same contract as the PNG chunk walk), require
+    an ``ftyp`` first box, a ``moov`` containing a valid ``mvhd``
+    (version 0 or 1, nonzero timescale), and an ``mdat``; read track
+    count and the presentation (width, height) from the first ``tkhd``
+    with nonzero dimensions (16.16 fixed point, rounded to int).
+    Returns ``{"format", "major_brand", "timescale", "duration_ms",
+    "n_tracks", "width", "height"}`` or None.  Frame/pixel decoding
+    stays behind the labeled stubs (``frame_sample`` models the
+    fan-out shape) — no codec libraries in this container — but the
+    container-structure contract is exercised for real here."""
+    n = len(payload) if payload else 0
+    if n < 16 or bytes(payload[4:8]) != b"ftyp":
+        return None
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    saw_moov = saw_mdat = False
+    try:
+        for btype, body, bend in _mp4_boxes(payload, 0, n):
+            if brand is None:
+                if btype != b"ftyp" or bend - body < 8:
+                    return None
+                raw = bytes(payload[body:body + 4])
+                if not raw.isascii():
+                    return None
+                brand = raw.decode("ascii").strip()
+            elif btype == b"mdat":
+                saw_mdat = True
+            elif btype == b"moov":
+                saw_moov = True
+                for ityp, ib, ie in _mp4_boxes(payload, body, bend):
+                    if ityp == b"mvhd":
+                        ver = payload[ib]
+                        if ver == 0 and ie - ib >= 20:
+                            timescale = int.from_bytes(
+                                payload[ib + 12:ib + 16], "big"
+                            )
+                            duration = int.from_bytes(
+                                payload[ib + 16:ib + 20], "big"
+                            )
+                        elif ver == 1 and ie - ib >= 32:
+                            timescale = int.from_bytes(
+                                payload[ib + 20:ib + 24], "big"
+                            )
+                            duration = int.from_bytes(
+                                payload[ib + 24:ib + 32], "big"
+                            )
+                        else:
+                            return None
+                        if timescale == 0:
+                            return None
+                    elif ityp == b"trak":
+                        n_tracks += 1
+                        for ttyp, tb, te in _mp4_boxes(payload, ib, ie):
+                            # tkhd v0 body is 84 bytes; width/height
+                            # are the final two 16.16 fixed-point
+                            # fields (nonzero only on visual tracks)
+                            if ttyp != b"tkhd" or te - tb < 84:
+                                continue
+                            w16 = int.from_bytes(
+                                payload[te - 8:te - 4], "big"
+                            )
+                            h16 = int.from_bytes(
+                                payload[te - 4:te], "big"
+                            )
+                            if width is None and w16 and h16:
+                                width = w16 >> 16
+                                height = h16 >> 16
+    except ValueError:
+        return None
+    if not saw_moov or not saw_mdat or timescale is None:
+        return None
+    return {
+        "format": "mp4",
+        "major_brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def video_meta(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, is_decodable, format, major_brand, timescale, duration_ms,
+    n_tracks, width, height) via Arrow-batched ``decode_video`` — real
+    for MP4 containers, null for formats needing a codec library."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("is_decodable", BooleanType()),
+            StructField("format", StringType()),
+            StructField("major_brand", StringType()),
+            StructField("timescale", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("n_tracks", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf[payload_col].map(decode_video)
+            get = lambda k: metas.map(  # noqa: E731
+                lambda m: m[k] if m else None
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "is_decodable": metas.map(lambda m: m is not None),
+                    "format": get("format"),
+                    "major_brand": get("major_brand"),
+                    "timescale": get("timescale").astype("Int64"),
+                    "duration_ms": get("duration_ms").astype("Int64"),
+                    "n_tracks": get("n_tracks").astype("Int32"),
+                    "width": get("width").astype("Int32"),
+                    "height": get("height").astype("Int32"),
                 }
             )
 

@@ -373,3 +373,115 @@ def test_decode_image_gif():
     assert decode_image(bytes(bogus)) is None
     # zero dimensions
     assert decode_image(_gif(0, 5)) is None
+
+
+def _box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return (1).to_bytes(4, "big") + btype \
+            + (16 + len(body)).to_bytes(8, "big") + body
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4(ts=600, dur=1200, v1=False, w=640, h=360, tracks=1,
+         mdat=True, brand=b"isom"):
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)*) + mdat."""
+    if v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 \
+            + ts.to_bytes(4, "big") + dur.to_bytes(8, "big")
+    else:
+        mvhd = bytes(4) + b"\x00" * 8 \
+            + ts.to_bytes(4, "big") + dur.to_bytes(4, "big")
+    tkhd = bytes(4) + b"\x00" * 72 \
+        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    moov_body = _box(b"mvhd", mvhd)
+    for _ in range(tracks):
+        moov_body += _box(b"trak", _box(b"tkhd", tkhd))
+    out = _box(b"ftyp", brand + bytes(4)) + _box(b"moov", moov_body)
+    if mdat:
+        out += _box(b"mdat", b"\x00" * 9)
+    return out
+
+
+def test_decode_video_mp4(spark):
+    from arachne_spark.operators.multimodal import decode_video, video_meta
+
+    got = decode_video(_mp4())
+    assert got == {
+        "format": "mp4", "major_brand": "isom", "timescale": 600,
+        "duration_ms": 2000, "n_tracks": 1, "width": 640, "height": 360,
+    }
+    # mvhd version 1 (64-bit times) and multiple tracks
+    v1 = decode_video(_mp4(ts=1000, dur=90_000, v1=True, tracks=3))
+    assert v1["duration_ms"] == 90_000 and v1["n_tracks"] == 3
+    # largesize (size==1) boxes walk correctly
+    big = _box(b"ftyp", b"mp42" + bytes(4)) + _box(
+        b"moov",
+        _box(b"mvhd", bytes(4) + b"\x00" * 8
+             + (600).to_bytes(4, "big") + (600).to_bytes(4, "big")),
+    ) + _box(b"mdat", b"\x00" * 32, largesize=True)
+    assert decode_video(big)["major_brand"] == "mp42"
+    # structural failures: the walk must tile the payload exactly
+    assert decode_video(_mp4() + b"trailing junk") is None
+    assert decode_video(_mp4()[:-4]) is None            # truncated
+    assert decode_video(_mp4(mdat=False)) is None       # no mdat
+    assert decode_video(_mp4(ts=0)) is None             # zero timescale
+    assert decode_video(b"\x00\x00\x00\x20ftyp" + b"x" * 40) is None
+    assert decode_video(b"just some text, not a video") is None
+    assert decode_video(None) is None
+    # audio-only container: zero-dim tkhd -> no width, still decodable
+    audio_only = decode_video(_mp4(w=0, h=0))
+    assert audio_only["width"] is None and audio_only["n_tracks"] == 1
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4())), (2, bytearray(b"webm junk")), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in
+            video_meta(df, id_col="doc_id").collect()}
+    assert rows[1]["is_decodable"] and rows[1]["width"] == 640
+    assert rows[1]["duration_ms"] == 2000
+    assert not rows[2]["is_decodable"] and rows[2]["format"] is None
+    assert not rows[3]["is_decodable"]
+    plan = video_meta(df, id_col="doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def _flac(rate=44100, channels=2, bits=16, total=44100, extra_block=True):
+    """Minimal valid FLAC: STREAMINFO (+ optional padding block) +
+    one frame-sync byte pair standing in for audio frames."""
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) \
+        | total
+    streaminfo = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    out = b"fLaC"
+    first_flag = 0x00 if extra_block else 0x80
+    out += bytes([first_flag]) + (34).to_bytes(3, "big") + streaminfo
+    if extra_block:  # PADDING block, last
+        out += bytes([0x81]) + (4).to_bytes(3, "big") + bytes(4)
+    return out + b"\xff\xf8\x69\x18"
+
+
+def test_decode_audio_flac(spark):
+    from arachne_spark.operators.multimodal import audio_meta, decode_audio
+
+    got = decode_audio(_flac())
+    assert got == {
+        "format": "flac", "channels": 2, "sample_rate": 44100,
+        "bits_per_sample": 16, "n_samples": 44100, "duration_ms": 1000,
+    }
+    assert decode_audio(_flac(rate=48000, total=12000, extra_block=False))[
+        "duration_ms"] == 250
+    assert decode_audio(_flac(channels=8, bits=24))["channels"] == 8
+    assert decode_audio(_flac()[:-4]) is None   # no frames after metadata
+    assert decode_audio(_flac()[:20]) is None   # truncated STREAMINFO
+    assert decode_audio(_flac(rate=0)) is None
+    assert decode_audio(b"fLaC" + b"x" * 60) is None  # walk fails
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_flac())), (2, bytearray(_wav(2, 8000, 16, 800)))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in
+            audio_meta(df, id_col="doc_id").collect()}
+    assert rows[1]["format"] == "flac" and rows[1]["duration_ms"] == 1000
+    assert rows[2]["format"] == "wav" and rows[2]["duration_ms"] == 100
