@@ -553,3 +553,92 @@ def embedding_neardup(
         ).alias("sim"),
     )
     return sims.where(F.col("sim") >= threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, rep_id, keep): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023) — cluster the embedding space, compare cosine
+    only WITHIN a cell, link pairs >= ``threshold``, keep one
+    representative per linked cluster.  Same output contract as
+    ``minhash_doc_dedup``: every input id maps to the minimum-id
+    representative of its duplicate set (singletons to themselves),
+    ``keep`` = (vec_id == rep_id).
+
+    Scale shape: one k-means fit (or an injected offline quantizer via
+    ``centroids``), one broadcast assignment scan, then pairwise work
+    bounded by sum over cells of |cell|^2 — never corpus-all-pairs.
+    Size ``n_centroids ~ n / target_cell`` so cells stay ~10^4-10^5 at
+    10^9 vectors; the CC stage sees only above-threshold pairs (near
+    duplicates are rare by definition, so that relation is small).
+    Deterministic end-to-end: kmeans_fit's decimal-exact centroids,
+    tie-broken assignment, rounded sims, min-id representative."""
+    from .cc import connected_components
+
+    if centroids is not None:
+        cents = centroids
+        if "cnrm" not in cents.columns:
+            cents = cents.select(
+                "cid", "cvec", norm_expr("cvec").alias("cnrm")
+            )
+    else:
+        cents = kmeans_fit(
+            emb, n_centroids, kmeans_iters, id_col, vec_col, vec_dim
+        )
+    a = ivf_assign(
+        emb, cents, nprobe=1, id_col=id_col, vec_col=vec_col,
+        vec_dim=vec_dim,
+    ).select("vec_id", "embedding", "nrm", "cid")
+    pairs = (
+        a.select(
+            "cid", F.col("vec_id").alias("qvec"),
+            F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+        )
+        .join(
+            a.select(
+                "cid", F.col("vec_id").alias("nvec"),
+                F.col("embedding").alias("ne"), F.col("nrm").alias("nn"),
+            ),
+            "cid",
+        )
+        .where(F.col("qvec") < F.col("nvec"))
+    )
+    dup = pairs.select(
+        "qvec",
+        "nvec",
+        F.round(
+            pair_dot("qe", "ne", vec_dim) / (F.col("qn") * F.col("nn")), 4
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)
+    # min-id representative via CC, the minhash_doc_dedup encoding:
+    # numeric ids zero-padded so string order == numeric order
+    id_type = emb.schema[id_col].dataType.simpleString()
+    numeric = id_type in ("bigint", "int", "smallint", "tinyint")
+    if numeric:
+        enc = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+        dec = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    else:
+        enc = lambda c: F.col(c)  # noqa: E731
+        dec = lambda c: F.col(c)  # noqa: E731
+    comp = connected_components(
+        dup.select(enc("qvec").alias("src"), enc("nvec").alias("dst")),
+        key_encode=False,
+    ).select(
+        dec("node").alias("vec_id"), dec("component").alias("rep_id")
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("rep_id", "vec_id").alias("rep_id")
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("rep_id"))
+    )

@@ -105,6 +105,11 @@ class PipelineConfig:
     scrub_pii: bool = False
     # drop Gopher-rule repetition-degenerate pages
     quality_filter: bool = False
+    # entity-importance ranking: materialize deterministic PageRank
+    # over the canonical triples (operators/pagerank.py) as an
+    # `entity_rank` stage — how a consumer finds the hot entities the
+    # skew handling already protects, without a hand-curated list
+    rank_entities: bool = False
 
 
 FETCH_STATE = "fetch_state"
@@ -421,6 +426,15 @@ def run_pipeline(
     triples = rec.run_stage(
         "triples", canonicalize, force=cfg.force, partition_by=["pred"]
     )
+
+    if cfg.rank_entities:
+        from arachne_spark.operators.pagerank import entity_pagerank
+
+        rec.run_stage(
+            "entity_rank",
+            lambda: entity_pagerank(triples),
+            force=cfg.force,
+        )
 
     if cfg.materialize_rdf:
         # the graph-materialize step of the north_star: the interchange

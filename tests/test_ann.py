@@ -203,3 +203,103 @@ def test_kmeans_fit_empty_cell_keeps_centroid(spark):
     )
     cents = kmeans_fit(df, k=4, n_iters=3)
     assert cents.count() == 4
+
+
+def _uf_neardup(vecs: dict, threshold: float):
+    """Brute-force union-find twin: global all-pairs cosine >= tau,
+    min-id representative."""
+    import math
+
+    ids = sorted(vecs)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            na = math.sqrt(sum(v * v for v in vecs[i]))
+            nb = math.sqrt(sum(v * v for v in vecs[j]))
+            sim = round(
+                sum(a * b for a, b in zip(vecs[i], vecs[j])) / (na * nb), 4
+            )
+            if sim >= threshold:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_semantic_dedup_exact_duplicates_default_kmeans(spark):
+    """Exact duplicate vectors always share a cell (identical input ->
+    identical assignment), so the default kmeans path must recover
+    exactly the duplicate groups."""
+    from arachne_spark.operators.ann import semantic_dedup
+
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0], 3: [0.7, 0.7, 0.0, 0.0],
+    }
+    vecs = {}
+    for vid in range(20):
+        vecs[vid] = base[vid % 4]  # 4 groups of 5 exact duplicates
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["rep_id"]
+           for r in semantic_dedup(df, threshold=0.999,
+                                   n_centroids=4).collect()}
+    want = _uf_neardup(vecs, 0.999)
+    assert got == want
+    # exactly one keep per duplicate group
+    assert sorted(set(got.values())) == [0, 1, 2, 3]
+
+
+def test_semantic_dedup_injected_quantizer_matches_twin(spark):
+    """Perturbed blobs with an injected (offline-trained) quantizer:
+    one cell per blob, so within-cell linking equals the global
+    brute-force union-find twin."""
+    from arachne_spark.operators.ann import semantic_dedup
+
+    def blob(axis, n0, n):
+        out = {}
+        for i in range(n):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            # tiny deterministic perturbation: pairs with the same
+            # i % 2 parity are near-identical, across parity ~0.98
+            v[(axis + 1) % 8] = 0.002 * (i % 2) + 0.0001 * (i % 3)
+            out[n0 + i] = v
+        return out
+
+    vecs = {**blob(0, 0, 6), **blob(3, 100, 6), **blob(6, 200, 6)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    def one_hot(axis):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        return v
+
+    cents = spark.createDataFrame(
+        [(0, one_hot(0)), (1, one_hot(3)), (2, one_hot(6))],
+        "cid bigint, cvec array<float>",
+    )
+    for threshold in (0.9999, 0.5):
+        got = {r["vec_id"]: r["rep_id"]
+               for r in semantic_dedup(df, threshold=threshold,
+                                       centroids=cents).collect()}
+        assert got == _uf_neardup(vecs, threshold), threshold
+    # determinism across partitionings
+    a = semantic_dedup(df.repartition(7), threshold=0.9999,
+                       centroids=cents).collect()
+    b = semantic_dedup(df.repartition(2, "vec_id"), threshold=0.9999,
+                       centroids=cents).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -288,3 +288,22 @@ def test_corpus_curation_stages(spark, tmp_path):
     }
     assert sorted(dupes.values()) == [False, True]
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_rank_entities_stage(spark, tmp_path):
+    """rank_entities=True materializes entity_rank: full rank mass
+    (sums to 1), url+entity vertices, recorded stage metrics."""
+    wh = str(tmp_path / "pr")
+    cfg = PipelineConfig(
+        warehouse=wh, n_pages=60, run_id="pr", rank_entities=True
+    )
+    res = run_pipeline(spark, cfg)
+    assert any(s["stage"] == "entity_rank" for s in res["stages"])
+    ranks = spark.read.parquet(f"{wh}/entity_rank")
+    rows = ranks.collect()
+    assert len(rows) > 0
+    assert set(ranks.columns) == {"v", "rank"}
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+    # triple objects (link targets) must outrank pure-source urls
+    top = max(rows, key=lambda r: (r["rank"], r["v"]))
+    assert not top["v"].startswith("https://")
