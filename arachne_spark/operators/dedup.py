@@ -36,7 +36,7 @@ reproduces every signature bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from arachne_spark.operators.cc import connected_components
@@ -299,4 +299,136 @@ def benchmark_contamination(
         F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias(
             "overlap_frac"
         ),
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token span of ``k``+ tokens whose exact text occurs more than once
+    corpus-wide is removed from ALL occurrences except the globally
+    first — min (doc_id, position), a total order — and the surviving
+    tokens are reassembled in place.  Complements minhash_doc_dedup
+    (whole-document near-dups) by cutting copied PASSAGES out of
+    otherwise-distinct documents; rows are preserved (a fully-copied
+    doc comes back with empty text — filtering is the caller's call).
+
+    The reference tool builds a corpus-wide suffix array on one giant
+    machine; this is the shuffle-native restatement:
+
+    * rolling ``k``-token shingles per doc as one per-row transform
+      (pos is the 0-based start token) — a duplicated span of L >= k
+      tokens is exactly a run of duplicated shingles, so span-level
+      dedup reduces to shingle-hash equality;
+    * shingles keyed by md5 of the gram text (128 bits: at 10^12
+      shingles a 64-bit key would already collide by birthday bound);
+    * per-hash count + min-occurrence in ONE partial-aggregatable pass
+      (count and struct-min both combine map-side — boilerplate-hot
+      hashes never funnel one reducer);
+    * non-first occurrences merge into maximal covered intervals via
+      gaps-and-islands (doc-partitioned window over marked starts:
+      coverage [pos, pos+k-1] chains while successive starts are <= k
+      apart), so the covered-index explode is proportional to the
+      covered TEXT length, not (span length x k);
+    * only touched documents are re-tokenized and reassembled — clean
+      documents (the vast majority) pass through untouched, and the
+      reassembly sorts (idx, token) structs so no per-group ordering
+      assumption is made (same discipline as strip_boilerplate).
+
+    Tokenization is single-space split/join, which is lossless
+    (consecutive spaces round-trip as empty tokens), so untouched text
+    is byte-identical and surviving spans keep their exact bytes.
+    """
+    other = [c for c in docs.columns if c != text_col]
+    toks = docs.select(
+        *other, F.split(F.col(text_col), " ", -1).alias("__toks")
+    )
+    occ = toks.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.expr(
+                f"transform("
+                f" if(size(__toks) >= {k},"
+                f"    sequence(1, size(__toks) - {k - 1}), array()),"
+                f" i -> md5(concat_ws(' ', slice(__toks, i, {k}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("__id", "pos")).alias("m"),
+        )
+        .where(F.col("c") > 1)
+        .select("h", "m")
+    )
+    marked = (
+        occ.join(dup, "h")
+        .where(
+            ~(
+                (F.col("__id") == F.col("m.__id"))
+                & (F.col("pos") == F.col("m.pos"))
+            )
+        )
+        .select("__id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    islands = (
+        marked.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+    )
+    covered = (
+        islands.groupBy("__id", "__isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + k - 1).alias("e"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.explode(F.sequence("s", "e")).alias("__idx"),
+        )
+    )
+    touched_ids = covered.select(id_col).distinct()
+    untouched = docs.join(touched_ids, id_col, "left_anti")
+    tokens = (
+        toks.join(touched_ids, id_col, "left_semi")
+        .select(*other, F.posexplode("__toks").alias("__idx", "__tok"))
+    )
+    kept = tokens.join(covered, [id_col, "__idx"], "left_anti")
+    rebuilt = kept.groupBy(*other).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__idx", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    # fully-covered docs lose every token and drop out of the groupBy;
+    # restore them with empty text so the operator is row-preserving
+    empties = (
+        docs.select(*other)
+        .join(untouched.select(*other), other, "left_anti")
+        .join(rebuilt.select(*other), other, "left_anti")
+        .withColumn(text_col, F.lit(""))
+    )
+    return (
+        rebuilt.unionByName(empties)
+        .unionByName(untouched.select(*rebuilt.columns))
+        .select(*docs.columns)
     )

@@ -196,3 +196,97 @@ def test_benchmark_contamination(spark):
     # overlap_frac derives from the document's own shingle count
     n_overlap, n_shingles = got[(1, 100)]
     assert n_shingles == 5  # 9 tokens -> 5 distinct 5-grams
+
+
+def py_exact_substring(docs: dict, k: int) -> dict:
+    """Pure-Python twin of exact_substring_dedup: dict-based suffix
+    scan, deliberately a different shape from the Spark plan."""
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    occ: dict = {}
+    for i in sorted(toks):
+        tk = toks[i]
+        for p in range(len(tk) - k + 1):
+            occ.setdefault(" ".join(tk[p:p + k]), []).append((i, p))
+    covered = {i: set() for i in docs}
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for i, p in lst:
+                if (i, p) != first:
+                    covered[i].update(range(p, p + k))
+    return {
+        i: " ".join(
+            t for j, t in enumerate(tk) if j not in covered[i]
+        )
+        for i, tk in toks.items()
+    }
+
+
+def test_exact_substring_dedup_matches_twin(spark):
+    from arachne_spark.operators.dedup import exact_substring_dedup
+
+    span = "alpha beta gamma delta epsilon zeta"
+    docs = {
+        # doc 1 holds the first occurrence (min id): untouched
+        1: f"intro one {span} outro one",
+        # doc 2 repeats the span mid-text: span cut, rest survives
+        2: f"start two {span} end two",
+        # doc 3 repeats it twice (cross-doc AND self-repetition)
+        3: f"{span} filler {span}",
+        # doc 4 is entirely a copy of the span: reduced to empty
+        4: span,
+        # doc 5 short and unique: untouched
+        5: "tiny unique doc",
+        # doc 6 unique but long enough to shingle: untouched
+        6: "the quick brown fox jumps over the lazy dog tonight",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    for k in (4, 6):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in exact_substring_dedup(df, k=k).collect()
+        }
+        want = py_exact_substring(docs, k)
+        assert got == want, k
+    # k=6 sanity spot checks (the span is exactly 6 tokens)
+    got6 = {
+        r["doc_id"]: r["text"]
+        for r in exact_substring_dedup(df, k=6).collect()
+    }
+    assert got6[1] == docs[1]                      # first occurrence kept
+    assert got6[2] == "start two end two"
+    assert got6[4] == ""                           # fully covered
+    assert got6[5] == docs[5] and got6[6] == docs[6]
+
+
+def test_exact_substring_dedup_long_run_and_determinism(spark):
+    """A long duplicated region (many overlapping duplicated shingles)
+    merges into ONE covered interval; output is partition-invariant."""
+    from arachne_spark.operators.dedup import exact_substring_dedup
+
+    region = " ".join(f"w{i}" for i in range(30))
+    docs = {
+        10: f"prefix {region} suffix",
+        20: f"other head {region} other tail",
+        30: "completely unrelated text with enough tokens here",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in exact_substring_dedup(df, k=5).collect()
+    }
+    assert got == py_exact_substring(docs, 5)
+    assert got[10] == docs[10]              # min (doc_id, pos) survives
+    assert got[20] == "other head other tail"
+    a = sorted(
+        map(tuple, exact_substring_dedup(df.repartition(7), k=5).collect())
+    )
+    b = sorted(
+        map(tuple,
+            exact_substring_dedup(df.repartition(2, "text"), k=5).collect())
+    )
+    assert a == b
