@@ -420,11 +420,14 @@ def exact_substring_dedup(
         ).alias(text_col)
     )
     # fully-covered docs lose every token and drop out of the groupBy;
-    # restore them with empty text so the operator is row-preserving
+    # restore them with empty text so the operator is row-preserving.
+    # The anti-joins key on id_col ONLY: keying on every passthrough
+    # column would silently duplicate any doc with a NULL column (NULL
+    # join keys never match, so anti-join keeps the row)
     empties = (
         docs.select(*other)
-        .join(untouched.select(*other), other, "left_anti")
-        .join(rebuilt.select(*other), other, "left_anti")
+        .join(untouched.select(id_col), id_col, "left_anti")
+        .join(rebuilt.select(id_col), id_col, "left_anti")
         .withColumn(text_col, F.lit(""))
     )
     return (

@@ -274,10 +274,13 @@ def strip_boilerplate(
     )
     # docs whose every line was boilerplate drop out of the groupBy
     # input entirely; restore them with empty text so the operator is
-    # row-preserving (filtering empties is the caller's policy call)
+    # row-preserving (filtering empties is the caller's policy call).
+    # Keyed on id_col ONLY: keying on every passthrough column would
+    # silently duplicate any doc with a NULL column (NULL join keys
+    # never match, so the anti-join keeps the row)
     empties = (
         docs.select(*other_cols)
-        .join(rebuilt.select(*other_cols), other_cols, "left_anti")
+        .join(rebuilt.select(id_col), id_col, "left_anti")
         .withColumn(text_col, F.lit(""))
     )
     return rebuilt.unionByName(empties).select(*docs.columns)

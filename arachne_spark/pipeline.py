@@ -105,6 +105,12 @@ class PipelineConfig:
     scrub_pii: bool = False
     # drop Gopher-rule repetition-degenerate pages
     quality_filter: bool = False
+    # cut duplicated >= dup_span_tokens token passages out of every
+    # occurrence but the corpus-first one (exact_substring_dedup) —
+    # runs after PII scrub so redacted copies merge, before the
+    # repetition filter so cut docs are judged on what remains
+    strip_dup_spans: bool = False
+    dup_span_tokens: int = 50
     # entity-importance ranking: materialize deterministic PageRank
     # over the canonical triples (operators/pagerank.py) as an
     # `entity_rank` stage — how a consumer finds the hot entities the
@@ -247,6 +253,12 @@ def _curate_pages(pages_clean: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
     if cfg.scrub_pii:
         out = out.withColumn("text", scrub_expr(F.col("text")))
+    if cfg.strip_dup_spans:
+        from arachne_spark.operators.dedup import exact_substring_dedup
+
+        out = exact_substring_dedup(
+            out, k=cfg.dup_span_tokens, id_col="url", text_col="text"
+        )
     if cfg.quality_filter:
         out = repetition_filter(out, id_col="url", text_col="text")
     return out
@@ -274,7 +286,12 @@ def run_pipeline(
         force=cfg.force,
     )
 
-    if cfg.canonical_url_dedup or cfg.scrub_pii or cfg.quality_filter:
+    if (
+        cfg.canonical_url_dedup
+        or cfg.scrub_pii
+        or cfg.strip_dup_spans
+        or cfg.quality_filter
+    ):
         pages_clean = rec.run_stage(
             "pages_curated",
             lambda: _curate_pages(pages_clean, cfg),

@@ -161,6 +161,7 @@ def run_curation(sf_dir: str, cpus: int, n_runs: int = 3) -> dict:
     ``count()``)."""
     from pyspark.sql import functions as F
 
+    from arachne_spark.operators.dedup import exact_substring_dedup
     from arachne_spark.operators.mixing import sample_epochs
     from arachne_spark.operators.packing import pack_bins, pack_concat
     from arachne_spark.operators.quality import repetition_stats
@@ -192,6 +193,9 @@ def run_curation(sf_dir: str, cpus: int, n_runs: int = 3) -> dict:
         "split_mix": lambda: sample_epochs(
             hash_split(docs, "doc_id"), "doc_id", 1.5
         ).groupBy("split", "epoch").count().collect(),
+        "exact_substring": lambda: exact_substring_dedup(docs, k=8).agg(
+            F.sum(F.length("text"))
+        ).collect(),
     }
     for fn in ops.values():  # warm: JIT + parquet footers
         fn()

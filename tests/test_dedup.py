@@ -240,16 +240,22 @@ def test_exact_substring_dedup_matches_twin(spark):
         # doc 6 unique but long enough to shingle: untouched
         6: "the quick brown fox jumps over the lazy dog tonight",
     }
+    # extra passthrough column with NULLs: a NULL column must not
+    # break row preservation (anti-joins key on doc_id, never on
+    # nullable passthrough columns)
     df = spark.createDataFrame(
-        list(docs.items()), "doc_id bigint, text string"
+        [(i, t, None if i % 2 else f"m{i}") for i, t in docs.items()],
+        "doc_id bigint, text string, meta string",
     )
     for k in (4, 6):
-        got = {
-            r["doc_id"]: r["text"]
-            for r in exact_substring_dedup(df, k=k).collect()
-        }
+        rows = exact_substring_dedup(df, k=k).collect()
+        assert len(rows) == len(docs), k
+        got = {r["doc_id"]: r["text"] for r in rows}
         want = py_exact_substring(docs, k)
         assert got == want, k
+        assert {r["doc_id"]: r["meta"] for r in rows} == {
+            i: (None if i % 2 else f"m{i}") for i in docs
+        }
     # k=6 sanity spot checks (the span is exactly 6 tokens)
     got6 = {
         r["doc_id"]: r["text"]

@@ -307,3 +307,42 @@ def test_rank_entities_stage(spark, tmp_path):
     # triple objects (link targets) must outrank pure-source urls
     top = max(rows, key=lambda r: (r["rank"], r["v"]))
     assert not top["v"].startswith("https://")
+
+
+def test_strip_dup_spans_stage(spark, tmp_path):
+    """cfg.strip_dup_spans cuts a copied passage out of the
+    lexicographically-later document while the first occurrence and
+    the rest of the corpus pass through row-preserving."""
+    import datetime as dt
+
+    wh = str(tmp_path / "spans_wh")
+    pages = pages_df(spark, 40, partitions=4)
+    passage = " ".join(f"tok{i}" for i in range(40))
+    ts = dt.datetime(2024, 1, 1)
+    extra_df = spark.createDataFrame(
+        [("https://example.org/a-first", ts, None,
+          f"original context {passage} closing words", "en"),
+         ("https://example.org/z-copy", ts, None,
+          f"unrelated opening {passage} different ending", "en")],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    cfg = PipelineConfig(
+        warehouse=wh, n_pages=40, run_id="spans",
+        strip_dup_spans=True, dup_span_tokens=20,
+    )
+    run_pipeline(spark, cfg, pages=pages.unionByName(extra_df))
+    clean = spark.read.parquet(f"{wh}/pages_clean")
+    curated = spark.read.parquet(f"{wh}/pages_curated")
+    assert curated.count() == clean.count()  # row-preserving
+    texts = {
+        r["url"]: r["text"]
+        for r in curated.where(
+            F.col("url").startswith("https://example.org/")
+        ).collect()
+    }
+    assert texts["https://example.org/a-first"] == \
+        f"original context {passage} closing words"
+    assert texts["https://example.org/z-copy"] == \
+        "unrelated opening different ending"
+    shutil.rmtree(wh, ignore_errors=True)
