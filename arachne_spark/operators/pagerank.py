@@ -65,12 +65,18 @@ def pagerank(
         return verts.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # per-edge weight once, pre-partitioned on the join key so the
-    # per-round join shuffles only the (vertex, rank) side
+    # per-round join shuffles only the (vertex, rank) side.  persist,
+    # NOT localCheckpoint: a checkpointed scan (ExistingRDD) reports
+    # no outputPartitioning and would re-Exchange the edges every
+    # round (verified via explain), while an InMemoryRelation keeps
+    # the repartition("src") layout visible to the join planner.
+    # Lineage here is static and shallow, so the checkpoint's
+    # lineage-cutting is not needed (unlike the per-round rank state).
     w_edges = (
         e.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
         .repartition("src")
-        .localCheckpoint()
+        .persist()
     )
     dangling_v = verts.join(
         out_deg.select(F.col("src").alias("v")), "v", "left_anti"
@@ -111,6 +117,7 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
         ranks.count()  # one action per round: materialize + cut lineage
+    w_edges.unpersist()  # ranks is checkpointed; the cache can go
     return ranks
 
 
