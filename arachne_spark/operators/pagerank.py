@@ -42,12 +42,21 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 20,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """→ (v, rank double) for every vertex of the directed graph;
     ranks sum to 1.  Fixed ``n_iter`` power-iteration rounds (no
     convergence action — round count, not tolerance, is what a
     production scheduler budgets), bit-identical output for any
-    partitioning of ``edges``."""
+    partitioning of ``edges``.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the reset
+    distribution (both the (1-d) teleport and the dangling-mass
+    redistribution) concentrates uniformly on the seed vertices
+    instead of all of V — the "entities related to these" query.
+    Uniform PageRank is the special case seeds = V, and the
+    implementation is literally that: a per-vertex r0 column replaces
+    the two 1/N constants."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
@@ -81,8 +90,22 @@ def pagerank(
     dangling_v = verts.join(
         out_deg.select(F.col("src").alias("v")), "v", "left_anti"
     ).localCheckpoint()
-    base, inv_n = (1.0 - damping) / n, 1.0 / n
-    ranks = verts.withColumn("rank", F.lit(inv_n))
+    # reset distribution r0: uniform 1/N, or 1/|S| on the seed set
+    if seeds is None:
+        vr = verts.withColumn("r0", F.lit(1.0 / n))
+    else:
+        s = seeds.select(
+            F.col(seeds.columns[0]).alias("v")
+        ).distinct()
+        n_s = s.join(verts, "v", "left_semi").count()
+        if n_s == 0:
+            raise ValueError("no seed vertex appears in the graph")
+        vr = (
+            verts.join(s.withColumn("r0", F.lit(1.0 / n_s)), "v", "left")
+            .select("v", F.coalesce("r0", F.lit(0.0)).alias("r0"))
+        )
+    vr = vr.localCheckpoint()
+    ranks = vr.select("v", F.col("r0").alias("rank"))
     for _ in range(n_iter):
         contribs = (
             w_edges.join(
@@ -99,18 +122,18 @@ def pagerank(
             ).alias("d")
         )
         ranks = (
-            verts.join(contribs, "v", "left")
+            vr.join(contribs, "v", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "v",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping) * F.col("r0")
                     + F.lit(damping)
                     * (
                         F.coalesce(
                             F.col("s").cast("double"), F.lit(0.0)
                         )
-                        + F.col("d").cast("double") * F.lit(inv_n)
+                        + F.col("d").cast("double") * F.col("r0")
                     )
                 ).alias("rank"),
             )

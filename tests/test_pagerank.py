@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 
-def py_pagerank(edges, d=0.85, n_iter=8):
+def py_pagerank(edges, d=0.85, n_iter=8, seeds=None):
     """Ordered-float twin (dict-based, no Spark) of operators/
     pagerank.py — deliberately a different algorithmic shape
     (scatter over adjacency lists vs join+agg)."""
@@ -15,10 +15,18 @@ def py_pagerank(edges, d=0.85, n_iter=8):
     out: dict = {}
     for s, t in sorted(set(edges)):
         out.setdefault(s, []).append(t)
-    rank = {v: 1.0 / n for v in verts}
+    if seeds is None:
+        r0 = {v: 1.0 / n for v in verts}
+    else:
+        r0 = {
+            v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts
+        }
+    rank = dict(r0)
     for _ in range(n_iter):
         dmass = sum(rank[v] for v in verts if v not in out)
-        new = {v: (1 - d) / n + d * dmass / n for v in verts}
+        new = {
+            v: (1 - d) * r0[v] + d * dmass * r0[v] for v in verts
+        }
         for s, ts in out.items():
             w = 1.0 / len(ts)
             for t in ts:
@@ -72,6 +80,34 @@ def test_pagerank_bit_deterministic_across_partitionings(spark):
         for r in pagerank(df.repartition(2, "dst"), n_iter=6).collect()
     }
     assert a == b  # EXACT float equality, not approx
+
+
+def test_personalized_pagerank_matches_twin(spark):
+    from arachne_spark.operators.pagerank import pagerank
+
+    edges = _big_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seed_df = spark.createDataFrame([("hub",)], "v string")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(df, n_iter=8, seeds=seed_df).collect()
+    }
+    want = py_pagerank(edges, n_iter=8, seeds={"hub"})
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # mass concentrates on the seed and its out-neighborhood
+    assert got["hub"] > got["n50"]
+    assert got["n0"] > got["n50"]          # hub -> n0 edge
+    # a seed absent from the graph is an error, not a silent zero
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        pagerank(
+            df, n_iter=2,
+            seeds=spark.createDataFrame([("nope",)], "v string"),
+        )
 
 
 def test_entity_pagerank_shape(spark):
