@@ -346,3 +346,33 @@ def test_strip_dup_spans_stage(spark, tmp_path):
     assert texts["https://example.org/z-copy"] == \
         "unrelated opening different ending"
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_all_gates_compose(spark, tmp_path):
+    """Every optional pipeline feature ON in one run: curation gates,
+    near-dup page dedup, bucketed canonicalization, entity ranking,
+    and RDF materialization compose without interfering."""
+    import os
+
+    wh = str(tmp_path / "all_wh")
+    cfg = PipelineConfig(
+        warehouse=wh, n_pages=60, run_id="all",
+        canonical_url_dedup=True, scrub_pii=True,
+        strip_dup_spans=True, dup_span_tokens=30,
+        quality_filter=True, dedup_pages=True,
+        bucket_canonical=True, rank_entities=True,
+        materialize_rdf=True,
+    )
+    res = run_pipeline(spark, cfg)
+    stages = {s["stage"] for s in res["stages"]}
+    assert {"pages_clean", "pages_curated", "page_dupes", "mentions",
+            "triples", "entity_rank"} <= stages
+    assert res["triples"] > 0
+    ranks = spark.read.parquet(f"{wh}/entity_rank")
+    assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-6
+    assert os.path.exists(f"{wh}/triples_nt/_SUCCESS")
+    # resume: a second run reuses every committed stage
+    second = run_pipeline(spark, cfg)
+    assert all(s["resumed"] for s in second["stages"])
+    assert second["triples"] == res["triples"]
+    shutil.rmtree(wh, ignore_errors=True)
