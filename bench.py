@@ -209,6 +209,47 @@ def run_curation(sf_dir: str, cpus: int, n_runs: int = 3) -> dict:
     return {k: sorted(v)[len(v) // 2] for k, v in raw.items()}
 
 
+def run_graph(cpus: int) -> dict:
+    """Median warm wall for the graph-analytics operators over a
+    deterministic synthetic graph (200k vertices, 600k edges, xxhash64
+    wiring — no corpus prep in the measurement).  Guarded like the
+    curation section: a failure here never sinks the artifact."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from arachne_spark.operators.pagerank import pagerank
+    from arachne_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-graph", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    n = 200_000
+    base = spark.range(n).select(F.col("id").cast("string").alias("src"))
+    edges = None
+    for salt in ("a", "b", "c"):
+        part = base.select(
+            "src",
+            F.pmod(F.xxhash64("src", F.lit(salt)), F.lit(n))
+            .cast("string")
+            .alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    edges = edges.localCheckpoint()
+
+    def run() -> float:
+        t0 = _t.time()
+        pr = pagerank(edges, n_iter=5)
+        pr.agg(F.sum("rank")).collect()
+        return _t.time() - t0
+
+    run()  # warm
+    walls = sorted(run() for _ in range(3))
+    spark.stop()
+    return {"pagerank_200k_5it": round(walls[1], 3)}
+
+
 def kg_core_run(cores: int, n_pages: int) -> tuple[float, int]:
     """Wall seconds + triple count for the warmed pipeline core."""
     from pyspark.sql import SparkSession
@@ -340,6 +381,10 @@ def main() -> None:
         curation = run_curation(sf_dir, cpus)
     except Exception as e:  # pragma: no cover - defensive
         curation = {"error": str(e)[:200]}
+    try:
+        graph = run_graph(cpus)
+    except Exception as e:  # pragma: no cover - defensive
+        graph = {"error": str(e)[:200]}
 
     # paired measurement: this sandbox shows bursty whole-host slow
     # periods (entire runs 2x slower, headline included, with no local
@@ -401,6 +446,7 @@ def main() -> None:
         "queries": queries,
         "query_runs": query_runs,
         "curation": curation,
+        "graph": graph,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg": {
             "pages": KG_PAGES,
