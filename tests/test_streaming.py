@@ -561,3 +561,63 @@ def test_foreachbatch_incremental_matches_batch(spark, tmp_path):
         }
     )
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_model_scoring_matches_batch(spark, tmp_path):
+    """Model-based quality scoring (classifier prob + LM perplexity)
+    is per-document and stateless given a trained model, so scoring a
+    stream micro-batch-by-micro-batch must equal the batch run EXACTLY
+    (the per-doc decimal sums make this bit-level, not approximate)."""
+    import os as _os
+    import sys
+
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from test_classify import _corpus
+
+    from arachne_spark.operators.classify import (
+        hashed_ngram_features,
+        lr_train,
+        quality_score,
+    )
+    from arachne_spark.operators.lm import lm_perplexity, lm_train
+
+    docs, labels = _corpus(spark)
+    nf = 1 << 12
+    w, b = lr_train(
+        hashed_ngram_features(docs, n_features=nf), labels, n_iters=8
+    )
+    uni, bi = lm_train(docs)
+    uni, bi = uni.localCheckpoint(), bi.localCheckpoint()
+
+    src = str(tmp_path / "score_src")
+    docs.repartition(4).write.parquet(src)  # several input files
+    out: list = []
+
+    def score_batch(batch_df, batch_id):
+        scored = quality_score(batch_df, w, b, n_features=nf).join(
+            lm_perplexity(batch_df, uni, bi), "doc_id"
+        )
+        out.extend(
+            (r["doc_id"], r["prob"], r["perplexity"])
+            for r in scored.collect()
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = quality_score(
+        spark.read.parquet(src), w, b, n_features=nf
+    ).join(lm_perplexity(spark.read.parquet(src), uni, bi), "doc_id")
+    want = sorted(
+        (r["doc_id"], r["prob"], r["perplexity"])
+        for r in batch.collect()
+    )
+    assert sorted(out) == want        # EXACT equality, many batches
+    assert len(want) == docs.count()
