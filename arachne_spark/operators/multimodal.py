@@ -207,14 +207,64 @@ def _decode_jpeg(payload: bytes) -> dict | None:
     return None
 
 
+def _decode_tiff(payload: bytes) -> dict | None:
+    """TIFF baseline header decode, both byte orders: magic (II*\\0 /
+    MM\\0*), first-IFD offset, then the IFD entry table (12-byte
+    entries) read for ImageWidth (256) / ImageLength (257) as SHORT or
+    LONG; structural validation = the IFD must fit the payload, both
+    dimensions must be present and positive, and the image must
+    declare pixel data (StripOffsets 273 or TileOffsets 324) — "II*"
+    followed by junk fails.  Inline values are left-justified in the
+    4-byte value field per the spec, so a SHORT reads from the field's
+    first two bytes in either byte order."""
+    n = len(payload)
+    if n < 8:
+        return None
+    if bytes(payload[:4]) == b"II*\x00":
+        endian = "little"
+    elif bytes(payload[:4]) == b"MM\x00*":
+        endian = "big"
+    else:
+        return None
+    off = int.from_bytes(payload[4:8], endian)
+    if off < 8 or off + 2 > n:
+        return None
+    cnt = int.from_bytes(payload[off:off + 2], endian)
+    if cnt == 0 or off + 2 + 12 * cnt + 4 > n:
+        return None
+    w = h = None
+    has_data = False
+    for i in range(cnt):
+        e = off + 2 + 12 * i
+        tag = int.from_bytes(payload[e:e + 2], endian)
+        typ = int.from_bytes(payload[e + 2:e + 4], endian)
+        count = int.from_bytes(payload[e + 4:e + 8], endian)
+        if typ == 3:  # SHORT, inline (left-justified)
+            val = int.from_bytes(payload[e + 8:e + 10], endian)
+        elif typ == 4:  # LONG, inline
+            val = int.from_bytes(payload[e + 8:e + 12], endian)
+        else:
+            val = None
+        if tag == 256 and count == 1:
+            w = val
+        elif tag == 257 and count == 1:
+            h = val
+        elif tag in (273, 324):
+            has_data = True
+    if not w or not h or not has_data:
+        return None
+    return {"format": "tiff", "width": w, "height": h}
+
+
 def decode_image(payload: bytes | None) -> dict | None:
-    """REAL pure-Python image header decoder for the five formats
+    """REAL pure-Python image header decoder for the six formats
     whose structure needs no codec library: netpbm binary (P6 PPM / P5
     PGM, whitespace-and-comment-tolerant header, pixel-length
     validated), BMP (BITMAPINFOHEADER), PNG (IHDR chunk, CRC-verified,
     IDAT-present — ``_decode_png``), JPEG (marker-segment walk to
-    SOF — ``_decode_jpeg``), and GIF (logical screen descriptor +
-    block walk to the trailer — ``_decode_gif``).  Returns
+    SOF — ``_decode_jpeg``), GIF (logical screen descriptor +
+    block walk to the trailer — ``_decode_gif``), and TIFF (both byte
+    orders, IFD entry walk — ``_decode_tiff``).  Returns
     ``{"format", "width", "height"}``
     or None if the payload is not a valid image in any of them.
     Pixel decoding and the remaining media types (audio codecs beyond
@@ -232,6 +282,8 @@ def decode_image(payload: bytes | None) -> dict | None:
         return _decode_jpeg(payload)
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         toks: list[bytes] = []

@@ -485,3 +485,41 @@ def test_decode_audio_flac(spark):
             audio_meta(df, id_col="doc_id").collect()}
     assert rows[1]["format"] == "flac" and rows[1]["duration_ms"] == 1000
     assert rows[2]["format"] == "wav" and rows[2]["duration_ms"] == 100
+
+
+def _tiff(w=5, h=3, endian="little", typ=3, strips=True):
+    import struct
+
+    le = endian == "little"
+    bo = "<" if le else ">"
+    magic = b"II*\x00" if le else b"MM\x00*"
+
+    def entry(tag, t, count, val):
+        # inline values are LEFT-justified in the 4-byte field
+        if t == 3:
+            vf = struct.pack(bo + "H", val) + b"\x00\x00"
+        else:
+            vf = struct.pack(bo + "I", val)
+        return struct.pack(bo + "HHI", tag, t, count) + vf
+
+    entries = [entry(256, typ, 1, w), entry(257, typ, 1, h)]
+    if strips:
+        entries.append(entry(273, 4, 1, 100))
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) \
+        + struct.pack(bo + "I", 0)
+    return magic + struct.pack(bo + "I", 8) + ifd
+
+
+def test_decode_image_tiff():
+    from arachne_spark.operators.multimodal import decode_image
+
+    for endian in ("little", "big"):
+        for typ in (3, 4):  # SHORT and LONG dimension entries
+            got = decode_image(_tiff(640, 480, endian, typ))
+            assert got == {
+                "format": "tiff", "width": 640, "height": 480
+            }, (endian, typ)
+    assert decode_image(_tiff(strips=False)) is None   # no pixel data
+    assert decode_image(_tiff()[:-6]) is None          # truncated IFD
+    assert decode_image(b"II*\x00" + b"x" * 40) is None
+    assert decode_image(b"MM\x00*junkjunkjunk") is None
