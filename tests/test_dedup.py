@@ -296,3 +296,32 @@ def test_exact_substring_dedup_long_run_and_determinism(spark):
             exact_substring_dedup(df.repartition(2, "text"), k=5).collect())
     )
     assert a == b
+
+
+def test_exact_substring_dedup_randomized_differential(spark):
+    """200 seeded docs over a 5-token alphabet (maximal shingle
+    collisions, lengths 0-12, empty docs, single tokens, repeated
+    runs) must match the pure-Python twin exactly — the bulk edge-case
+    net for interval merging, min-occurrence ties, and short docs."""
+    import random
+
+    from arachne_spark.operators.dedup import exact_substring_dedup
+
+    rng = random.Random(20260817)
+    alphabet = ["a", "bb", "c", "dd", "e"]
+    docs = {}
+    for i in range(200):
+        length = rng.randint(0, 12)
+        docs[i] = " ".join(
+            rng.choice(alphabet) for _ in range(length)
+        )
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    for k in (2, 3):
+        got = {
+            r["doc_id"]: r["text"]
+            for r in exact_substring_dedup(df, k=k).collect()
+        }
+        want = py_exact_substring(docs, k)
+        assert got == want, k
