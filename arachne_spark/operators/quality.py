@@ -318,3 +318,44 @@ def repetition_filter(
         .where(F.coalesce(keep, F.lit(True)))
         .select(*docs.columns)
     )
+
+
+def corpus_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus-health relation — the pre-flight audit a
+    curation run starts from: document/emptiness counts, exact token
+    percentiles, per-doc duplicate-line aggregates, and PII totals,
+    all composed from the operators this module and operators/scrub.py
+    already define (one pass per component relation, every aggregate
+    partial-combinable; nothing here is a new code path to trust).
+
+    Columns: n_docs, n_empty, total_tokens, total_chars, tokens_p50,
+    tokens_p95, mean_dup_line_frac, n_email, n_ipv4, n_phone."""
+    from arachne_spark.operators.scrub import pii_counts
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.when(F.length(text_col) == 0, 1).otherwise(0).alias("empty"),
+        F.size(F.split(F.col(text_col), " ", -1))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    base = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("empty").cast("bigint").alias("n_empty"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.percentile("n_tokens", F.lit(0.5)).alias("tokens_p50"),
+        F.percentile("n_tokens", F.lit(0.95)).alias("tokens_p95"),
+    )
+    dup = line_repetition(docs, id_col, text_col).agg(
+        F.round(F.avg("dup_line_frac"), 4).alias("mean_dup_line_frac")
+    )
+    pii = pii_counts(docs, text_col).agg(
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+    )
+    return base.crossJoin(dup).crossJoin(pii)

@@ -225,3 +225,35 @@ def test_strip_boilerplate_hot_lines_at_scale(spark):
             F.lit("unique body "), F.col("doc_id").cast("string")
         )
     ).count() == n
+
+
+def test_corpus_report(spark):
+    """One-row corpus audit: every aggregate reproduced by hand."""
+    from arachne_spark.operators.quality import corpus_report
+
+    docs = {
+        1: "alpha beta gamma\nalpha beta gamma\ndelta",
+        2: "contact me at bob@example.net or 10.1.2.3",
+        3: "",
+        4: "one two three four five six seven eight nine ten",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    r = corpus_report(df).collect()[0].asDict()
+    assert r["n_docs"] == 4 and r["n_empty"] == 1
+    token_counts = sorted(len(t.split(" ")) for t in docs.values())
+    assert r["total_tokens"] == sum(token_counts)
+    assert r["total_chars"] == sum(len(t) for t in docs.values())
+
+    def pct(vals, q):  # exact percentile, linear interpolation
+        i = q * (len(vals) - 1)
+        lo = int(i)
+        return vals[lo] + (i - lo) * (vals[min(lo + 1, len(vals) - 1)]
+                                      - vals[lo])
+
+    assert abs(r["tokens_p50"] - pct(token_counts, 0.5)) < 1e-9
+    assert abs(r["tokens_p95"] - pct(token_counts, 0.95)) < 1e-9
+    # doc 1: 3 lines, 2 distinct -> 1/3; others 0
+    assert abs(r["mean_dup_line_frac"] - round((1 / 3) / 4, 4)) < 5e-5
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 1, 0)
