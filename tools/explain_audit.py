@@ -152,6 +152,39 @@ def run_audit(spark, sf_dir: str = SF, verbose: bool = False) -> list[str]:
         expect_contains=("MapInPandas",),
     )
 
+    # ---- curation / model-op family (outside the 50-query registry;
+    # audited here so the plan gate covers them too)
+    from arachne_spark.operators.classify import (
+        hashed_ngram_features,
+        quality_score,
+    )
+    from arachne_spark.operators.dedup import exact_substring_dedup
+    from arachne_spark.operators.lm import lm_perplexity, lm_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audit(
+        "exact substring dedup", exact_substring_dedup(docs, k=8),
+        expect_absent=GLOBAL_FORBIDDEN,
+    )
+    # classifier scoring: the bounded weight relation joins broadcast
+    audit(
+        "classifier scoring",
+        quality_score(docs, {7: 0.5, 11: -0.25}, 0.1,
+                      n_features=1 << 12),
+        expect_contains=("BroadcastHashJoin",),
+        expect_absent=GLOBAL_FORBIDDEN,
+    )
+    audit(
+        "classifier features",
+        hashed_ngram_features(docs, n_features=1 << 12),
+        expect_absent=GLOBAL_FORBIDDEN,
+    )
+    uni, bi = lm_train(docs.limit(50))
+    audit(
+        "lm perplexity", lm_perplexity(docs, uni, bi),
+        expect_absent=GLOBAL_FORBIDDEN,
+    )
+
     return problems
 
 
