@@ -343,6 +343,13 @@ def exact_substring_dedup(
     Tokenization is single-space split/join, which is lossless
     (consecutive spaces round-trip as empty tokens), so untouched text
     is byte-identical and surviving spans keep their exact bytes.
+
+    Batch-only by design: "first occurrence corpus-wide" is a global
+    property, so a streaming variant would make every doc's output
+    depend on batch boundaries — the exact batch-local-aggregate trap
+    the streaming dedup path avoids (see streaming/incremental.py and
+    the CLAUDE.md invariant).  Streams dedup near-duplicates
+    incrementally; span-level cutting runs on the committed corpus.
     """
     other = [c for c in docs.columns if c != text_col]
     toks = docs.select(

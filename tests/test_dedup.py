@@ -325,3 +325,47 @@ def test_exact_substring_dedup_randomized_differential(spark):
         }
         want = py_exact_substring(docs, k)
         assert got == want, k
+
+
+def test_exact_substring_dedup_hot_span_at_scale(spark):
+    """1e5 docs all embedding the same 6-token span (maximal shingle
+    skew: every span shingle has df = 1e5): the per-hash count +
+    struct-min is a partial aggregate (no reducer funnel), only the
+    global (doc_id, pos)-min keeps the span, and every other doc loses
+    exactly that span while its unique text survives byte-identical."""
+    from pyspark.sql import functions as F
+
+    from arachne_spark.operators.dedup import exact_substring_dedup
+
+    n = 100_000
+    span = "common header words repeated across corpus"
+    # the token right after the span is already per-doc unique, so the
+    # ONLY duplicated 6-gram is the span itself (a later divergence
+    # point would make the bridging 6-grams corpus-duplicated too and
+    # legitimately widen the cut — verified against the twin in the
+    # small tests)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(f"{span} u"),
+            F.col("id").cast("string"),
+            F.lit(" body tail"),
+        ).alias("text"),
+    )
+    out = exact_substring_dedup(docs, k=6)
+    assert out.count() == n
+    # min (doc_id, pos) = doc 0 at pos 0: doc 0 keeps the span
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in out.where(F.col("doc_id") < 2).collect()
+    }
+    assert kept[0] == f"{span} u0 body tail"
+    assert kept[1] == "u1 body tail"
+    # every other doc is cut to its unique remainder
+    assert out.where(
+        F.col("text")
+        == F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"),
+            F.lit(" body tail"),
+        )
+    ).count() == n - 1
