@@ -359,3 +359,166 @@ def corpus_report(
         F.sum("n_phone").alias("n_phone"),
     )
     return base.crossJoin(dup).crossJoin(pii)
+
+
+# Gopher A1.1 required stopwords (Rae et al. 2021): a doc counts a hit
+# per DISTINCT stopword present
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The non-repetition Gopher quality signals (Rae et al. 2021,
+    A1.1), one row per doc: n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stop_hits.  Everything is a per-row column
+    expression over the tokenized doc — no shuffle, no join, no UDF;
+    the higher-order lambdas operate on plain strings (the
+    structs-in-HOF trap documented on repetition_stats does not
+    apply).  Words = whitespace-separated non-empty tokens;
+    mean_word_len divides the doc's non-whitespace char count by the
+    word count (identical accounting, no per-word length array)."""
+    words = "filter(split(text_q, '\\\\s+'), w -> w != '')"
+    lines = "split(text_q, '\\n', -1)"
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text_q"),
+    ).select(
+        "doc_id",
+        F.expr(f"size({words})").cast("bigint").alias("n_words"),
+        F.round(
+            F.expr("length(regexp_replace(text_q, '\\\\s+', ''))")
+            / F.expr(f"greatest(size({words}), 1)"),
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            (
+                F.expr("regexp_count(text_q, '#')")
+                + F.expr(r"regexp_count(text_q, '\\.\\.\\.')")
+                + F.expr("regexp_count(text_q, '…')")
+            )
+            / F.expr(f"greatest(size({words}), 1)"),
+            4,
+        ).alias("symbol_word_ratio"),
+        F.round(
+            F.expr(
+                f"size(filter({lines},"
+                " l -> l rlike '^\\\\s*[•\\\\-\\\\*]'))"
+            )
+            / F.expr(f"greatest(size({lines}), 1)"),
+            4,
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.expr(
+                f"size(filter({lines},"
+                " l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))"
+            )
+            / F.expr(f"greatest(size({lines}), 1)"),
+            4,
+        ).alias("ellipsis_line_frac"),
+        F.round(
+            F.expr(
+                f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+            )
+            / F.expr(f"greatest(size({words}), 1)"),
+            4,
+        ).alias("alpha_word_frac"),
+        F.expr(
+            "size(filter(array"
+            + str(GOPHER_STOPWORDS)
+            + f", s -> array_contains(transform({words},"
+            " w -> lower(w)), s)))"
+        ).cast("int").alias("n_stop_hits"),
+    )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-rule document filter over the published A1.1 cut points
+    (word-count window, mean word length, symbol/bullet/ellipsis
+    caps, alpha-word floor, >= 2 required stopwords); returns the
+    input columns unchanged.  Pairs with repetition_filter — together
+    they are the full published Gopher heuristic gate."""
+    stats = gopher_quality_stats(docs, id_col, text_col)
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    ok = stats.where(keep).select(F.col("doc_id").alias("__gid"))
+    return docs.join(
+        ok, docs[id_col] == ok["__gid"], "left_semi"
+    ).select(*docs.columns)
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020, §2.2) as
+    one row-preserving rewrite + page predicate:
+
+    * keep only lines that end in terminal punctuation (. ! ? ")
+      and hold at least ``min_line_words`` words;
+    * drop lines containing the word "javascript" or a cookie/
+      enable-JS boilerplate phrase (case-insensitive);
+    * blank the whole page (empty text) when the CLEANED text has
+      fewer than ``min_sentences`` sentences, contains "lorem ipsum",
+      or contains a curly brace (code).
+
+    Returns the input columns with ``text`` rewritten (possibly
+    empty); dropping empties is the caller's policy, same contract as
+    strip_boilerplate.  Pure per-row expressions — the cross-corpus
+    parts of C4 (line dedup, span dedup) are the separate
+    strip_boilerplate / exact_substring_dedup operators."""
+    keep_line = (
+        "l -> l rlike '[.!?\"]\\\\s*$'"
+        f" and size(filter(split(l, '\\\\s+'), w -> w != ''))"
+        f" >= {min_line_words}"
+        " and not lower(l) rlike"
+        " 'javascript|cookies enabled|enable javascript'"
+    )
+    cleaned = F.expr(
+        "array_join(filter(split(text_c4, '\\n', -1),"
+        f" {keep_line}), '\\n')"
+    )
+    other = [c for c in docs.columns if c != text_col]
+    out = docs.select(
+        *other, F.col(text_col).alias("text_c4")
+    ).withColumn("__cleaned", cleaned)
+    page_ok = (
+        (
+            F.expr("regexp_count(__cleaned, '[.!?]')")
+            >= F.lit(min_sentences)
+        )
+        & ~F.lower(F.col("__cleaned")).contains("lorem ipsum")
+        & ~F.col("__cleaned").contains("{")
+    )
+    return out.select(
+        *other,
+        F.when(page_ok, F.col("__cleaned"))
+        .otherwise(F.lit(""))
+        .alias(text_col),
+    ).select(*docs.columns)

@@ -257,3 +257,116 @@ def test_corpus_report(spark):
     # doc 1: 3 lines, 2 distinct -> 1/3; others 0
     assert abs(r["mean_dup_line_frac"] - round((1 / 3) / 4, 4)) < 5e-5
     assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 1, 0)
+
+
+def test_gopher_quality_stats_and_filter(spark):
+    """Gopher A1.1 signals reproduced by a pure-Python twin; the
+    filter keeps exactly the docs passing every published cut."""
+    import re
+
+    from arachne_spark.operators.quality import (
+        GOPHER_STOPWORDS,
+        gopher_quality_filter,
+        gopher_quality_stats,
+    )
+
+    good = " ".join(
+        "the committee decided to review all of these documents and "
+        "agreed that they have worked with great care".split()
+        * 4
+    )
+    docs = {
+        1: good,                                    # passes everything
+        2: "buy " * 60,                             # no stopword hits
+        3: "- item one\n- item two\n- item three",  # bullets + short
+        4: "### symbols ### everywhere ### " * 20,  # symbol ratio
+        5: "waiting... thinking...\nmore dots...\nyes...",  # ellipses
+        6: "",                                      # empty
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_stats(df).collect()
+    }
+
+    for i, t in docs.items():
+        words = [w for w in re.split(r"\s+", t) if w]
+        n = len(words)
+        g = got[i]
+        assert g["n_words"] == n, i
+        if n:
+            assert abs(
+                g["mean_word_len"]
+                - round(sum(len(w) for w in words) / n, 4)
+            ) < 5e-4, i
+            assert abs(
+                g["alpha_word_frac"]
+                - round(
+                    sum(1 for w in words if re.search("[A-Za-z]", w))
+                    / n,
+                    4,
+                )
+            ) < 5e-5, i
+        lines = t.split("\n")
+        assert abs(
+            g["bullet_line_frac"]
+            - round(
+                sum(
+                    1 for ln in lines
+                    if re.match(r"^\s*[•\-\*]", ln)
+                ) / max(len(lines), 1),
+                4,
+            )
+        ) < 5e-5, i
+        assert g["n_stop_hits"] == sum(
+            1
+            for s in GOPHER_STOPWORDS
+            if s in [w.lower() for w in words]
+        ), i
+
+    kept = {
+        r["doc_id"]
+        for r in gopher_quality_filter(df, min_words=50)
+        .select("doc_id").collect()
+    }
+    assert kept == {1}
+
+
+def test_c4_clean(spark):
+    from arachne_spark.operators.quality import c4_clean
+
+    docs = {
+        # clean prose: all lines survive, page survives
+        1: "This is a proper sentence.\nAnd here is another one!\n"
+           "Surely a third survives too.",
+        # mixed: unterminated + short + javascript lines drop,
+        # the page keeps the three good sentences
+        2: "Click here\nPlease enable javascript to continue.\n"
+           "The first real sentence is right here.\n"
+           "A second sentence follows it.\nShort.\n"
+           "Finally the third sentence lands here.",
+        # lorem ipsum kills the page even with good lines
+        3: "Lorem ipsum dolor sit amet sentence one.\n"
+           "Sentence two is here today.\nSentence three arrives now.",
+        # code page: curly brace kills it
+        4: "The function returns {x} as a value.\n"
+           "A second sentence exists here.\nAnd a third one too.",
+        # too few sentences after cleaning
+        5: "Only one good sentence here.\nnope\nnothing",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in c4_clean(df).collect()
+    }
+    assert got[1] == docs[1]
+    assert got[2] == (
+        "The first real sentence is right here.\n"
+        "A second sentence follows it.\n"
+        "Finally the third sentence lands here."
+    )
+    assert got[3] == "" and got[4] == "" and got[5] == ""
+    assert set(got) == set(docs)  # row-preserving
