@@ -84,8 +84,15 @@ def _decompress(data: bytes) -> bytes:
     return data
 
 
-def _parse_records(data: bytes, stats: dict | None = None) -> Iterator[dict]:
-    """Yield {url, warc_ts, html} per well-formed response record.
+def _parse_records(
+    data: bytes,
+    stats: dict | None = None,
+    record_types: tuple[str, ...] = ("response",),
+) -> Iterator[dict]:
+    """Yield {url, warc_ts, payload} per well-formed record of the
+    requested types — ``response`` (crawl WARC: the HTTP status line +
+    headers are stripped, payload = the HTML bytes) or ``conversion``
+    (WET text archives: payload = the body verbatim).
 
     Offset-based scan driven by each record's Content-Length — NOT a
     split on the version marker, because a page body may itself
@@ -130,8 +137,9 @@ def _parse_records(data: bytes, stats: dict | None = None) -> Iterator[dict]:
         body = data[body_start:body_start + length]
         pos = body_start + length  # skip the body, whatever it contains
 
-        if headers.get("warc-type") != "response":
-            continue  # request/metadata records: skipped, not dropped
+        rectype = headers.get("warc-type")
+        if rectype not in record_types:
+            continue  # other record kinds: skipped, not dropped
         url = headers.get("warc-target-uri")
         date = headers.get("warc-date")
         if not url or not date:
@@ -143,11 +151,14 @@ def _parse_records(data: bytes, stats: dict | None = None) -> Iterator[dict]:
         except ValueError:
             stats["dropped"] += 1
             continue
-        # HTTP response payload: strip the status line + headers
-        http_end = body.find(b"\r\n\r\n")
-        html = body[http_end + 4:] if http_end >= 0 else body
+        if rectype == "response":
+            # HTTP response payload: strip the status line + headers
+            http_end = body.find(b"\r\n\r\n")
+            payload = body[http_end + 4:] if http_end >= 0 else body
+        else:  # conversion: the body IS the payload
+            payload = body
         stats["responses"] += 1
-        yield {"url": url, "warc_ts": ts, "html": bytes(html)}
+        yield {"url": url, "warc_ts": ts, "html": bytes(payload)}
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -176,6 +187,44 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     rows["warc_ts"].append(rec["warc_ts"])
                     rows["html"].append(rec["html"])
                     rows["text"].append(None)
+                    rows["lang"].append(None)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse_batches, PAGES_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET (WARC text-conversion) file glob → canonical pages
+    DataFrame (url, warc_ts, html=NULL, text, lang=NULL) — the
+    Common-Crawl pre-extracted-text distribution.  ``conversion``
+    records carry the extracted text verbatim as the record body
+    (decoded UTF-8, invalid bytes replaced); ``html`` is NULL because
+    the original markup is not in a WET archive.  Same tolerant
+    offset-based parser, same three compression layouts as
+    ``read_warc``."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def parse_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "url": [], "warc_ts": [], "html": [], "text": [],
+                "lang": [],
+            }
+            for content in pdf["content"]:
+                for rec in _parse_records(
+                    _decompress(bytes(content)),
+                    record_types=("conversion",),
+                ):
+                    rows["url"].append(rec["url"])
+                    rows["warc_ts"].append(rec["warc_ts"])
+                    rows["html"].append(None)
+                    rows["text"].append(
+                        rec["html"].decode("utf-8", "replace")
+                    )
                     rows["lang"].append(None)
             yield pd.DataFrame(rows)
 

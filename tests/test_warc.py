@@ -190,3 +190,58 @@ def test_warc_metrics_audit(spark, tmp_path):
     assert m["n_responses"] == 4
     assert m["n_dropped"] == 1      # the unparseable length
     assert read_warc(spark, str(p)).count() == m["n_responses"]
+
+
+def _wet_record(url: str, ts: datetime, text: bytes) -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {ts.isoformat()}Z\r\n".encode()
+        + f"Content-Length: {len(text)}\r\n".encode()
+        + b"\r\n" + text + b"\r\n\r\n"
+    )
+
+
+def test_wet_reader(spark, tmp_path):
+    """WET conversion records land as text (html NULL); a mixed
+    archive splits cleanly — read_warc sees only responses, read_wet
+    only conversions; invalid UTF-8 is replaced, not fatal."""
+    import gzip as _gzip
+
+    from arachne_spark.sources.warc import read_wet
+
+    ts = datetime(2024, 3, 1, 12, 0, 0)
+    wet = b"".join(
+        _wet_record(
+            f"https://example.org/t/{i}", ts,
+            f"extracted text {i} with ünïcode".encode(),
+        )
+        for i in range(5)
+    )
+    # an invalid-UTF-8 conversion record and a response record mixed in
+    wet += _wet_record("https://example.org/bad", ts, b"broken \xff byte")
+    wet += write_warc_bytes(
+        [{"url": "https://example.org/resp", "warc_ts": ts,
+          "html": b"<html>resp</html>"}]
+    )
+    p = tmp_path / "mix.warc"
+    p.write_bytes(wet)
+    (tmp_path / "mix.warc.gz").write_bytes(_gzip.compress(wet))
+
+    for name in ("mix.warc", "mix.warc.gz"):
+        rows = {
+            r["url"]: r
+            for r in read_wet(spark, str(tmp_path / name)).collect()
+        }
+        assert len(rows) == 6                      # conversions only
+        assert "https://example.org/resp" not in rows
+        r0 = rows["https://example.org/t/0"]
+        assert r0["text"] == "extracted text 0 with ünïcode"
+        assert r0["html"] is None and r0["warc_ts"] == ts
+        assert "�" in rows["https://example.org/bad"]["text"]
+
+    # and the crawl reader still sees ONLY the response record
+    warc_rows = read_warc(spark, str(p)).collect()
+    assert [r["url"] for r in warc_rows] == ["https://example.org/resp"]
+    assert bytes(warc_rows[0]["html"]) == b"<html>resp</html>"
