@@ -484,9 +484,10 @@ def c4_clean(
       and hold at least ``min_line_words`` words;
     * drop lines containing the word "javascript" or a cookie/
       enable-JS boilerplate phrase (case-insensitive);
-    * blank the whole page (empty text) when the CLEANED text has
-      fewer than ``min_sentences`` sentences, contains "lorem ipsum",
-      or contains a curly brace (code).
+    * blank the whole page (empty text) when the ORIGINAL page
+      contains "lorem ipsum" or a curly brace (code) — page-level
+      rules in the paper, judged before line cleaning — or when the
+      CLEANED text has fewer than ``min_sentences`` sentences.
 
     Returns the input columns with ``text`` rewritten (possibly
     empty); dropping empties is the caller's policy, same contract as
@@ -513,8 +514,8 @@ def c4_clean(
             F.expr("regexp_count(__cleaned, '[.!?]')")
             >= F.lit(min_sentences)
         )
-        & ~F.lower(F.col("__cleaned")).contains("lorem ipsum")
-        & ~F.col("__cleaned").contains("{")
+        & ~F.lower(F.col("text_c4")).contains("lorem ipsum")
+        & ~F.col("text_c4").contains("{")
     )
     return out.select(
         *other,

@@ -111,6 +111,14 @@ class PipelineConfig:
     # repetition filter so cut docs are judged on what remains
     strip_dup_spans: bool = False
     dup_span_tokens: int = 50
+    # C4 line/page rules (terminal punctuation, javascript lines,
+    # lorem ipsum / brace pages) — line-level, so it runs BEFORE the
+    # document-level gates judge what remains
+    c4_rules: bool = False
+    # full Gopher A1.1 heuristic gate (word count window, mean word
+    # length, symbol/bullet/ellipsis caps, alpha floor, stopwords)
+    gopher_filter: bool = False
+    gopher_min_words: int = 50
     # entity-importance ranking: materialize deterministic PageRank
     # over the canonical triples (operators/pagerank.py) as an
     # `entity_rank` stage — how a consumer finds the hot entities the
@@ -253,6 +261,10 @@ def _curate_pages(pages_clean: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
     if cfg.scrub_pii:
         out = out.withColumn("text", scrub_expr(F.col("text")))
+    if cfg.c4_rules:
+        from arachne_spark.operators.quality import c4_clean
+
+        out = c4_clean(out, id_col="url", text_col="text")
     if cfg.strip_dup_spans:
         from arachne_spark.operators.dedup import exact_substring_dedup
 
@@ -261,6 +273,13 @@ def _curate_pages(pages_clean: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
     if cfg.quality_filter:
         out = repetition_filter(out, id_col="url", text_col="text")
+    if cfg.gopher_filter:
+        from arachne_spark.operators.quality import gopher_quality_filter
+
+        out = gopher_quality_filter(
+            out, id_col="url", text_col="text",
+            min_words=cfg.gopher_min_words,
+        )
     return out
 
 
@@ -289,8 +308,10 @@ def run_pipeline(
     if (
         cfg.canonical_url_dedup
         or cfg.scrub_pii
+        or cfg.c4_rules
         or cfg.strip_dup_spans
         or cfg.quality_filter
+        or cfg.gopher_filter
     ):
         pages_clean = rec.run_stage(
             "pages_curated",

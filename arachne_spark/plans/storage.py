@@ -118,6 +118,14 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
         fs, _ = hadoop_fs(self.spark, self.root)
+        if partition_by and not self._has_data_files(fs, tmp):
+            # a ZERO-ROW partitioned write emits no data files at all
+            # (no partition dirs — just _SUCCESS), which a later read
+            # fails to infer a schema from.  Rewrite schema-only,
+            # unpartitioned: an empty part file carries the schema and
+            # the table stays readable (a curation gate that filters a
+            # stage to nothing must not poison the stage graph).
+            df.limit(0).write.mode("overwrite").parquet(tmp)
         old = self._jpath(final + ".__old")
         fpath = self._jpath(final)
         fs.delete(old, True)
@@ -127,6 +135,16 @@ class Warehouse:
         # previous committed copy stays recoverable at .__old
         checked_rename(fs, self._jpath(tmp), fpath)
         fs.delete(old, True)
+
+    def _has_data_files(self, fs, path: str) -> bool:
+        """True iff the directory holds anything besides commit
+        markers (_SUCCESS, .crc) — i.e. at least one data file or
+        partition directory."""
+        for st in fs.listStatus(self._jpath(path)):
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                return True
+        return False
 
     def read(self, table: str) -> DataFrame:
         if self.catalog:

@@ -376,3 +376,55 @@ def test_all_gates_compose(spark, tmp_path):
     assert all(s["resumed"] for s in second["stages"])
     assert second["triples"] == res["triples"]
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_c4_and_gopher_gates(spark, tmp_path):
+    """cfg.{c4_rules, gopher_filter} on a hand-made realistic corpus:
+    C4 strips unterminated/javascript lines and kills the code page;
+    Gopher drops the stopword-free spam page; real prose survives to
+    the mention stage."""
+    import datetime as dt
+
+    wh = str(tmp_path / "c4g_wh")
+    ts = dt.datetime(2024, 1, 1)
+    prose_lines = [
+        "The committee met to review the annual report in detail.",
+        "Members agreed that the budget should be approved this year.",
+        "They also decided to have the plan reviewed with experts.",
+        "A final vote will be held when the council convenes again.",
+    ]
+    pages = [
+        # good page: survives both gates intact
+        ("https://example.org/good", ts, None,
+         "\n".join(prose_lines), "en"),
+        # page with junk lines: C4 keeps only the terminated prose
+        ("https://example.org/mixed", ts, None,
+         "Click here\nPlease enable javascript now.\n"
+         + "\n".join(prose_lines), "en"),
+        # code page: C4 blanks it (brace), Gopher then drops it
+        ("https://example.org/code", ts, None,
+         "function f() { return 1; }\n" + "\n".join(prose_lines), "en"),
+        # stopword-free spam: passes C4 lines but fails Gopher
+        ("https://example.org/spam", ts, None,
+         " ".join("buy cheap pills online today." for _ in range(20)),
+         "en"),
+    ]
+    df = spark.createDataFrame(
+        pages, "url string, warc_ts timestamp, html binary, "
+               "text string, lang string",
+    )
+    cfg = PipelineConfig(
+        warehouse=wh, n_pages=4, run_id="c4g",
+        c4_rules=True, gopher_filter=True, gopher_min_words=20,
+    )
+    run_pipeline(spark, cfg, pages=df)
+    curated = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(f"{wh}/pages_curated").collect()
+    }
+    assert set(curated) == {
+        "https://example.org/good", "https://example.org/mixed"
+    }
+    assert curated["https://example.org/good"] == "\n".join(prose_lines)
+    assert curated["https://example.org/mixed"] == "\n".join(prose_lines)
+    shutil.rmtree(wh, ignore_errors=True)

@@ -51,3 +51,35 @@ def test_warehouse_catalog_branch(spark, tmp_path):
     finally:
         wh.drop(TABLE)
     assert not wh.is_committed(TABLE)
+
+
+def test_empty_partitioned_overwrite_stays_readable(spark, tmp_path):
+    """A partitionBy overwrite of a ZERO-ROW relation emits no data
+    files (no partition dirs), which poisoned read-back with
+    UNABLE_TO_INFER_SCHEMA — found when a curation gate filtered a
+    corpus to zero triples.  The warehouse rewrites schema-only in
+    that case; a later non-empty overwrite restores the partitioned
+    layout."""
+    from pyspark.sql import functions as F
+
+    from arachne_spark.plans.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "empty_wh"))
+    schema = "subj string, pred string, obj string"
+    empty = spark.createDataFrame(
+        [("a", "b", "c")], schema
+    ).where(F.lit(False))
+    wh.write(empty, "triples", partition_by=["pred"])
+    back = wh.read("triples")
+    assert back.count() == 0
+    assert set(back.columns) == {"subj", "pred", "obj"}
+    # non-empty overwrite afterwards: partitioned layout, same data
+    full = spark.createDataFrame(
+        [("s1", "p1", "o1"), ("s2", "p2", "o2")], schema
+    )
+    wh.write(full, "triples", partition_by=["pred"])
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in wh.read("triples").collect()
+    }
+    assert got == {("s1", "p1", "o1"), ("s2", "p2", "o2")}
