@@ -133,3 +133,42 @@ def test_quality_classifier_filter(spark):
     assert kept.columns == docs.columns
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert ids == set(range(len(GOOD)))
+
+
+def test_weights_warehouse_roundtrip(spark, tmp_path):
+    """The production loop: train → persist weights as a warehouse
+    table → reload in a 'later job' → identical scores (weights are
+    plain (feat, w) rows, so model persistence is ordinary table I/O,
+    no serialization format to invent)."""
+    from arachne_spark.operators.classify import (
+        hashed_ngram_features,
+        lr_train,
+        quality_score,
+    )
+    from arachne_spark.plans.storage import Warehouse
+
+    docs, labels = _corpus(spark)
+    nf = 1 << 12
+    w, b = lr_train(
+        hashed_ngram_features(docs, n_features=nf), labels, n_iters=8
+    )
+    wh = Warehouse(spark, str(tmp_path / "model_wh"))
+    wh.write(
+        spark.createDataFrame(sorted(w.items()), "feat bigint, w double"),
+        "quality_weights",
+    )
+    wh.write(
+        spark.createDataFrame([(b,)], "bias double"), "quality_bias"
+    )
+    w2 = {
+        r["feat"]: r["w"] for r in wh.read("quality_weights").collect()
+    }
+    b2 = wh.read("quality_bias").collect()[0]["bias"]
+    assert w2 == w and b2 == b
+    a = sorted(
+        map(tuple, quality_score(docs, w, b, n_features=nf).collect())
+    )
+    c = sorted(
+        map(tuple, quality_score(docs, w2, b2, n_features=nf).collect())
+    )
+    assert a == c
