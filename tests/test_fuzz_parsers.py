@@ -1,0 +1,91 @@
+"""Seeded fuzz regression for every hand-rolled binary parser: the
+image/audio/video header decoders and the WARC record scanner run
+inside Arrow batches on untrusted crawl bytes, so an uncaught
+exception is a task failure — the contract is None/empty, NEVER a
+raise, for any input.  Truncations, byte mutations, junk suffixes,
+mid-stream WARC markers, and corrupt gzip containers are all
+exercised (deterministic seed: a found counterexample stays found)."""
+
+from __future__ import annotations
+
+import gzip
+import random
+import sys
+from datetime import datetime
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def _mutations(rng, seed_blob: bytes, n: int):
+    for _ in range(n):
+        b = bytearray(seed_blob)
+        op = rng.random()
+        if op < 0.35 and len(b) > 1:
+            b = b[: rng.randrange(len(b))]
+        elif op < 0.7 and b:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:
+            b += bytes(
+                rng.randrange(256) for _ in range(rng.randrange(24))
+            )
+        yield bytes(b)
+
+
+def test_media_decoders_never_raise():
+    from test_multimodal import _flac, _gif, _mp4, _tiff, _wav
+
+    from arachne_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+    )
+
+    rng = random.Random(20260818)
+    seeds = [
+        _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
+        _tiff(9, 9),
+    ]
+    for seed in seeds:
+        for blob in _mutations(rng, seed, 800):
+            for fn in (decode_image, decode_audio, decode_video):
+                out = fn(blob)  # must return, never raise
+                assert out is None or isinstance(out, dict)
+    for _ in range(2000):
+        blob = bytes(
+            rng.randrange(256) for _ in range(rng.randrange(200))
+        )
+        for fn in (decode_image, decode_audio, decode_video):
+            out = fn(blob)
+            assert out is None or isinstance(out, dict)
+
+
+def test_warc_parser_never_raises():
+    from test_warc import RECORDS, _wet_record
+
+    from arachne_spark.sources.warc import (
+        _decompress,
+        _parse_records,
+        write_warc_bytes,
+    )
+
+    rng = random.Random(20260818)
+    base = write_warc_bytes(RECORDS[:5]) + _wet_record(
+        "https://x/y", datetime(2024, 1, 1), b"text body here"
+    )
+    for blob in _mutations(rng, base, 1500):
+        # also splice a WARC marker mid-stream on some trials
+        if rng.random() < 0.3 and blob:
+            ins = rng.randrange(len(blob))
+            blob = blob[:ins] + b"WARC/1.0\r\n" + blob[ins:]
+        stats: dict = {}
+        rows = list(_parse_records(_decompress(blob), stats))
+        assert stats["dropped"] >= 0  # stats always well-formed
+        for r in rows:
+            assert r["url"] and r["warc_ts"] is not None
+    for _ in range(500):  # corrupt gzip containers
+        b = bytearray(gzip.compress(base))
+        for _ in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        list(_parse_records(_decompress(bytes(b))))
