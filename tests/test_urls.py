@@ -160,3 +160,41 @@ def test_domain_cap_hot_domain_at_scale(spark):
         .collect()
     )
     assert again == rows
+
+
+def test_canonical_never_crashes_on_garbage(spark):
+    """Seeded adversarial URL strings (control bytes, unicode, bare
+    %, nested schemes, megabyte tails, empties) through the canonical
+    + domain path: under ANSI mode a plain parse_url THROWS on
+    malformed input, so the try_parse_url construction must yield
+    NULL instead of a task crash — and canonicalization must stay
+    idempotent on whatever survives."""
+    import random
+
+    from arachne_spark.operators.urls import with_canonical, with_domain
+
+    rng = random.Random(20260818)
+    frag = [
+        "http://", "https://", "example.com", "%", "%%2", "%ZZ", "?",
+        "??a=b", "##", " ", "\t", "\x00", "üñí¢ödé", "a" * 500,
+        "[::1]", ":8080", "user:pass@", "//", "javascript:alert(1)",
+        "ftp://x", ".", "..", "http://http://", "a b c",
+    ]
+    urls = [""]
+    for _ in range(400):
+        urls.append(
+            "".join(rng.choice(frag) for _ in range(rng.randrange(1, 6)))
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = with_domain(with_canonical(df))
+    rows = once.collect()  # must not raise
+    assert len(rows) == len(urls)
+    # idempotency on the canonical output (where one was produced)
+    again = with_canonical(
+        once.where(F.col("canonical_url").isNotNull()).select(
+            F.col("canonical_url").alias("url")
+        )
+    )
+    assert again.where(
+        F.col("canonical_url") != F.col("url")
+    ).count() == 0
