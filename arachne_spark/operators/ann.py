@@ -619,12 +619,22 @@ def semantic_dedup(
         ).alias("sim"),
     ).where(F.col("sim") >= threshold)
     # min-id representative via CC, the minhash_doc_dedup encoding:
-    # numeric ids zero-padded so string order == numeric order
+    # numeric ids zero-padded so string order == numeric order.
+    # Signed ids are offset by 2^63 first — a raw lpad of '-5' sorts
+    # lexicographically above '10', so negative caller-supplied vec_ids
+    # would pick the wrong representative.  Offset via decimal(20,0):
+    # bigint + 2^63 overflows bigint (and F.lit(1<<63) overflows py4j).
     id_type = emb.schema[id_col].dataType.simpleString()
     numeric = id_type in ("bigint", "int", "smallint", "tinyint")
+    _OFF = "cast('9223372036854775808' as decimal(20,0))"
     if numeric:
-        enc = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
-        dec = lambda c: F.col(c).cast("bigint")  # noqa: E731
+        enc = lambda c: F.expr(  # noqa: E731
+            f"lpad(cast(cast({c} as decimal(20,0)) + {_OFF}"
+            " as string), 20, '0')"
+        )
+        dec = lambda c: F.expr(  # noqa: E731
+            f"cast(cast({c} as decimal(20,0)) - {_OFF} as bigint)"
+        )
     else:
         enc = lambda c: F.col(c)  # noqa: E731
         dec = lambda c: F.col(c)  # noqa: E731

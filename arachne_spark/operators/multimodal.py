@@ -567,6 +567,11 @@ def decode_video(payload: bytes | None) -> dict | None:
                 saw_moov = True
                 for ityp, ib, ie in _mp4_boxes(payload, body, bend):
                     if ityp == b"mvhd":
+                        # smallest valid body is v0 (20 bytes); a
+                        # header-only mvhd ending at payload end would
+                        # otherwise index past the buffer
+                        if ie - ib < 20:
+                            return None
                         ver = payload[ib]
                         if ver == 0 and ie - ib >= 20:
                             timescale = int.from_bytes(

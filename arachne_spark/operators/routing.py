@@ -123,7 +123,17 @@ def flush_order(
     documented contract."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(kind_col).orderBy(batch_col)
+    # order each kind's batches by their NUMERIC ordinal when the id
+    # carries one ('item:10' after 'item:2', not before), falling back
+    # to raw string order for ids with no trailing digits — raw string
+    # ordering diverges from enqueue order past 9 batches otherwise
+    ordinal = F.expr(
+        f"try_cast(regexp_extract({batch_col}, '([0-9]+)$', 1)"
+        " as bigint)"
+    )
+    w = Window.partitionBy(kind_col).orderBy(
+        ordinal.asc_nulls_first(), F.col(batch_col)
+    )
     return (
         batches.select(kind_col, batch_col)
         .dropDuplicates([kind_col, batch_col])

@@ -29,10 +29,14 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from arachne_spark.operators.sampling import hash_unit
 
-# query params that identify a campaign, not a resource
+# query params that identify a campaign, not a resource.  Only the
+# unambiguous set: 'ref' is deliberately NOT here — on many sites it
+# names a resource (e.g. ?ref=<branch> on code hosts), and stripping
+# it under canonical_url_dedup silently collapses distinct pages.
+# Pass extra params explicitly if a deployment wants them dropped.
 TRACKING_PARAMS = (
     "utm_source utm_medium utm_campaign utm_term utm_content "
-    "gclid fbclid msclkid ref mc_cid mc_eid"
+    "gclid fbclid msclkid mc_cid mc_eid"
 ).split()
 
 # common second-level public suffixes; the full PSL is a data file a

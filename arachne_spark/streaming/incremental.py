@@ -526,8 +526,21 @@ def run_incremental_pipeline(
     if not state.exists(spark):
         committed = _try_read_parquet(spark, out_dir)
         if committed is not None:
+            # Sentinel batch_id, NOT the historical values: if the
+            # checkpoint is also lost, batch ids restart at 0 and
+            # read_committed's `batch_id != current` filter would
+            # wrongly exclude seeded rows whose recycled id matches —
+            # re-admitting committed triples.  -1 never collides with
+            # a real (non-negative) micro-batch id.
             state.seed_base(
-                committed.select("subj", "pred", "obj", "batch_id")
+                committed.select(
+                    "subj",
+                    "pred",
+                    "obj",
+                    F.lit(-1)
+                    .cast(committed.schema["batch_id"].dataType)
+                    .alias("batch_id"),
+                )
             )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -303,3 +303,22 @@ def test_semantic_dedup_injected_quantizer_matches_twin(spark):
     b = semantic_dedup(df.repartition(2, "vec_id"), threshold=0.9999,
                        centroids=cents).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_semantic_dedup_negative_ids_numeric_min_rep(spark):
+    """vec_id is caller-supplied bigint, so negative ids are legal.
+    The CC key encoding offsets signed ids by 2^63 before lpad: a raw
+    lpad of '-5' sorts lexicographically ABOVE '0...10', which used to
+    pick the wrong (non-minimum) representative."""
+    from arachne_spark.operators.ann import semantic_dedup
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(-5, v), (3, v), (10, v), (-20, w), (-1, w)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["rep_id"]
+           for r in semantic_dedup(df, threshold=0.999,
+                                   n_centroids=2).collect()}
+    assert got == {-5: -5, 3: -5, 10: -5, -20: -20, -1: -20}

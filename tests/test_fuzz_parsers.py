@@ -43,9 +43,25 @@ def test_media_decoders_never_raise():
     )
 
     rng = random.Random(20260818)
+
+    def _box(t: bytes, body: bytes = b"") -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + t + body
+
+    # structurally valid MP4 whose moov holds a HEADER-ONLY mvhd
+    # ending exactly at payload end — indexed past the buffer before
+    # the body-size guard (found by an external review, kept as a seed)
+    empty_mvhd_mp4 = (
+        _box(b"ftyp", b"isom" + b"\x00" * 8)
+        + _box(b"mdat")
+        + _box(b"moov", _box(b"mvhd"))
+    )
+    from arachne_spark.operators.multimodal import decode_video as _dv
+
+    assert _dv(empty_mvhd_mp4) is None
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
-        _tiff(9, 9),
+        _tiff(9, 9), empty_mvhd_mp4,
     ]
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):

@@ -217,6 +217,17 @@ def test_flush_any_round_robin(spark):
     # exhausted kinds drop out of later rounds (property has 2 batches)
     assert [s[1] for s in seq if s[0] == 2] == ["item", "lexeme"]
     assert [s[1] for s in seq if s[0] == 3] == ["item"]
+    # past 9 batches the NUMERIC ordinal governs: raw string order
+    # would dispatch 'item:10' before 'item:2'
+    many = spark.createDataFrame(
+        [("item", f"item:{i}") for i in range(12)],
+        "kind string, batch_id string",
+    )
+    seq12 = [
+        r["batch_id"]
+        for r in flush_order(many).orderBy("rr_round").collect()
+    ]
+    assert seq12 == [f"item:{i}" for i in range(12)]
 
 
 def test_corpus_curation_stages(spark, tmp_path):

@@ -286,6 +286,22 @@ def test_incremental_pipeline_probe_bootstrap(spark, tmp_path):
 
     rows = spark.read.parquet(out).select("subj", "pred", "obj")
     assert rows.count() == rows.distinct().count()
+
+    # checkpoint ALSO lost: the re-run's batch ids restart at 0.  The
+    # probe is seeded with a sentinel batch_id (-1), never the
+    # committed rows' historical ids — otherwise read_committed's
+    # `batch_id != current` filter would exclude seeded rows whose
+    # recycled id matches the current batch and re-admit their triples.
+    before = {tuple(r) for r in rows.collect()}
+    sh.rmtree(out + "_state")
+    sh.rmtree(ckpt)
+    q3 = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark)
+    )
+    q3.awaitTermination(300)
+    rows3 = spark.read.parquet(out).select("subj", "pred", "obj")
+    assert rows3.count() == rows3.distinct().count()
+    assert {tuple(r) for r in rows3.collect()} == before
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
