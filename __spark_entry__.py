@@ -216,23 +216,76 @@ def q10_merge_lastwins(spark, sf_dir):
     )
 
 
-def q11_topk(spark, sf_dir):
+def q55_relational_core(spark, sf_dir):
+    """Relational-algebra core in ONE hash-checked relation — the
+    round-5 driver-window rotation: the four single-primitive fixtures
+    q11 (top-k), q12 (EXCEPT ALL + distinct), q33 (ROLLUP,
+    decimal-exact sums) and q49 (explicit-values pivot) consolidated
+    with every previously hash-checked column preserved verbatim in a
+    tagged section ('topk' / 'except' / 'rollup' / 'pivot' — the pivot
+    cells come back as one row per (priority, status) via stack, so
+    all three q49 count columns stay value-checked)."""
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-
-
-def q12_set_except(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
-    return cust.select(
-        F.col("c_nationkey").alias("nationkey")
-    ).exceptAll(
-        supp.select(F.col("s_nationkey").alias("nationkey"))
-    ).dropDuplicates()
+    li = _t(spark, sf_dir, "lineitem")
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    topk = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("topk").alias("section"),
+            F.col("o_orderkey").cast("string").alias("k1"),
+            F.col("o_custkey").cast("string").alias("k2"),
+            nb.alias("n"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    exc = (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .dropDuplicates()
+        .select(
+            F.lit("except").alias("section"),
+            F.col("nationkey").cast("string").alias("k1"),
+            ns.alias("k2"),
+            nb.alias("n"),
+            nd.alias("v"),
+        )
+    )
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.lit("rollup").alias("section"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            F.col("cnt").alias("n"),
+            F.col("sum_qty").alias("v"),
+        )
+    )
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .selectExpr(
+            "o_orderpriority",
+            "stack(3, 'F', `F`, 'O', `O`, 'P', `P`) as (status, cnt)",
+        )
+        .select(
+            F.lit("pivot").alias("section"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("status").alias("k2"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n"),
+            nd.alias("v"),
+        )
+    )
+    return topk.unionByName(exc).unionByName(roll).unionByName(piv)
 
 
 def q13_values_pattern(spark, sf_dir):
@@ -400,56 +453,68 @@ def q20_text_stats(spark, sf_dir):
     return base.join(sim, "doc_id")
 
 
-def _shingles(spark, sf_dir, max_doc: int):
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc)
-    return (
-        docs.withColumn("toks", F.split(F.col("text"), " ", -1))
-        .select(
-            "doc_id",
-            F.explode(
-                # the size(toks) >= 3 guard mirrors operators/dedup.py:
-                # sequence(1, 0) raises under ANSI mode for a <3-token
-                # doc, which would crash the whole query on a short doc
-                F.expr(
-                    "if(size(toks) >= 3,"
-                    " transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])),"
-                    " array())"
-                )
-            ).alias("s"),
-        )
-        .dropDuplicates()
-    )
-
-
 MAX_SHINGLE_DF = 50  # boilerplate df-cap (see operators/dedup.py)
 
+SUBSTR_K = 12  # span-dedup shingle width shared by q56 and its oracle
 
-def q23_ngram_jaccard(spark, sf_dir):
-    """Inverted-index n-gram Jaccard with a hot-shingle df-cap: a
-    shingle present in > MAX_SHINGLE_DF docs (boilerplate) would make
-    pair generation quadratic in its frequency, so it is dropped before
-    the self-join — semantics mirrored in the oracle."""
-    from arachne_spark.operators.dedup import (
-        cap_shingle_df,
-        ngram_jaccard_pairs,
+
+def q56_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal (operators/dedup.py:305, Lee
+    et al. 2022): any >= SUBSTR_K-token span occurring more than once
+    corpus-wide is cut from every occurrence but the globally first.
+    The corpus is the documents table plus 30 'quoting' docs that embed
+    a full earlier doc between fresh framing words, so cross-doc copied
+    passages are guaranteed present.  The oracle is an independent
+    pure-Python occurrence-index twin over the same parquet (the
+    q45-style spec-oracle VALUES pattern: the twin builds a gram ->
+    occurrences dict and unions covered index ranges directly — a
+    different algorithm from the operator's windowed gaps-and-islands).
+    Subsumes the retired q23/q24 shingle fixtures (their machinery is
+    q38's df-capped inverted index and minhash banding, both still
+    hash-checked there)."""
+    from arachne_spark.operators.dedup import exact_substring_dedup
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    injected = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("copied passage follows "),
+            F.col("text"),
+            F.lit(" and that was the copy"),
+        ).alias("text"),
+    )
+    out = exact_substring_dedup(docs.unionByName(injected), k=SUBSTR_K)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_hash"),
+        F.length("text").cast("bigint").alias("n_chars"),
     )
 
-    sh = cap_shingle_df(_shingles(spark, sf_dir, 100), MAX_SHINGLE_DF)
-    return ngram_jaccard_pairs(sh, threshold=0.03)
 
+def q57_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/ann.py::semantic_dedup, Abbas et al. 2023)
+    under the driver hash: embeddings quantized to cells, within-cell
+    cosine pairs only (never corpus-all-pairs), connected components
+    pick the min-id representative.  Centroids are injected
+    deterministically (the min-vec_id vector of each label — the
+    kmeans trainer is pinned separately by its byte-identity pytest),
+    so the oracle can mirror assignment + pair generation in SQL and
+    close components with a recursive CTE."""
+    from arachne_spark.operators.ann import semantic_dedup
 
-def q24_minhash_band(spark, sf_dir):
-    sh = _shingles(spark, sf_dir, 200)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"m{p}")
-        for p in range(8)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id",
-        F.md5(F.concat("m0", "m1", "m2", "m3")).alias("band0"),
-        F.md5(F.concat("m4", "m5", "m6", "m7")).alias("band1"),
+    emb = _t(spark, sf_dir, "embeddings")
+    firsts = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    cents = emb.join(firsts.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return semantic_dedup(
+        emb.select("vec_id", "embedding"),
+        threshold=0.5,
+        centroids=cents,
     )
 
 
@@ -897,24 +962,6 @@ def q48_percentiles(spark, sf_dir):
     )
 
 
-def q49_pivot(spark, sf_dir):
-    """Pivot: order counts by priority spread over status columns.
-    Explicit pivot values keep the schema static (the two-pass value
-    discovery Spark otherwise runs is a full extra scan at 100 TB)."""
-    orders = _t(spark, sf_dir, "orders")
-    p = (
-        orders.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .count()
-    )
-    return p.select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
-        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
-        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
-    )
-
-
 def q50_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): each click event carries the
     latest purchase value at-or-before its timestamp for the same
@@ -1039,6 +1086,65 @@ def q54_range_join(spark, sf_dir):
     )
 
 
+def q58_pagerank(spark, sf_dir):
+    """Deterministic PageRank (operators/pagerank.py): power iteration
+    as join+agg rounds with decimal(38,18)-exact order-independent
+    sums and uniform dangling-mass redistribution, over a 211-vertex
+    graph derived from the orders table.  The oracle is an independent
+    pure-Python scatter twin (adjacency-list shape, plain IEEE floats)
+    emitted as VALUES rows: Spark's decimal-exact sums and the twin's
+    float sums agree to ~1e-15, and both sides round to 6 decimals —
+    a boundary flip would need a rank within 1e-15 of a 5e-7 grid
+    line (probability ~1e-7 across all 211 nodes)."""
+    from arachne_spark.operators.pagerank import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 211).alias("src"),
+        ((F.col("o_orderkey") * 7) % 211).alias("dst"),
+    )
+    pr = pagerank(edges, n_iter=4)
+    return pr.select(
+        F.col("v").alias("node"), F.round("rank", 6).alias("rank6")
+    )
+
+
+def q59_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM self-perplexity (operators/lm.py):
+    add-1-smoothed bigram log-probability per token with the model
+    trained on the scored corpus itself — counts are relations, the
+    per-doc mean log-prob accumulates in decimal(38,18).  The oracle
+    recomputes the full train+score pipeline in SQL (list_prepend of
+    the BOS sentinel, positional bigrams, count joins, the same
+    decimal accumulate); both sides round the mean to 6 decimals and
+    derive perplexity from the ROUNDED mean so the exp() runs over
+    bit-identical input in both engines."""
+    from arachne_spark.operators.lm import lm_perplexity, lm_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi = lm_train(docs)
+    pp = lm_perplexity(docs, uni, bi, k=1.0)
+    return pp.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("log_prob_per_token", 6).alias("lpt6"),
+        F.round(
+            F.exp(-F.round("log_prob_per_token", 6)), 4
+        ).alias("ppl4"),
+    )
+
+
+def q60_gopher_stats(spark, sf_dir):
+    """The non-repetition Gopher quality signals (operators/quality.py
+    ::gopher_quality_stats, Rae et al. 2021 A1.1) — pure per-row
+    column expressions, no shuffle/join/UDF (Exchange-free, asserted
+    by the plan audit).  The oracle rebuilds every signal with DuckDB
+    list/regex functions; all ratios are rounded to 4 on both sides."""
+    from arachne_spark.operators.quality import gopher_quality_stats
+
+    return gopher_quality_stats(_t(spark, sf_dir, "documents"))
+
+
 def q32_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1047,14 +1153,6 @@ def q32_json_props(spark, sf_dir):
         )
         .groupBy("k")
         .agg(F.count("*").alias("cnt"))
-    )
-
-
-def q33_rollup(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("cnt"),
-        _dsum("l_quantity").alias("sum_qty"),
     )
 
 
@@ -1140,8 +1238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_batch_assign": q08_batch_assign,
         "q09_agg_q1": q09_agg_q1,
         "q10_merge_lastwins": q10_merge_lastwins,
-        "q11_topk": q11_topk,
-        "q12_set_except": q12_set_except,
         "q13_values_pattern": q13_values_pattern,
         "q14_ask_bgp": q14_ask_bgp,
         "q15_label_fallback": q15_label_fallback,
@@ -1149,8 +1245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_property_path": q17_property_path,
         "q18_doc_mentions": q18_doc_mentions,
         "q20_text_stats": q20_text_stats,
-        "q23_ngram_jaccard": q23_ngram_jaccard,
-        "q24_minhash_band": q24_minhash_band,
         "q26_cosine_topk": q26_cosine_topk,
         "q27_embed_neardup": q27_embed_neardup,
         "q28_lsh_buckets": q28_lsh_buckets,
@@ -1158,7 +1252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_multimodal_meta": q30_multimodal_meta,
         "q31_lsh_fuzzy_link": q31_lsh_fuzzy_link,
         "q32_json_props": q32_json_props,
-        "q33_rollup": q33_rollup,
         "q34_sortmerge_join": q34_sortmerge_join,
         "q35_normalize": q35_normalize,
         "q36_group_membership": q36_group_membership,
@@ -1174,17 +1267,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_payload_features": q46_payload_features,
         "q47_ntriples_lines": q47_ntriples_lines,
         "q48_percentiles": q48_percentiles,
-        "q49_pivot": q49_pivot,
         "q50_asof_join": q50_asof_join,
         "q51_sessionize": q51_sessionize,
         "q52_ann_ivf_topk": q52_ann_ivf_topk,
         "q53_bpe_tokens": q53_bpe_tokens,
         "q54_range_join": q54_range_join,
+        # round-5 driver-window rotation: q11/q12/q33/q49 consolidated
+        # into q55; q23/q24 subsumed by q38's machinery; freed slots
+        # hash-check the five operator families that previously had
+        # only pytest twins (VERDICT r4 item 1)
+        "q55_relational_core": q55_relational_core,
+        "q56_substring_dedup": q56_substring_dedup,
+        "q57_semantic_dedup": q57_semantic_dedup,
+        "q58_pagerank": q58_pagerank,
+        "q59_lm_perplexity": q59_lm_perplexity,
+        "q60_gopher_stats": q60_gopher_stats,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles
+
+# The driver (and tools/check_oracle.py) runs the correctness compare
+# at sf0.01; the two spec-oracle twins below read the same parquet
+# directly because their expected values cannot be expressed in SQL
+# (global span dedup; iterative PageRank).  Overridable for local runs
+# against another scale.
+_ORACLE_SF = __import__("os").environ.get(
+    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+)
+
+
+def _substring_oracle_rows() -> str:
+    """Independent pure-Python twin of q56: occurrence-index span
+    dedup (gram -> occurrence list, covered-index union — NOT the
+    operator's windowed gaps-and-islands), md5 + length of the
+    rebuilt text per doc, as VALUES literals."""
+    import duckdb
+    import hashlib
+
+    rows = duckdb.sql(
+        "select doc_id, text from "
+        f"'{_ORACLE_SF}/documents.parquet' where doc_id < 150"
+    ).fetchall()
+    corpus = {int(d): t for d, t in rows}
+    for d, t in rows:
+        if d < 30:
+            corpus[int(d) + 100000] = (
+                f"copied passage follows {t} and that was the copy"
+            )
+    k = SUBSTR_K
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for p in range(len(tk) - k + 1):
+            occ.setdefault(" ".join(tk[p : p + k]), []).append((d, p))
+    covered: dict[int, set[int]] = {d: set() for d in corpus}
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for d, p in lst:
+                if (d, p) != first:
+                    covered[d].update(range(p, p + k))
+    out = []
+    for d in sorted(corpus):
+        text = " ".join(
+            t for i, t in enumerate(toks[d]) if i not in covered[d]
+        )
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        out.append(f"({d}, '{h}', {len(text)})")
+    return ", ".join(out)
+
+
+def _pagerank_oracle_rows() -> str:
+    """Independent pure-Python twin of q58: scatter-shaped PageRank
+    over adjacency lists with plain IEEE float sums (the Spark side
+    accumulates in exact decimal; both round to 6 — see q58
+    docstring), as VALUES literals."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "select distinct o_custkey % 211, (o_orderkey * 7) % 211 "
+        f"from '{_ORACLE_SF}/orders.parquet'"
+    ).fetchall()
+    edges = sorted({(int(a), int(b)) for a, b in rows})
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out: dict[int, list[int]] = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    d = 0.85
+    r0 = 1.0 / n
+    rank = {v: r0 for v in verts}
+    for _ in range(4):
+        dmass = sum(rank[v] for v in verts if v not in out)
+        new = {v: (1 - d) * r0 + d * dmass * r0 for v in verts}
+        for s in sorted(out):
+            w = 1.0 / len(out[s])
+            for t in out[s]:
+                new[t] += d * rank[s] * w
+        rank = new
+    return ", ".join(f"({v}, {round(rank[v], 6)!r})" for v in verts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1351,16 +1535,6 @@ def oracle_sql() -> dict[str, str]:
             select user_id, props, row_number() over (
               partition by user_id order by ts desc, event_id desc) as rn
             from events) where rn = 1
-        """,
-        "q11_topk": """
-          select o_orderkey, o_custkey, o_totalprice from orders
-          order by o_totalprice desc, o_orderkey limit 10
-        """,
-        "q12_set_except": """
-          select distinct nationkey from (
-            select c_nationkey as nationkey from customer
-            except all
-            select s_nationkey as nationkey from supplier)
         """,
         "q13_values_pattern": """
           select subj, pred, obj from (
@@ -1555,19 +1729,153 @@ def oracle_sql() -> dict[str, str]:
              and c.ts >= w.w_start and c.ts <= w.w_end
           group by 1, 2
         """,
+        "q55_relational_core": """
+          select 'topk' as section, cast(o_orderkey as varchar) as k1,
+                 cast(o_custkey as varchar) as k2,
+                 cast(null as bigint) as n, o_totalprice as v
+          from (select * from orders
+                order by o_totalprice desc, o_orderkey limit 10)
+          union all
+          select 'except', cast(nationkey as varchar),
+                 cast(null as varchar), cast(null as bigint),
+                 cast(null as double)
+          from (select distinct nationkey from (
+                  select c_nationkey as nationkey from customer
+                  except all
+                  select s_nationkey as nationkey from supplier))
+          union all
+          select 'rollup', l_returnflag, l_linestatus, count(*),
+                 round(cast(sum(cast(l_quantity as decimal(18,6)))
+                       as double), 2)
+          from lineitem
+          group by rollup(l_returnflag, l_linestatus)
+          union all
+          select 'pivot', o_orderpriority, s.status,
+                 count(*) filter (where o_orderstatus = s.status),
+                 cast(null as double)
+          from orders, (values ('F'), ('O'), ('P')) s(status)
+          group by o_orderpriority, s.status
+        """,
+        "q56_substring_dedup": f"""
+          select cast(doc_id as bigint) as doc_id, text_hash,
+                 cast(n_chars as bigint) as n_chars
+          from (values {{SUBSTR_ROWS}}) t(doc_id, text_hash, n_chars)
+        """.replace("{SUBSTR_ROWS}", _substring_oracle_rows()),
+        "q57_semantic_dedup": f"""
+          with recursive
+          e as (
+            select vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> cast(x as double) * cast(x as double))))
+                     as nrm
+            from embeddings),
+          c as (
+            select e.vec_id as cid, e.embedding as cvec, e.nrm as cnrm
+            from e join (select min(vec_id) as vec_id
+                         from embeddings group by label) m
+              on e.vec_id = m.vec_id),
+          asgn as (
+            select vec_id, embedding, nrm, cid from (
+              select e.vec_id, e.embedding, e.nrm, c.cid,
+                     row_number() over (partition by e.vec_id order by
+                       list_sum(list_transform(range(1, {DIM} + 1),
+                         i -> cast(e.embedding[i] as double)
+                              * cast(c.cvec[i] as double)))
+                       / (e.nrm * c.cnrm) desc, c.cid) as rk
+              from e, c) where rk = 1),
+          dup as (
+            select q.vec_id as a, n.vec_id as b
+            from asgn q join asgn n
+              on q.cid = n.cid and q.vec_id < n.vec_id
+            where round(list_sum(list_transform(range(1, {DIM} + 1),
+                    i -> cast(q.embedding[i] as double)
+                         * cast(n.embedding[i] as double)))
+                  / (q.nrm * n.nrm), 4) >= 0.5),
+          ed as (select a, b from dup union all select b, a from dup),
+          reach(a, b) as (
+            select a, b from ed
+            union
+            select r.a, e2.b from reach r join ed e2 on r.b = e2.a),
+          rep as (select a as vec_id, least(a, min(b)) as rep_id
+                  from reach group by a)
+          select e.vec_id,
+                 coalesce(rep.rep_id, e.vec_id) as rep_id,
+                 e.vec_id = coalesce(rep.rep_id, e.vec_id) as keep
+          from e left join rep on e.vec_id = rep.vec_id
+        """,
+        "q58_pagerank": f"""
+          select cast(node as bigint) as node, rank6
+          from (values {{PR_ROWS}}) t(node, rank6)
+        """.replace("{PR_ROWS}", _pagerank_oracle_rows()),
+        "q59_lm_perplexity": """
+          with toks as (
+            select doc_id,
+                   list_prepend(chr(2), string_split(text, ' ')) as t
+            from documents),
+          bg as (
+            select doc_id, t[i] as w1, t[i + 1] as w2
+            from toks, unnest(generate_series(1, len(t) - 1)) u(i)),
+          uni as (select w1, count(*) as c1 from bg group by w1),
+          bi as (select w1, w2, count(*) as c12
+                 from bg group by w1, w2),
+          vv as (select count(*) as v from uni),
+          sc as (
+            select bg.doc_id,
+                   ln((coalesce(bi.c12, 0) + 1.0)
+                      / (coalesce(uni.c1, 0) + 1.0 * (vv.v + 1))) as lp
+            from bg
+            left join bi using (w1, w2)
+            left join uni using (w1), vv),
+          agg as (
+            select doc_id, count(*) as n_bigrams,
+                   cast(sum(cast(lp as decimal(38,18))) as double)
+                     / count(*) as lpt
+            from sc group by doc_id)
+          select doc_id, n_bigrams, round(lpt, 6) as lpt6,
+                 round(exp(-round(lpt, 6)), 4) as ppl4
+          from agg
+        """,
+        "q60_gopher_stats": r"""
+          with w as (
+            select doc_id, text,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x != '') as words,
+                   string_split(text, chr(10)) as lines
+            from documents)
+          select doc_id,
+            cast(len(words) as bigint) as n_words,
+            round(cast(length(regexp_replace(text, '\s+', '', 'g'))
+                    as double) / greatest(len(words), 1), 4)
+              as mean_word_len,
+            round((len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.'))
+                   + len(regexp_extract_all(text, '…')))
+                  / cast(greatest(len(words), 1) as double), 4)
+              as symbol_word_ratio,
+            round(cast(len(list_filter(lines,
+                    l -> regexp_matches(l, '^\s*[•\-\*]')))
+                    as double) / greatest(len(lines), 1), 4)
+              as bullet_line_frac,
+            round(cast(len(list_filter(lines,
+                    l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                    as double) / greatest(len(lines), 1), 4)
+              as ellipsis_line_frac,
+            round(cast(len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]')))
+                    as double) / greatest(len(words), 1), 4)
+              as alpha_word_frac,
+            cast(len(list_filter(
+                ['the','be','to','of','and','that','have','with'],
+                s -> list_contains(list_transform(words,
+                       x -> lower(x)), s))) as integer) as n_stop_hits
+          from w
+        """,
         "q48_percentiles": """
           select l_returnflag,
                  round(quantile_cont(l_quantity, 0.5), 4) as p50,
                  round(quantile_cont(l_quantity, 0.95), 4) as p95,
                  count(*) as cnt
           from lineitem group by l_returnflag
-        """,
-        "q49_pivot": """
-          select o_orderpriority,
-                 count(*) filter (where o_orderstatus = 'F') as cnt_f,
-                 count(*) filter (where o_orderstatus = 'O') as cnt_o,
-                 count(*) filter (where o_orderstatus = 'P') as cnt_p
-          from orders group by o_orderpriority
         """,
         "q50_asof_join": """
           with p as (
@@ -1637,46 +1945,6 @@ def oracle_sql() -> dict[str, str]:
                    as pred_lang,
                  sim.simhash
           from base join sim using (doc_id)
-        """,
-        "q23_ngram_jaccard": f"""
-          with t as (select doc_id, string_split(text, ' ') as toks
-                     from documents where doc_id < 100),
-          sh0 as (select distinct doc_id,
-                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                          as s
-                 from t, unnest(range(1, len(toks) - 1)) u(i)),
-          dfreq as (select s, count(*) as c from sh0 group by s),
-          sh as (select sh0.doc_id, sh0.s from sh0
-                 join dfreq using (s) where dfreq.c <= {MAX_SHINGLE_DF}),
-          sizes as (select doc_id, count(*) as n from sh group by 1),
-          inter as (select a.doc_id da, b.doc_id db, count(*) i
-                    from sh a join sh b
-                      on a.s = b.s and a.doc_id < b.doc_id
-                    group by 1, 2)
-          select da, db,
-                 round(cast(i as double) / (na.n + nb.n - i), 4)
-                   as jaccard
-          from inter
-          join sizes na on na.doc_id = da
-          join sizes nb on nb.doc_id = db
-          where round(cast(i as double) / (na.n + nb.n - i), 4) >= 0.03
-        """,
-        "q24_minhash_band": """
-          with t as (select doc_id, string_split(text, ' ') as toks
-                     from documents where doc_id < 200),
-          sh as (select distinct doc_id,
-                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                          as s
-                 from t, unnest(range(1, len(toks) - 1)) u(i)),
-          sig as (select doc_id,
-                         min(md5('0:' || s)) m0, min(md5('1:' || s)) m1,
-                         min(md5('2:' || s)) m2, min(md5('3:' || s)) m3,
-                         min(md5('4:' || s)) m4, min(md5('5:' || s)) m5,
-                         min(md5('6:' || s)) m6, min(md5('7:' || s)) m7
-                  from sh group by doc_id)
-          select doc_id, md5(m0 || m1 || m2 || m3) as band0,
-                 md5(m4 || m5 || m6 || m7) as band1
-          from sig
         """,
         "q26_cosine_topk": cos_pairs.format(
             dim=DIM, qmax=10, nmax=1 << 60
@@ -1785,13 +2053,6 @@ def oracle_sql() -> dict[str, str]:
           select cast(json_extract_string(props, '$.k') as bigint) as k,
                  count(*) as cnt
           from events group by 1
-        """,
-        "q33_rollup": """
-          select l_returnflag, l_linestatus, count(*) as cnt,
-                 round(cast(sum(cast(l_quantity as decimal(18,6)))
-                       as double), 2) as sum_qty
-          from lineitem
-          group by rollup(l_returnflag, l_linestatus)
         """,
         "q34_sortmerge_join": """
           select o_orderpriority, count(*) as cnt,

@@ -82,12 +82,29 @@ def resolve_alias_dict(alias_df: DataFrame) -> DataFrame:
 
 
 def detect_mentions(
-    pages: DataFrame, alias_df: DataFrame, id_col: str = "url"
+    pages: DataFrame,
+    alias_df: DataFrame,
+    id_col: str = "url",
+    broadcast_dict: bool = True,
 ) -> DataFrame:
     """(url, pos, n, end, qid, alias, priority, after) mention rows.
 
     `id_col` is the document identity column; it is carried through as
     `url` in the output regardless of its input name.
+
+    **Dictionary-size contract** (``broadcast_dict``): the resolved
+    alias dictionary ships as an explicit broadcast by default — the
+    SURVEY §1.2 design (dimension broadcast + LSH for the long tail).
+    An explicit hint bypasses ``autoBroadcastJoinThreshold`` but not
+    the hard 8 GB / executor-memory broadcast ceiling, so the contract
+    is a dictionary of up to ~10^7 resolved aliases (≈ low-GB hash
+    relation).  A full Wikidata alias table (~10^8 rows) is past the
+    ceiling: pass ``broadcast_dict=False`` to switch the probe to a
+    plain equi-join on the first token — the token side then shuffles
+    once on ``tok`` (AQE picks shuffle-hash vs sort-merge and handles
+    hot first-token skew with its skew-join split), and every later
+    stage is unchanged.  Both plan regimes are pinned by
+    ``tests/test_plans.py::test_mention_dict_join_regimes``.
     """
     if id_col != "url":
         pages = pages.withColumnRenamed(id_col, "url")
@@ -103,8 +120,9 @@ def detect_mentions(
     toks = with_tokens.select(
         "url", "tokens", F.posexplode("tokens").alias("pos", "tok")
     )
+    dict_side = F.broadcast(resolved) if broadcast_dict else resolved
     cand = toks.join(
-        F.broadcast(resolved),
+        dict_side,
         toks["tok"] == resolved["first_tok"],
         "inner",
     )

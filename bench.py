@@ -88,7 +88,9 @@ HEADLINE = [
     "q09_agg_q1",
     "q02_snapshot_latest",
     "q18_doc_mentions",
-    "q23_ngram_jaccard",
+    # q23 retired in the round-5 driver-window rotation (its df-capped
+    # inverted-index machinery is timed inside q38); totals not
+    # comparable to r4 — compare per-query medians as always
     "q26_cosine_topk",
     "q29_event_window",
     "q17_property_path",
@@ -115,7 +117,7 @@ KG_RETRY_BUDGET_SEC = 2600
 
 
 def run_headline(
-    sf_dir: str, cpus: int, n_runs: int = 3
+    sf_dir: str, cpus: int, n_runs: int = 5
 ) -> tuple[dict, dict]:
     """(per-query MEDIAN of n_runs warm runs, raw per-run timings).
 
@@ -123,6 +125,10 @@ def run_headline(
     periods (uniform 1.2-2x drift across untouched queries was measured
     round-over-round), so a single timing makes cross-round deltas
     meaningless; the raw runs stay in the artifact for inspection.
+    Round 5: n_runs 3 -> 5 — a burst shorter than half the window no
+    longer moves any median (the r4 artifact's q17 missed its <4 s
+    target on exactly such a burst while the same-protocol builder run
+    measured 3.64 s).
     """
     import __spark_entry__ as em
     from arachne_spark.session import get_spark
@@ -138,8 +144,12 @@ def run_headline(
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
-        qs[name](spark, warm_dir).count()
+    # two warm passes, not one: C2 compilation of generated code makes
+    # the first ~2 executions of a query 3-8x slower (measured), and a
+    # single warm left the q17 closure path partially cold in r3/r4
+    for _ in range(2):
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).count()
     raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_runs):
         for name in HEADLINE:
@@ -248,6 +258,88 @@ def run_graph(cpus: int) -> dict:
     walls = sorted(run() for _ in range(3))
     spark.stop()
     return {"pagerank_200k_5it": round(walls[1], 3)}
+
+
+def run_semdedup(cpus: int) -> dict:
+    """SemDeDup end-to-end at 10^5 vectors with TRAINED centroids
+    (round-4 verdict item: the Σ|cell|² pair bound was asserted only
+    at fixture scale): deterministic blob embeddings (320 integer-grid
+    centers, ±0.5 per-component xxhash jitter, the top 5k ids exact
+    duplicates of ids 0..4999), kmeans_fit k=320, then semantic_dedup
+    over the trained cells.  Records the cell-size distribution — the
+    pair stage is Σ|cell|², so the histogram IS the scale evidence —
+    plus fit/dedup walls and the recovered duplicate count.  Guarded
+    like the curation section: a failure never sinks the artifact."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from arachne_spark.operators.ann import (
+        ivf_assign,
+        kmeans_fit,
+        semantic_dedup,
+    )
+    from arachne_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-semdedup", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    n, n_blobs, dim, k = 100_000, 320, 8, 320
+    base_id = F.when(
+        F.col("id") >= n - 5_000, F.col("id") - (n - 5_000)
+    ).otherwise(F.col("id"))
+    comps = [
+        (
+            ((base_id * 31 + j * 17) % n_blobs % 13 - 6).cast("double")
+            + (
+                F.pmod(F.xxhash64(base_id, F.lit(j)), F.lit(1000))
+                - 500
+            )
+            / 1000.0
+        ).cast("float")
+        for j in range(dim)
+    ]
+    emb = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), F.array(*comps).alias("embedding"))
+        .persist()
+    )
+    emb.count()
+    t0 = _t.time()
+    cents = kmeans_fit(emb, k, n_iters=2)
+    fit_sec = _t.time() - t0
+    sizes = sorted(
+        r["c"]
+        for r in ivf_assign(emb, cents, nprobe=1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    t0 = _t.time()
+    dup_rows = (
+        semantic_dedup(emb, threshold=0.9999, centroids=cents)
+        .where(~F.col("keep"))
+        .count()
+    )
+    dedup_sec = _t.time() - t0
+    emb.unpersist()
+    spark.stop()
+    return {
+        "n_vectors": n,
+        "k": k,
+        "dim": dim,
+        "fit_sec": round(fit_sec, 3),
+        "dedup_sec": round(dedup_sec, 3),
+        "dup_rows": dup_rows,
+        "cells": {
+            "n_cells": len(sizes),
+            "p50": sizes[len(sizes) // 2],
+            "p99": sizes[int(len(sizes) * 0.99)],
+            "max": sizes[-1],
+            "sum_sq_pairs": sum(s * s for s in sizes),
+        },
+    }
 
 
 def kg_core_run(cores: int, n_pages: int) -> tuple[float, int]:
@@ -385,6 +477,10 @@ def main() -> None:
         graph = run_graph(cpus)
     except Exception as e:  # pragma: no cover - defensive
         graph = {"error": str(e)[:200]}
+    try:
+        semdedup = run_semdedup(cpus)
+    except Exception as e:  # pragma: no cover - defensive
+        semdedup = {"error": str(e)[:200]}
 
     # paired measurement: this sandbox shows bursty whole-host slow
     # periods (entire runs 2x slower, headline included, with no local
@@ -447,6 +543,7 @@ def main() -> None:
         "query_runs": query_runs,
         "curation": curation,
         "graph": graph,
+        "semdedup": semdedup,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg": {
             "pages": KG_PAGES,
