@@ -810,10 +810,24 @@ def q44_reachable_from(spark, sf_dir):
     )
 
 
+def _png_pixel(i: int, x: int, y: int) -> tuple[int, int, int]:
+    """The q45 PNG fixture's pixel spec — shared by the encoder
+    (``_png_fixture``) and the oracle twin, which never parses PNG."""
+    return (
+        (x * 7 + y * 3 + i) % 256,
+        (x * 5 + y * 11 + 2 * i) % 256,
+        (x * 13 + y + 3 * i) % 256,
+    )
+
+
 def _png_fixture() -> list[tuple[int, bytes, int, int]]:
-    """Deterministic valid-PNG payloads (magic + CRC-correct IHDR +
-    IDAT + IEND — the structure ``_decode_png`` validates): 40 images,
-    dims derived from the index.  Used by q45 and its spec oracle."""
+    """Deterministic valid-PNG payloads with REAL pixel data: magic +
+    CRC-correct IHDR + a zlib-compressed IDAT whose scanlines cycle
+    through ALL FIVE filter types (y % 5: None/Sub/Up/Average/Paeth,
+    encoded forward here, inverted by
+    ``multimodal.decode_png_pixels``) + IEND.  40 RGB images, dims and
+    pixels derived from the index (``_png_pixel``).  Used by q45 and
+    its spec oracle."""
     import struct
     import zlib
 
@@ -825,14 +839,50 @@ def _png_fixture() -> list[tuple[int, bytes, int, int]]:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
     out = []
     for i in range(40):
         w, h = i % 23 + 2, i % 13 + 3
+        stride = w * 3
+        raw_rows = [
+            bytes(
+                v
+                for x in range(w)
+                for v in _png_pixel(i, x, y)
+            )
+            for y in range(h)
+        ]
+        scan = bytearray()
+        prev = bytes(stride)
+        for y, raw in enumerate(raw_rows):
+            ft = y % 5
+            scan.append(ft)
+            for x in range(stride):
+                a = raw[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if ft == 0:
+                    scan.append(raw[x])
+                elif ft == 1:
+                    scan.append((raw[x] - a) & 0xFF)
+                elif ft == 2:
+                    scan.append((raw[x] - b) & 0xFF)
+                elif ft == 3:
+                    scan.append((raw[x] - ((a + b) >> 1)) & 0xFF)
+                else:
+                    scan.append((raw[x] - paeth(a, b, c)) & 0xFF)
+            prev = raw
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
         png = (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", bytes([i % 251]) * 8)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
             + chunk(b"IEND", b"")
         )
         out.append((1_000_000 + i, png, w, h))
@@ -841,16 +891,26 @@ def _png_fixture() -> list[tuple[int, bytes, int, int]]:
 
 def _png_oracle_rows() -> str:
     """SQL VALUES literals for the PNG half of q45's oracle: expected
-    dims, resize targets, and thumbnail-prefix md5 recomputed
-    independently from the fixture spec (the Spark side decodes the
-    actual PNG bytes; the oracle never parses PNG)."""
+    dims, resize targets, and the md5 of the TRUE nearest-neighbor
+    thumbnail pixels, recomputed independently from the pixel spec
+    (``_png_pixel`` directly — the oracle never parses PNG, never
+    inflates zlib, never unfilters; the Spark side decodes the actual
+    bytes through ``decode_png_pixels``)."""
     import hashlib
 
     rows = []
-    for img_id, png, w, h in _png_fixture():
+    for i in range(40):
+        img_id = 1_000_000 + i
+        w, h = i % 23 + 2, i % 13 + 3
         scale = min(1.0, 16.0 / max(w, h))
         ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
-        th = hashlib.md5(png[:32]).hexdigest()
+        thumb = bytes(
+            v
+            for oy in range(oh)
+            for ox in range(ow)
+            for v in _png_pixel(i, ox * w // ow, oy * h // oh)
+        )
+        th = hashlib.md5(thumb).hexdigest()
         rows.append(f"({img_id}, {w}, {h}, {ow}, {oh}, '{th}')")
     return ", ".join(rows)
 
@@ -1603,20 +1663,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(p_partkey % 30 + 2 as int) as w,
                    cast(p_partkey % 17 + 3 as int) as h
             from part),
-          p as (
+          dims as (
             select img_id, w, h,
-                   'P6' || chr(10) || w || ' ' || h || chr(10)
-                     || '255' || chr(10) || repeat('x', w * h * 3) as s
+                   cast(greatest(1, cast(floor(
+                     w * least(1.0, 16.0 / greatest(w, h))) as int))
+                     as int) as ow,
+                   cast(greatest(1, cast(floor(
+                     h * least(1.0, 16.0 / greatest(w, h))) as int))
+                     as int) as oh
             from img)
+          -- the PPM payloads are uniform 'x' pixels, so the REAL
+          -- nearest-neighbor thumbnail is exactly ow*oh*3 'x' bytes
           select img_id, w as width, h as height,
-                 cast(greatest(1, cast(floor(
-                   w * least(1.0, 16.0 / greatest(w, h))) as int))
-                   as int) as out_width,
-                 cast(greatest(1, cast(floor(
-                   h * least(1.0, 16.0 / greatest(w, h))) as int))
-                   as int) as out_height,
-                 md5(substr(s, 1, 32)) as thumb_hash
-          from p
+                 ow as out_width, oh as out_height,
+                 md5(repeat('x', ow * oh * 3)) as thumb_hash
+          from dims
           union all
           select cast(img_id as bigint), cast(width as int),
                  cast(height as int), cast(out_width as int),

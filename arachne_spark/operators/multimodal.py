@@ -14,10 +14,14 @@ preservation — is real and tested:
   (N rows / input — the fan-out shape of real video sampling), hash-
   checked against a byte-level DuckDB oracle (q42);
 * ``resize_meta``       — decode → target-dimension computation with
-  aspect preserved (the resize plan; thumbnail bytes stubbed as a
-  deterministic prefix);
-* ``extract_features``  — payload → float feature vector
-  (deterministic hash-seeded stub) whose output column shape
+  aspect preserved; thumbnail bytes are REAL nearest-neighbor
+  resampled pixels for the codec-free pixel formats (8-bit
+  non-palette PNG via ``decode_png_pixels`` — stdlib-zlib inflate +
+  per-row unfilter — and binary PPM), payload-prefix stub only for
+  entropy-coded formats;
+* ``extract_features``  — payload → float feature vector: REAL
+  grid-pooled luminance features for the pixel-decodable formats,
+  deterministic hash-seeded stub otherwise; the output column shape
   (array<float>) feeds the ANN operators directly (operators/ann.py)
   — binary in, searchable embedding out, end-to-end.
 """
@@ -101,6 +105,152 @@ def _decode_png(payload: bytes) -> dict | None:
     if not saw_idat or not saw_iend:
         return None
     return {"format": "png", "width": w, "height": h}
+
+
+def decode_png_pixels(payload: bytes | None) -> dict | None:
+    """REAL PNG pixel decode via stdlib zlib — no codec library:
+    inflate the concatenated IDAT stream and invert the five per-row
+    filters (None/Sub/Up/Average/Paeth, PNG spec §9) scanline by
+    scanline.  Covers the non-palette 8-bit formats (color types 0
+    grey, 2 RGB, 4 grey+alpha, 6 RGBA), non-interlaced; palette and
+    16-bit return None and stay on the metadata-only path.  Returns
+    ``{"width", "height", "channels", "pixels"}`` with ``pixels`` =
+    height rows of width*channels bytes, or None; never raises on
+    adversarial bytes (structural validation via ``_decode_png``,
+    zlib/length failures → None).  Per-byte Python is fine here: this
+    runs inside Arrow batches on THUMBNAIL-SCALE work (a deployment
+    decoding full-size photos swaps in an Arrow-native codec, same
+    mapInPandas plumbing)."""
+    import zlib
+
+    if not payload:
+        return None
+    meta = _decode_png(payload)
+    if meta is None:
+        return None
+    bit_depth, color_type, interlace = (
+        payload[24],
+        payload[25],
+        payload[28],
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8 or interlace != 0:
+        return None
+    w, h = meta["width"], meta["height"]
+    i, n, idat = 33, len(payload), []
+    while i + 8 <= n:  # chunk table already validated by _decode_png
+        clen = int.from_bytes(payload[i:i + 4], "big")
+        ctype = bytes(payload[i + 4:i + 8])
+        if ctype == b"IEND":
+            break
+        if ctype == b"IDAT":
+            idat.append(bytes(payload[i + 8:i + 8 + clen]))
+        i += 12 + clen
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        )
+        if ft == 1:  # Sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = (
+                    a
+                    if pa <= pb and pa <= pc
+                    else (b if pb <= pc else c)
+                )
+                row[x] = (row[x] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def _ppm_pixels(payload: bytes | None) -> dict | None:
+    """Raw pixel extraction for binary PPM (P6, maxval <= 255): the
+    header parse is ``decode_image``'s tolerant netpbm walk; pixels
+    are the w*h*3 bytes after the single whitespace following maxval.
+    Same return shape as ``decode_png_pixels``."""
+    if not payload or bytes(payload[:2]) != b"P6":
+        return None
+    img = decode_image(payload)
+    if img is None or img["format"] != "ppm":
+        return None
+    # re-walk the header for the maxval and the pixel offset
+    # (decode_image already validated structure + pixel length)
+    toks: list[bytes] = []
+    i, n = 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < n and payload[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while (
+                j < n
+                and not payload[j:j + 1].isspace()
+                and payload[j:j + 1] != b"#"
+            ):
+                j += 1
+            toks.append(bytes(payload[i:j]))
+            i = j
+    if int(toks[2]) > 255:  # 2-byte samples out of scope (like 16-bit PNG)
+        return None
+    w, h = img["width"], img["height"]
+    start = i + 1  # one whitespace byte after maxval
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixels": bytes(payload[start:start + w * h * 3]),
+    }
+
+
+def _nn_resize(
+    pixels: bytes, w: int, h: int, ch: int, ow: int, oh: int
+) -> bytes:
+    """Deterministic nearest-neighbor resample (source index =
+    floor(out_index * in_size / out_size)) — the thumbnail codec."""
+    out = bytearray(ow * oh * ch)
+    for oy in range(oh):
+        sy = oy * h // oh
+        for ox in range(ow):
+            si = (sy * w + ox * w // ow) * ch
+            oi = (oy * ow + ox) * ch
+            out[oi:oi + ch] = pixels[si:si + ch]
+    return bytes(out)
 
 
 # SOF markers that carry frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
@@ -793,13 +943,17 @@ def resize_meta(
     max_side: int = 256,
 ) -> DataFrame:
     """(id, width, height, out_width, out_height, thumb): decode the
-    payload's dimensions — REAL for netpbm/BMP payloads
-    (``decode_image``), stub (derived deterministically from the byte
-    length) for formats this container has no codec for — compute
+    payload's dimensions — REAL for netpbm/BMP/PNG/JPEG/GIF/TIFF
+    headers (``decode_image``), stub (derived deterministically from
+    the byte length) for undecodable payloads — compute
     aspect-preserving resize targets bounded by ``max_side``, and emit
-    a thumbnail (STUB: deterministic payload prefix; a real deployment
-    swaps in PIL thumbnail bytes — the dimension arithmetic, schema,
-    and binary output column are unchanged plumbing)."""
+    a thumbnail.  The thumbnail is REAL — nearest-neighbor resampled
+    pixel bytes — wherever pixels decode codec-free: 8-bit non-palette
+    PNG (``decode_png_pixels``, stdlib-zlib inflate + per-row
+    unfilter) and binary PPM (``_ppm_pixels``).  Formats that need an
+    entropy codec (JPEG/GIF/TIFF-compressed) keep the labeled
+    payload-prefix stub; a deployment swaps in PIL there — same
+    schema, same Arrow plumbing."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -830,12 +984,20 @@ def resize_meta(
                     w = 64 + (len(p) % 1920)
                     h = 64 + ((len(p) * 7) % 1080)
                 scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                pix = decode_png_pixels(p) or _ppm_pixels(p)
+                if pix is not None:  # REAL resampled pixel bytes
+                    thumb = _nn_resize(
+                        pix["pixels"], w, h, pix["channels"], ow, oh
+                    )
+                else:  # labeled stub for entropy-coded formats
+                    thumb = bytes(p[:32])
                 rows[id_col].append(i)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["out_width"].append(max(1, int(w * scale)))
-                rows["out_height"].append(max(1, int(h * scale)))
-                rows["thumb"].append(bytes(p[:32]))
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["thumb"].append(thumb)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(resize_batches, schema)
@@ -847,11 +1009,17 @@ def extract_features(
     payload_col: str = "payload",
     dim: int = 64,
 ) -> DataFrame:
-    """(id, embedding array<float>): payload → feature vector.  STUB
-    model: md5-seeded deterministic floats in [-1, 1).  The output
-    column shape is exactly the `embeddings.embedding` schema, so the
-    result feeds ann.with_buckets / ann_topk unchanged — binary column
-    in, similarity-searchable vector out."""
+    """(id, embedding array<float>): payload → feature vector.  REAL
+    pooled-pixel features wherever pixels decode codec-free (8-bit
+    non-palette PNG via ``decode_png_pixels``, binary PPM via
+    ``_ppm_pixels``): the image is divided into a √dim x √dim grid and
+    each cell's mean luminance (channel average) is scaled to [-1, 1)
+    — a classic tiny-gist descriptor, deterministic, no model weights.
+    Entropy-coded formats and non-image payloads fall back to the
+    labeled md5-seeded STUB (deterministic floats in [-1, 1)).  The
+    output column shape is exactly the `embeddings.embedding` schema,
+    so the result feeds ann.with_buckets / ann_topk unchanged — binary
+    column in, similarity-searchable vector out."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -859,15 +1027,34 @@ def extract_features(
             StructField("embedding", ArrayType(FloatType())),
         ]
     )
+    grid = max(1, int(dim ** 0.5))
 
     def embed(payload: bytes) -> list[float]:
-        out: list[float] = []
+        pix = decode_png_pixels(payload) or _ppm_pixels(payload)
+        if pix is not None:  # REAL grid-pooled luminance features
+            w, h, ch = pix["width"], pix["height"], pix["channels"]
+            data = pix["pixels"]
+            out = []
+            for gy in range(grid):
+                y0, y1 = gy * h // grid, max((gy + 1) * h // grid, gy * h // grid + 1)
+                for gx in range(grid):
+                    x0 = gx * w // grid
+                    x1 = max((gx + 1) * w // grid, x0 + 1)
+                    tot = cnt = 0
+                    for y in range(y0, min(y1, h)):
+                        for x in range(x0, min(x1, w)):
+                            base = (y * w + x) * ch
+                            tot += sum(data[base:base + ch])
+                            cnt += ch
+                    out.append(tot / cnt / 127.5 - 1.0 if cnt else 0.0)
+            return (out + [0.0] * dim)[:dim]
+        out = []
         seed = payload or b""
         counter = 0
         while len(out) < dim:
-            h = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+            hd = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
             for off in range(0, 16, 4):
-                (u,) = struct.unpack(">I", h[off:off + 4])
+                (u,) = struct.unpack(">I", hd[off:off + 4])
                 out.append(u / 2**31 - 1.0)
             counter += 1
         return out[:dim]

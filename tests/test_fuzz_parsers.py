@@ -34,11 +34,12 @@ def _mutations(rng, seed_blob: bytes, n: int):
 
 
 def test_media_decoders_never_raise():
-    from test_multimodal import _flac, _gif, _mp4, _tiff, _wav
+    from test_multimodal import _flac, _gif, _mp4, _png_raw, _tiff, _wav
 
     from arachne_spark.operators.multimodal import (
         decode_audio,
         decode_image,
+        decode_png_pixels,
         decode_video,
     )
 
@@ -59,20 +60,27 @@ def test_media_decoders_never_raise():
 
     assert _dv(empty_mvhd_mp4) is None
 
+    # real-IDAT PNG seed: mutations hit the zlib-inflate and
+    # unfilter paths of decode_png_pixels, not just the chunk walk
+    pixel_png = _png_raw(6, 5, 2, lambda x, y: (x * 40, y * 50, 7))
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
-        _tiff(9, 9), empty_mvhd_mp4,
+        _tiff(9, 9), empty_mvhd_mp4, pixel_png,
     ]
+    decoders = (
+        decode_image, decode_audio, decode_video, decode_png_pixels
+    )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):
-            for fn in (decode_image, decode_audio, decode_video):
+            for fn in decoders:
                 out = fn(blob)  # must return, never raise
                 assert out is None or isinstance(out, dict)
     for _ in range(2000):
         blob = bytes(
             rng.randrange(256) for _ in range(rng.randrange(200))
         )
-        for fn in (decode_image, decode_audio, decode_video):
+        for fn in decoders:
             out = fn(blob)
             assert out is None or isinstance(out, dict)
 
