@@ -481,6 +481,11 @@ def run_incremental_pipeline(
     state_dir: str | None = None,
     compact_every: int = 4,
     n_state_files: int = 8,
+    scrub_pii: bool = False,
+    c4_rules: bool = False,
+    gopher_filter: bool = False,
+    gopher_min_words: int = 50,
+    classifier: tuple[dict[int, float], float, float] | None = None,
 ):
     """foreachBatch: full batch extraction core per micro-batch,
     written to ``out_dir`` with end-to-end idempotence:
@@ -504,6 +509,18 @@ def run_incremental_pipeline(
       long the stream has run.  An Iceberg sink expresses the same
       upsert natively as MERGE; the probe index is the parquet-
       fallback statement of it.
+
+    **Curation gates** (``scrub_pii`` / ``c4_rules`` /
+    ``gopher_filter`` / ``classifier=(weights, bias, min_prob)``): the
+    per-row hygiene passes of the batch pipeline
+    (pipeline._curate_pages), applied per micro-batch in the same
+    order.  Only these four are offered on the stream — each is a pure
+    function of row CONTENT (the CLAUDE.md streaming invariant), so
+    batch boundaries cannot change any row's fate and streaming output
+    equals the gated batch answer (test-pinned).  The CROSS-CORPUS
+    passes (canonical-URL dedup, span dedup, boilerplate strip) stay
+    batch-only by design: their output depends on the whole corpus, so
+    a streaming variant would encode batch boundaries into results.
     """
     from arachne_spark.operators.extract import latest_snapshot, with_text
     from arachne_spark.operators.mentions import (
@@ -543,10 +560,42 @@ def run_incremental_pipeline(
                 )
             )
 
+    def curate(pages: DataFrame) -> DataFrame:
+        out = pages
+        if scrub_pii:
+            from arachne_spark.operators.scrub import scrub_expr
+
+            out = out.withColumn("text", scrub_expr(F.col("text")))
+        if c4_rules:
+            from arachne_spark.operators.quality import c4_clean
+
+            out = c4_clean(out, id_col="url", text_col="text")
+        if gopher_filter:
+            from arachne_spark.operators.quality import (
+                gopher_quality_filter,
+            )
+
+            out = gopher_quality_filter(
+                out, id_col="url", text_col="text",
+                min_words=gopher_min_words,
+            )
+        if classifier is not None:
+            from arachne_spark.operators.classify import (
+                quality_classifier_filter,
+            )
+
+            w, bias, min_prob = classifier
+            out = quality_classifier_filter(
+                out, w, bias, min_prob, id_col="url", text_col="text"
+            )
+        return out
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        clean = with_text(
-            latest_snapshot(batch_df).where(F.col("lang") == "en")
+        clean = curate(
+            with_text(
+                latest_snapshot(batch_df).where(F.col("lang") == "en")
+            )
         )
         m = detect_mentions(clean, alias_df)
         triples = mention_triples(m).unionByName(

@@ -305,6 +305,86 @@ def test_incremental_pipeline_probe_bootstrap(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_incremental_pipeline_curation_gates_match_batch(spark, tmp_path):
+    """Round-4 verdict item 6: the per-row curation gates (PII scrub,
+    C4 rules, Gopher filter, classifier score) are offered on the
+    stream — each is a pure function of row content, so batch
+    boundaries cannot change any row's fate.  Streaming output with
+    gates on must equal the gated BATCH answer exactly, and the gates
+    must do real work on this corpus (strictly fewer triples than the
+    ungated run)."""
+    from arachne_spark.operators.classify import quality_classifier_filter
+    from arachne_spark.operators.quality import (
+        c4_clean,
+        gopher_quality_filter,
+    )
+    from arachne_spark.operators.scrub import scrub_expr
+
+    src = str(tmp_path / "pages_gates")
+    out = str(tmp_path / "triples_gates")
+    ckpt = str(tmp_path / "ckpt_gates")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" reach me at bob@example.com or 192.168.0.1"),
+    )
+    pages = pages_df(spark, N_PAGES, partitions=8).withColumn(
+        "text",
+        F.when(
+            F.col("text").isNotNull() & (F.xxhash64("url") % 3 == 0),
+            pii,
+        ).otherwise(F.col("text")),
+    )
+    pages.repartition(8).write.parquet(src)
+
+    w, bias, min_prob = {1: 0.2, 7: -0.1}, 0.3, 0.4
+    q = run_incremental_pipeline(
+        spark, src, out, ckpt, alias_df(spark), predicate_df(spark),
+        scrub_pii=True, c4_rules=True, gopher_filter=True,
+        gopher_min_words=5, classifier=(w, bias, min_prob),
+    )
+    q.awaitTermination(600)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("subj", "pred", "obj").collect()
+    }
+
+    # batch twin: same gates, same order as the streaming curate()
+    clean = with_text(
+        latest_snapshot(spark.read.parquet(src)).where(
+            F.col("lang") == "en"
+        )
+    )
+    gated = clean.withColumn("text", scrub_expr(F.col("text")))
+    gated = c4_clean(gated, id_col="url", text_col="text")
+    gated = gopher_quality_filter(
+        gated, id_col="url", text_col="text", min_words=5
+    )
+    gated = quality_classifier_filter(
+        gated, w, bias, min_prob, id_col="url", text_col="text"
+    )
+    m = detect_mentions(gated, alias_df(spark))
+    want = {
+        tuple(r)
+        for r in mention_triples(m)
+        .unionByName(
+            extract_relations(m, predicate_df(spark))
+            .select("subj", "pred", "obj")
+            .dropDuplicates()
+        )
+        .collect()
+    }
+    assert got == want
+    ungated = {
+        tuple(r)
+        for r in _batch_triples(
+            spark, spark.read.parquet(src)
+        ).collect()
+    }
+    assert len(got) < len(ungated)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_incremental_dedup_stable_reps(spark, tmp_path):
     """Streaming near-dup dedup: pages arriving in a later micro-batch
     that duplicate committed pages adopt the committed representative
