@@ -647,6 +647,133 @@ def audio_meta(
     return df.mapInPandas(decode_batches, schema)
 
 
+def decode_wav_samples(payload: bytes | None) -> dict | None:
+    """REAL WAV sample decode — PCM needs no codec: normalize the data
+    chunk to floats in [-1, 1] (8-bit unsigned → (v-128)/128, 16/24/32
+    signed → v / 2^(bits-1), IEEE float tags pass through), interleaved
+    as written.  Structural validation is ``decode_audio``'s RIFF walk;
+    returns ``{"channels", "sample_rate", "samples": list[float]}`` or
+    None (compressed audio keeps the labeled stub).  Never raises."""
+    meta = decode_audio(payload)
+    if meta is None or meta["format"] != "wav":
+        return None
+    n = len(payload)
+    i, tag, bits, data = 12, None, None, None
+    while i + 8 <= n:
+        cid = bytes(payload[i:i + 4])
+        csize = int.from_bytes(payload[i + 4:i + 8], "little")
+        if cid == b"fmt ":
+            tag = int.from_bytes(payload[i + 8:i + 10], "little")
+            bits = int.from_bytes(payload[i + 22:i + 24], "little")
+        elif cid == b"data":
+            data = bytes(payload[i + 8:i + 8 + csize])
+        i += 8 + csize + (csize & 1)
+    if tag is None or data is None:
+        return None
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            samples = [(b - 128) / 128.0 for b in data]
+        elif bits in (16, 24, 32):
+            step, half = bits // 8, 1 << (bits - 1)
+            samples = [
+                (
+                    int.from_bytes(
+                        data[j:j + step], "little", signed=True
+                    )
+                )
+                / half
+                for j in range(0, len(data), step)
+            ]
+        else:
+            return None
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            samples = list(
+                struct.unpack(f"<{len(data) // 4}f", data)
+            )
+        elif bits == 64:
+            samples = list(
+                struct.unpack(f"<{len(data) // 8}d", data)
+            )
+        else:
+            return None
+    else:
+        return None
+    return {
+        "channels": meta["channels"],
+        "sample_rate": meta["sample_rate"],
+        "samples": samples,
+    }
+
+
+def audio_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, is_decodable, n_frames, rms, peak, zero_crossings): REAL
+    signal statistics over the decoded WAV samples (mono mix = mean
+    across channels per frame) — the audio analog of the pooled-pixel
+    image features; non-PCM payloads come back is_decodable=false with
+    NULL stats.  Arrow ``mapInPandas`` throughout, like every decoder
+    here."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("is_decodable", BooleanType()),
+            StructField("n_frames", LongType()),
+            StructField("rms", FloatType()),
+            StructField("peak", FloatType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def stats(payload: bytes) -> tuple:
+        dec = decode_wav_samples(payload)
+        if dec is None:
+            return (False, None, None, None, None)
+        ch = dec["channels"]
+        s = dec["samples"]
+        mono = [
+            sum(s[j:j + ch]) / ch for j in range(0, len(s), ch)
+        ]
+        if not mono:
+            return (True, 0, 0.0, 0.0, 0)
+        rms = (sum(v * v for v in mono) / len(mono)) ** 0.5
+        peak = max(abs(v) for v in mono)
+        zc = sum(
+            1
+            for a, b in zip(mono, mono[1:])
+            if (a < 0) != (b < 0)
+        )
+        return (True, len(mono), rms, peak, zc)
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [stats(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "is_decodable": [r[0] for r in rows],
+                    "n_frames": pd.array(
+                        [r[1] for r in rows], dtype="Int64"
+                    ),
+                    "rms": pd.array(
+                        [r[2] for r in rows], dtype="Float32"
+                    ),
+                    "peak": pd.array(
+                        [r[3] for r in rows], dtype="Float32"
+                    ),
+                    "zero_crossings": pd.array(
+                        [r[4] for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(feature_batches, schema)
+
+
 def _mp4_boxes(payload: bytes, start: int, end: int):
     """Yield (box_type, body_start, body_end) for the ISO-BMFF box
     table in payload[start:end]; raises ValueError on a malformed

@@ -41,6 +41,7 @@ def test_media_decoders_never_raise():
         decode_image,
         decode_png_pixels,
         decode_video,
+        decode_wav_samples,
     )
 
     rng = random.Random(20260818)
@@ -69,7 +70,8 @@ def test_media_decoders_never_raise():
         _tiff(9, 9), empty_mvhd_mp4, pixel_png,
     ]
     decoders = (
-        decode_image, decode_audio, decode_video, decode_png_pixels
+        decode_image, decode_audio, decode_video, decode_png_pixels,
+        decode_wav_samples,
     )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):

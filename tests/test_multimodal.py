@@ -416,10 +416,11 @@ def test_decode_image_jpeg():
 
 
 def _wav(channels=2, rate=8000, bits=16, n_samples=100, tag=1,
-         truncate=0, extra_chunk=True):
+         truncate=0, extra_chunk=True, data=None):
     import struct
 
-    data = bytes(n_samples * channels * (bits // 8))
+    if data is None:
+        data = bytes(n_samples * channels * (bits // 8))
     fmt = struct.pack(
         "<HHIIHH", tag, channels, rate,
         rate * channels * bits // 8, channels * bits // 8, bits,
@@ -463,6 +464,57 @@ def test_decode_audio_wav(spark):
     assert not rows[2]["is_decodable"] and rows[2]["format"] is None
     assert not rows[3]["is_decodable"]
     plan = audio_meta(df, id_col="doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_decode_wav_samples_and_features(spark):
+    """REAL PCM sample decode + signal statistics: a hand-built square
+    wave comes back with exactly the expected normalized samples, rms,
+    peak and zero-crossing count; float32 WAV round-trips bit-exact;
+    compressed formats stay null."""
+    import struct
+
+    from arachne_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_samples,
+    )
+
+    # mono 16-bit square wave: +16384 / -16384 alternating every frame
+    frames = [16384 if i % 2 == 0 else -16384 for i in range(50)]
+    data = b"".join(struct.pack("<h", v) for v in frames)
+    wav = _wav(1, 8000, 16, len(frames), data=data)
+    dec = decode_wav_samples(wav)
+    assert dec["channels"] == 1 and dec["sample_rate"] == 8000
+    assert dec["samples"] == [v / 32768 for v in frames]
+
+    # 8-bit unsigned: 128 is silence (0.0)
+    dec8 = decode_wav_samples(_wav(1, 8000, 8, 4, data=bytes([128, 255, 0, 128])))
+    assert dec8["samples"] == [0.0, 127 / 128, -1.0, 0.0]
+
+    # float32 passes through bit-exact
+    f32 = struct.pack("<4f", 0.5, -0.25, 1.0, 0.0)
+    assert decode_wav_samples(_wav(1, 8000, 32, 4, tag=3, data=f32))[
+        "samples"
+    ] == [0.5, -0.25, 1.0, 0.0]
+
+    assert decode_wav_samples(b"mp3 junk bytes here") is None
+    assert decode_wav_samples(None) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"ogg junk")), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in audio_features(df, id_col="doc_id").collect()}
+    sq = rows[1]
+    assert sq["is_decodable"] and sq["n_frames"] == 50
+    assert abs(sq["rms"] - 16384 / 32768) < 1e-6
+    assert abs(sq["peak"] - 16384 / 32768) < 1e-6
+    assert sq["zero_crossings"] == 49  # alternates every frame
+    assert not rows[2]["is_decodable"] and rows[2]["rms"] is None
+    assert not rows[3]["is_decodable"]
+    plan = audio_features(df, id_col="doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
 
