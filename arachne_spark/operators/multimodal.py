@@ -662,7 +662,12 @@ def decode_wav_samples(payload: bytes | None) -> dict | None:
     while i + 8 <= n:
         cid = bytes(payload[i:i + 4])
         csize = int.from_bytes(payload[i + 4:i + 8], "little")
-        if cid == b"fmt ":
+        # the fmt guard MUST mirror decode_audio's: without it, a
+        # payload carrying a second (short, invalid) fmt chunk would
+        # make this walk adopt garbage tag/bits that decode_audio
+        # skipped — and a tag/bits pair inconsistent with the data
+        # length turns struct.unpack into a raise
+        if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= n:
             tag = int.from_bytes(payload[i + 8:i + 10], "little")
             bits = int.from_bytes(payload[i + 22:i + 24], "little")
         elif cid == b"data":

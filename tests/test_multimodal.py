@@ -501,6 +501,20 @@ def test_decode_wav_samples_and_features(spark):
     assert decode_wav_samples(b"mp3 junk bytes here") is None
     assert decode_wav_samples(None) is None
 
+    # a short BOGUS fmt chunk before the valid one: the sample walk
+    # must apply the same validity guard as decode_audio and keep the
+    # valid fmt (an unguarded walk adopted the garbage tag/bits and
+    # struct.unpack raised on the inconsistent data length)
+    valid_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + (4).to_bytes(4, "little") + b"\x03\x00\x20\x00"
+            + b"fmt " + (16).to_bytes(4, "little") + valid_fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    two_fmt = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert decode_wav_samples(two_fmt)["samples"] == [
+        v / 32768 for v in frames
+    ]
+
     df = spark.createDataFrame(
         [(1, bytearray(wav)), (2, bytearray(b"ogg junk")), (3, None)],
         "doc_id bigint, payload binary",
