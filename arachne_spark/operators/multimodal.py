@@ -17,8 +17,9 @@ preservation — is real and tested:
   aspect preserved; thumbnail bytes are REAL nearest-neighbor
   resampled pixels for the codec-free pixel formats (8-bit
   non-palette PNG via ``decode_png_pixels`` — stdlib-zlib inflate +
-  per-row unfilter — and binary PPM), payload-prefix stub only for
-  entropy-coded formats;
+  per-row unfilter — binary PPM, GIF via pure-Python LZW, and
+  uncompressed baseline TIFF), payload-prefix stub only for formats
+  needing a real codec;
 * ``extract_features``  — payload → float feature vector: REAL
   grid-pooled luminance features for the pixel-decodable formats,
   deterministic hash-seeded stub otherwise; the output column shape
@@ -253,6 +254,137 @@ def _nn_resize(
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, min_code: int, npix: int) -> bytes | None:
+    """GIF-variant LZW decode (LSB-first variable-width codes, CLEAR /
+    END control codes, 12-bit ceiling) — pure algorithm, no codec
+    library.  Returns exactly ``npix`` index bytes or None."""
+    if not 2 <= min_code <= 8:
+        return None
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while len(out) < npix:
+        if bitpos + code_size > total_bits:
+            return None
+        byte_i = bitpos // 8
+        window = int.from_bytes(data[byte_i:byte_i + 4], "little")
+        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                return None
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+    return bytes(out[:npix]) if len(out) >= npix else None
+
+
+def decode_gif_pixels(payload: bytes | None) -> dict | None:
+    """REAL GIF pixel decode — LZW is pure bit-twiddling, no codec
+    library: walk to the FIRST image descriptor, choose its local or
+    the global color table, concatenate the LZW sub-blocks, decode the
+    index stream (``_lzw_decode``), undo interlacing if flagged, and
+    map indices through the palette to RGB bytes.  Frames after the
+    first (animation) are out of scope — the first frame is the
+    thumbnail/feature source.  Same return shape as
+    ``decode_png_pixels`` (channels = 3); None on anything malformed,
+    never raises."""
+    if not payload:
+        return None
+    img = decode_image(payload)
+    if img is None or img["format"] != "gif":
+        return None
+    n = len(payload)
+    flags = payload[10]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        gct = bytes(payload[13:13 + size])
+        i = 13 + size
+    while i < n:
+        b = payload[i]
+        if b == 0x21:
+            i = _skip_subblocks(payload, i + 2)
+        elif b == 0x2C:
+            # image descriptor: left, top, w, h (little-endian), flags
+            iw = int.from_bytes(payload[i + 5:i + 7], "little")
+            ih = int.from_bytes(payload[i + 7:i + 9], "little")
+            lflags = payload[i + 9]
+            j = i + 10
+            pal = gct
+            if lflags & 0x80:
+                size = 3 * (2 << (lflags & 0x07))
+                pal = bytes(payload[j:j + size])
+                j += size
+            if pal is None or iw <= 0 or ih <= 0:
+                return None
+            min_code = payload[j]
+            j += 1
+            # concatenate the LZW sub-blocks
+            data = bytearray()
+            while j < n:
+                sz = payload[j]
+                j += 1
+                if sz == 0:
+                    break
+                data.extend(payload[j:j + sz])
+                j += sz
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if idx is None or max(idx) * 3 + 2 >= len(pal):
+                return None
+            if lflags & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                deinter: list[bytes] = [b""] * ih
+                for src, dst in enumerate(order):
+                    deinter[dst] = rows[src]
+                idx = b"".join(deinter)
+            pixels = bytes(
+                v for k in idx for v in pal[3 * k:3 * k + 3]
+            )
+            return {
+                "width": iw,
+                "height": ih,
+                "channels": 3,
+                "pixels": pixels,
+            }
+        else:
+            return None
+        if i is None:
+            return None
+    return None
+
+
 # SOF markers that carry frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
 # (C4 = DHT, C8 = JPG extension, CC = DAC — no dimensions)
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
@@ -404,6 +536,99 @@ def _decode_tiff(payload: bytes) -> dict | None:
     if not w or not h or not has_data:
         return None
     return {"format": "tiff", "width": w, "height": h}
+
+
+def _tiff_values(
+    payload: bytes, endian: str, typ: int, count: int, field: bytes
+) -> list[int] | None:
+    """IFD entry values: SHORT(3)/LONG(4) arrays, inline when they fit
+    the 4-byte value field, otherwise at the offset it holds."""
+    size = 2 if typ == 3 else 4 if typ == 4 else None
+    if size is None or count == 0:
+        return None
+    if count * size <= 4:
+        raw = field
+    else:
+        off = int.from_bytes(field, endian)
+        if off + count * size > len(payload):
+            return None
+        raw = bytes(payload[off:off + count * size])
+    return [
+        int.from_bytes(raw[k * size:(k + 1) * size], endian)
+        for k in range(count)
+    ]
+
+
+def decode_tiff_pixels(payload: bytes | None) -> dict | None:
+    """REAL baseline-TIFF pixel decode — uncompressed strips need no
+    codec: both byte orders, Compression=1, 8 bits per sample,
+    Photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero) or 2 (RGB),
+    SamplesPerPixel 1 or 3; strip offsets/byte-counts read inline or
+    through their value offsets, concatenated strips must tile
+    width*height*channels exactly.  LZW/JPEG-compressed, tiled,
+    planar, and non-8-bit TIFFs return None (header metadata stays
+    real via ``_decode_tiff``).  Same return shape as
+    ``decode_png_pixels``; never raises."""
+    if not payload:
+        return None
+    meta = _decode_tiff(payload)
+    if meta is None:
+        return None
+    endian = "little" if bytes(payload[:4]) == b"II*\x00" else "big"
+    off = int.from_bytes(payload[4:8], endian)
+    cnt = int.from_bytes(payload[off:off + 2], endian)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(cnt):
+        e = off + 2 + 12 * i
+        tags[int.from_bytes(payload[e:e + 2], endian)] = (
+            int.from_bytes(payload[e + 2:e + 4], endian),
+            int.from_bytes(payload[e + 4:e + 8], endian),
+            bytes(payload[e + 8:e + 12]),
+        )
+
+    def values(tag: int) -> list[int] | None:
+        if tag not in tags:
+            return None
+        typ, count, field = tags[tag]
+        return _tiff_values(payload, endian, typ, count, field)
+
+    def scalar(tag: int, default: int | None = None) -> int | None:
+        v = values(tag)
+        return v[0] if v else default
+
+    if scalar(259, 1) != 1:  # Compression: uncompressed only
+        return None
+    photometric = scalar(262)
+    spp = scalar(277, 1)
+    bps = values(258)
+    if photometric not in (0, 1, 2) or spp not in (1, 3):
+        return None
+    if photometric == 2 and spp != 3:
+        return None
+    if bps is None or len(bps) != spp or any(b != 8 for b in bps):
+        return None
+    if 324 in tags or scalar(284, 1) != 1:  # tiled / planar: codec-ish
+        return None
+    offs, counts = values(273), values(279)
+    if offs is None or counts is None or len(offs) != len(counts):
+        return None
+    w, h = meta["width"], meta["height"]
+    n = len(payload)
+    data = bytearray()
+    for o, c in zip(offs, counts):
+        if o + c > n:
+            return None
+        data.extend(payload[o:o + c])
+    if len(data) != w * h * spp:
+        return None
+    if photometric == 0:  # WhiteIsZero: invert to BlackIsZero scale
+        data = bytearray(255 - v for v in data)
+    return {
+        "width": w,
+        "height": h,
+        "channels": spp,
+        "pixels": bytes(data),
+    }
 
 
 def decode_image(payload: bytes | None) -> dict | None:
@@ -1082,8 +1307,9 @@ def resize_meta(
     a thumbnail.  The thumbnail is REAL — nearest-neighbor resampled
     pixel bytes — wherever pixels decode codec-free: 8-bit non-palette
     PNG (``decode_png_pixels``, stdlib-zlib inflate + per-row
-    unfilter) and binary PPM (``_ppm_pixels``).  Formats that need an
-    entropy codec (JPEG/GIF/TIFF-compressed) keep the labeled
+    unfilter), binary PPM (``_ppm_pixels``) and GIF
+    (``decode_gif_pixels``, pure-Python LZW + palette).  Formats that
+    need a real entropy codec (JPEG, TIFF-compressed) keep the labeled
     payload-prefix stub; a deployment swaps in PIL there — same
     schema, same Arrow plumbing."""
     id_field = df.schema[id_col]
@@ -1117,7 +1343,12 @@ def resize_meta(
                     h = 64 + ((len(p) * 7) % 1080)
                 scale = min(1.0, max_side / max(w, h))
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
-                pix = decode_png_pixels(p) or _ppm_pixels(p)
+                pix = (
+                    decode_png_pixels(p)
+                    or _ppm_pixels(p)
+                    or decode_gif_pixels(p)
+                    or decode_tiff_pixels(p)
+                )
                 if pix is not None:  # REAL resampled pixel bytes
                     thumb = _nn_resize(
                         pix["pixels"], w, h, pix["channels"], ow, oh
@@ -1162,7 +1393,12 @@ def extract_features(
     grid = max(1, int(dim ** 0.5))
 
     def embed(payload: bytes) -> list[float]:
-        pix = decode_png_pixels(payload) or _ppm_pixels(payload)
+        pix = (
+            decode_png_pixels(payload)
+            or _ppm_pixels(payload)
+            or decode_gif_pixels(payload)
+            or decode_tiff_pixels(payload)
+        )
         if pix is not None:  # REAL grid-pooled luminance features
             w, h, ch = pix["width"], pix["height"], pix["channels"]
             data = pix["pixels"]

@@ -34,12 +34,23 @@ def _mutations(rng, seed_blob: bytes, n: int):
 
 
 def test_media_decoders_never_raise():
-    from test_multimodal import _flac, _gif, _mp4, _png_raw, _tiff, _wav
+    from test_multimodal import (
+        _flac,
+        _gif,
+        _gif_px,
+        _mp4,
+        _png_raw,
+        _tiff,
+        _tiff_px,
+        _wav,
+    )
 
     from arachne_spark.operators.multimodal import (
         decode_audio,
+        decode_gif_pixels,
         decode_image,
         decode_png_pixels,
+        decode_tiff_pixels,
         decode_video,
         decode_wav_samples,
     )
@@ -65,13 +76,24 @@ def test_media_decoders_never_raise():
     # unfilter paths of decode_png_pixels, not just the chunk walk
     pixel_png = _png_raw(6, 5, 2, lambda x, y: (x * 40, y * 50, 7))
 
+    pixel_gif = _gif_px(
+        5, 4, [(x + y) % 3 for y in range(4) for x in range(5)],
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    )
+
+    pixel_tiff = _tiff_px(
+        6, 4,
+        bytes((x + y) % 256
+              for y in range(4) for x in range(6) for _ in range(3)),
+    )
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
-        _tiff(9, 9), empty_mvhd_mp4, pixel_png,
+        _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_gif, pixel_tiff,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,
-        decode_wav_samples,
+        decode_wav_samples, decode_gif_pixels, decode_tiff_pixels,
     )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):

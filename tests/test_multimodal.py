@@ -533,6 +533,144 @@ def test_decode_wav_samples_and_features(spark):
     assert "BatchEvalPython" not in plan
 
 
+def _lzw_encode(indices, min_code):
+    """Literal-codes-only GIF LZW encoder (test side): CLEAR, then
+    every pixel as its literal code, END — tracking the decoder's
+    table growth exactly so the variable code width stays in sync.
+    Valid (just uncompressed) LZW, like the streams tiny encoders
+    emit."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits: list[tuple[int, int]] = []
+    code_size = min_code + 1
+    next_code = end + 1
+    bits.append((clear, code_size))
+    first = True
+    for k in indices:
+        bits.append((int(k), code_size))
+        if first:
+            first = False
+        else:
+            # the decoder adds one table entry per code after the
+            # first post-clear code, widening at 2^code_size
+            if next_code < 4096:
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+    bits.append((end, code_size))
+    acc = val = 0
+    out = bytearray()
+    for code, size in bits:
+        val |= code << acc
+        acc += size
+        while acc >= 8:
+            out.append(val & 0xFF)
+            val >>= 8
+            acc -= 8
+    if acc:
+        out.append(val & 0xFF)
+    return bytes(out)
+
+
+def _gif_px(w, h, indices, palette, interlace=False):
+    """Full valid GIF with REAL pixel data: global color table from
+    ``palette`` (padded to a power of two), one image descriptor,
+    LZW-encoded ``indices`` (optionally written in interlaced row
+    order)."""
+    import struct
+
+    n_pal = max(2, 1 << max(1, (len(palette) - 1).bit_length()))
+    pal = bytes(
+        v for i in range(n_pal)
+        for v in (palette[i] if i < len(palette) else (0, 0, 0))
+    )
+    gct_bits = n_pal.bit_length() - 2  # 3*(2 << bits) == 3*n_pal
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        indices = [
+            indices[r * w + c] for r in order for c in range(w)
+        ]
+    min_code = max(2, (n_pal - 1).bit_length())
+    lzw = _lzw_encode(indices, min_code)
+    blocks = b""
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a" + struct.pack("<HH", w, h)
+        + bytes([0x80 | gct_bits, 0, 0]) + pal
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0x00])
+        + bytes([min_code]) + blocks + b"\x00"
+        + b"\x3b"
+    )
+
+
+def test_decode_gif_pixels():
+    """REAL GIF pixel decode: pure-Python LZW + palette mapping.  A
+    checkerboard round-trips exactly, interlaced row order is undone,
+    and malformed streams (undersupplied LZW, palette-overflow index)
+    return None."""
+    from arachne_spark.operators.multimodal import (
+        decode_gif_pixels,
+        resize_meta,  # noqa: F401 (spark half covered elsewhere)
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = [(x + y) % 4 for y in range(6) for x in range(5)]
+    got = decode_gif_pixels(_gif_px(5, 6, idx, palette))
+    assert (got["width"], got["height"], got["channels"]) == (5, 6, 3)
+    assert got["pixels"] == bytes(
+        v for k in idx for v in palette[k]
+    )
+    # interlaced: same logical image, rows stored in pass order
+    inter = decode_gif_pixels(_gif_px(5, 6, idx, palette,
+                                      interlace=True))
+    assert inter["pixels"] == got["pixels"]
+    # a wider-palette image exercises code-width growth (min_code 5)
+    pal32 = [(i, 255 - i, i * 3 % 256) for i in range(32)]
+    idx32 = [i % 32 for i in range(31 * 9)]
+    got32 = decode_gif_pixels(_gif_px(31, 9, idx32, pal32))
+    assert got32["pixels"] == bytes(
+        v for k in idx32 for v in pal32[k]
+    )
+    # the header-only fixture's 1x1 stream still decodes
+    one = decode_gif_pixels(_gif(1, 1))
+    assert one is not None and one["pixels"] == b"\x00\x00\x00"
+    # ...but the same stream under a 3x3 header undersupplies -> None
+    assert decode_gif_pixels(_gif(3, 3)) is None
+    assert decode_gif_pixels(b"GIF89a junk") is None
+    assert decode_gif_pixels(None) is None
+
+
+def test_gif_pixels_feed_thumbs_and_features(spark):
+    """The GIF pixel path plugs into the same resize/feature chain as
+    PNG/PPM: a uniform-color GIF yields a thumbnail of exactly that
+    color and a constant pooled-luminance embedding."""
+    from arachne_spark.operators.multimodal import resize_meta
+
+    palette = [(60, 120, 180), (0, 0, 0)]
+    idx = [0] * (8 * 8)
+    gif = _gif_px(8, 8, idx, palette)
+    tiff = _tiff_px(8, 8, bytes([60, 120, 180]) * 64)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(tiff))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in
+            resize_meta(df, "doc_id", max_side=4).collect()}
+    want_thumb = bytes([60, 120, 180]) * 16
+    for d in (1, 2):
+        assert (rows[d]["width"], rows[d]["height"]) == (8, 8)
+        assert bytes(rows[d]["thumb"]) == want_thumb
+    feats = {f["doc_id"]: f for f in
+             extract_features(df, "doc_id").collect()}
+    want = (60 + 120 + 180) / 3 / 127.5 - 1.0
+    for d in (1, 2):
+        for v in feats[d]["embedding"]:
+            assert abs(v - want) < 1e-6
+
+
 def _gif(w=1, h=1):
     """Minimal valid GIF89a: 2-entry GCT, GCE extension, one 1-pixel
     image block, trailer."""
@@ -703,6 +841,99 @@ def _tiff(w=5, h=3, endian="little", typ=3, strips=True):
     ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) \
         + struct.pack(bo + "I", 0)
     return magic + struct.pack(bo + "I", 8) + ifd
+
+
+def _tiff_px(w, h, pixels, endian="little", spp=3, photometric=None,
+             n_strips=2, compression=1):
+    """Full baseline TIFF with REAL uncompressed pixel strips: 9-entry
+    IFD (dims, 8-bit samples, compression, photometric, strip
+    offsets/counts, spp, rows-per-strip), value arrays spilled past
+    the 4-byte field when needed, strip data appended last."""
+    import struct
+
+    bo = "<" if endian == "little" else ">"
+    magic = b"II*\x00" if endian == "little" else b"MM\x00*"
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    rps = max(1, (h + n_strips - 1) // n_strips)
+    row_bytes = w * spp
+    strips = [
+        bytes(pixels[r * row_bytes:min(r + rps, h) * row_bytes])
+        for r in range(0, h, rps)
+    ]
+    k = len(strips)
+    ntags = 9
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * ntags + 4
+
+    def build(strip_offsets):
+        ext = bytearray()
+
+        def entry(tag, typ, count, vals):
+            fmt = "H" if typ == 3 else "I"
+            raw = b"".join(struct.pack(bo + fmt, v) for v in vals)
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(bo + "I", ext_off + len(ext))
+                ext.extend(raw)
+            return struct.pack(bo + "HHI", tag, typ, count) + field
+
+        entries = [
+            entry(256, 3, 1, [w]),
+            entry(257, 3, 1, [h]),
+            entry(258, 3, spp, [8] * spp),
+            entry(259, 3, 1, [compression]),
+            entry(262, 3, 1, [photometric]),
+            entry(273, 4, k, strip_offsets),
+            entry(277, 3, 1, [spp]),
+            entry(278, 3, 1, [rps]),
+            entry(279, 4, k, [len(s) for s in strips]),
+        ]
+        ifd = (struct.pack(bo + "H", ntags) + b"".join(entries)
+               + struct.pack(bo + "I", 0))
+        return ifd, bytes(ext)
+
+    # two passes: ext size depends only on counts, not values
+    _, ext0 = build([0] * k)
+    data_off = ext_off + len(ext0)
+    offsets, pos = [], data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd, ext = build(offsets)
+    return (magic + struct.pack(bo + "I", ifd_off) + ifd + ext
+            + b"".join(strips))
+
+
+def test_decode_tiff_pixels():
+    """REAL uncompressed-TIFF pixel decode: both byte orders,
+    multi-strip RGB and grayscale (WhiteIsZero inverted), spilled value
+    arrays; compressed / non-8-bit payloads return None."""
+    from arachne_spark.operators.multimodal import decode_tiff_pixels
+
+    rgb = bytes((x * 7 + y * 11 + c) % 256
+                for y in range(4) for x in range(5) for c in range(3))
+    for endian in ("little", "big"):
+        got = decode_tiff_pixels(_tiff_px(5, 4, rgb, endian=endian))
+        assert (got["width"], got["height"], got["channels"]) == (5, 4, 3)
+        assert got["pixels"] == rgb
+    # single-strip grayscale, BlackIsZero
+    grey = bytes((x + y) % 256 for y in range(3) for x in range(7))
+    g = decode_tiff_pixels(_tiff_px(7, 3, grey, spp=1, n_strips=1))
+    assert g["channels"] == 1 and g["pixels"] == grey
+    # WhiteIsZero inverts
+    inv = decode_tiff_pixels(
+        _tiff_px(7, 3, grey, spp=1, photometric=0, n_strips=1)
+    )
+    assert inv["pixels"] == bytes(255 - v for v in grey)
+    # LZW-compressed declares itself out of codec-free scope
+    assert decode_tiff_pixels(
+        _tiff_px(5, 4, rgb, compression=5)
+    ) is None
+    # header-only fixture (no real strips) must not pixel-decode
+    assert decode_tiff_pixels(_tiff(5, 3)) is None
+    assert decode_tiff_pixels(None) is None
 
 
 def test_decode_image_tiff():
