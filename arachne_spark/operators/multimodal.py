@@ -15,11 +15,13 @@ preservation — is real and tested:
   checked against a byte-level DuckDB oracle (q42);
 * ``resize_meta``       — decode → target-dimension computation with
   aspect preserved; thumbnail bytes are REAL nearest-neighbor
-  resampled pixels for the codec-free pixel formats (8-bit
+  resampled pixels for every pixel-decodable format (8-bit
   non-palette PNG via ``decode_png_pixels`` — stdlib-zlib inflate +
-  per-row unfilter — binary PPM, GIF via pure-Python LZW, and
-  uncompressed baseline TIFF), payload-prefix stub only for formats
-  needing a real codec;
+  per-row unfilter — binary PPM, GIF via pure-Python LZW,
+  uncompressed baseline TIFF, and baseline JPEG via a from-spec
+  T.81 sequential-DCT decoder: Huffman entropy decode + dequantize
+  + numpy IDCT + YCbCr→RGB), payload-prefix stub only for the
+  remaining entropy-coded formats (progressive JPEG, MP3/AAC/OGG);
 * ``extract_features``  — payload → float feature vector: REAL
   grid-pooled luminance features for the pixel-decodable formats,
   deterministic hash-seeded stub otherwise; the output column shape
@@ -33,6 +35,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -487,6 +490,340 @@ def _decode_jpeg(payload: bytes) -> dict | None:
             return {"format": "jpeg", "width": w, "height": h}
         i += 2 + seg_len
     return None
+
+
+# Baseline-JPEG pixel decode (ITU-T T.81 sequential DCT, Huffman):
+# zigzag scan order, the 8x8 DCT-III basis, canonical Huffman tables
+# from the DHT BITS/HUFFVAL encoding, and an MSB-first bit reader over
+# the byte-stuffed entropy-coded segment.  Everything below is from
+# the public spec — no codec library.
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_dct_basis() -> "np.ndarray":
+    c = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+_JPEG_DCT_C = _jpeg_dct_basis()
+
+# adversarial dimension-claim bound for the full pixel decode (the
+# header-only walk above has no such bound — metadata is cheap)
+_JPEG_MAX_PIXELS = 1 << 22
+
+
+def _jpeg_huff_table(
+    bits: list[int], vals: bytes
+) -> dict[tuple[int, int], int]:
+    """(code length, code value) -> symbol, from DHT's BITS/HUFFVAL
+    canonical encoding (T.81 C.2)."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("huffman vals underrun")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first reader over an entropy-coded segment: removes 0xFF00
+    byte stuffing, pads with 1-bits at a real marker (spec-legal scan
+    tail), raises ValueError on payload underrun; restart markers are
+    consumed byte-aligned via ``align_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                raise ValueError("scan underrun")
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is None:
+                    raise ValueError("scan underrun")
+                else:
+                    b = 0xFF  # marker reached: 1-bit padding, stay put
+                    self.acc = (self.acc << 8) | b
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff_decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def align_restart(self, n: int) -> None:
+        self.acc = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (n & 7):
+            raise ValueError("missing restart marker")
+        self.pos = p + 2
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(payload: bytes | None) -> dict | None:
+    """REAL baseline-JPEG pixel decode from the public T.81 spec — no
+    codec library: the marker walk collects DQT/DHT/SOF/DRI, the scan
+    is Huffman-decoded MCU by MCU (DC prediction + AC run/size codes,
+    restart markers honored), coefficients are dequantized,
+    un-zigzagged and IDCT'd with the exact 8x8 float basis (numpy),
+    chroma planes are nearest-upsampled, and YCbCr converts to RGB by
+    the JFIF matrix.  Scope: sequential Huffman 8-bit (SOF0/SOF1), 1
+    or 3 components, sampling factors 1-4 — the overwhelming majority
+    of web JPEGs; progressive (SOF2), arithmetic, 12-bit and CMYK
+    return None and stay on the metadata-only path.  Same return
+    shape as ``decode_png_pixels``; never raises on adversarial bytes
+    (dimension claims bounded by ``_JPEG_MAX_PIXELS``).  Per-symbol
+    Python bit-reading is fine here: thumbnail-scale work inside
+    Arrow batches, same contract as the PNG unfilter loop."""
+    if not payload or len(payload) < 4:
+        return None
+    try:
+        return _jpeg_pixels(bytes(payload))
+    except (ValueError, IndexError, KeyError, struct.error,
+            OverflowError):
+        return None
+
+
+def _jpeg_pixels(p: bytes) -> dict | None:
+    if p[0] != 0xFF or p[1] != 0xD8:
+        return None
+    n = len(p)
+    i = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] | None = None
+    w = h = 0
+    dri = 0
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        marker = p[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        body = p[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                step = 128 if pq else 64
+                if pq > 1 or j + 1 + step > len(body):
+                    return None
+                if pq:
+                    tbl = [
+                        int.from_bytes(
+                            body[j + 1 + 2 * k:j + 3 + 2 * k], "big"
+                        )
+                        for k in range(64)
+                    ]
+                else:
+                    tbl = list(body[j + 1:j + 65])
+                q = np.zeros((8, 8))
+                for k in range(64):
+                    q.flat[_JPEG_ZIGZAG[k]] = tbl[k]
+                qt[tq] = q
+                j += 1 + step
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                vals = bytes(body[j + 17:j + 17 + nv])
+                if len(vals) < nv or tc > 1:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = (
+                    _jpeg_huff_table(bits, vals)
+                )
+                j += 17 + nv
+        elif marker in (0xC0, 0xC1):  # sequential Huffman frames
+            if len(body) < 6 or body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if not w or not h or w * h > _JPEG_MAX_PIXELS:
+                return None
+            if nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                hv = body[7 + 3 * c]
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    return None
+                comps.append((body[6 + 3 * c], ch, cv, body[8 + 3 * c]))
+        elif marker in _JPEG_SOF:  # progressive/arithmetic/lossless
+            return None
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                return None
+            ns = body[0] if body else 0
+            if ns != len(comps) or len(body) < 1 + 2 * ns + 3:
+                return None
+            scan = []
+            for s in range(ns):
+                cs = body[1 + 2 * s]
+                td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 15
+                idx = next(
+                    (k for k, c in enumerate(comps) if c[0] == cs),
+                    None,
+                )
+                if idx is None or td not in huff_dc or ta not in huff_ac:
+                    return None
+                scan.append((idx, huff_dc[td], huff_ac[ta]))
+            return _jpeg_scan(
+                p, i + 2 + seg_len, w, h, comps, scan, qt, dri
+            )
+        i += 2 + seg_len
+    return None
+
+
+def _jpeg_scan(p, pos, w, h, comps, scan, qt, dri):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for _, _, _, tq in comps:
+        if tq not in qt:
+            raise ValueError("missing quant table")
+    planes = [
+        np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+        for _, ch, cv, _ in comps
+    ]
+    reader = _JpegBits(p, pos)
+    preds = [0] * len(comps)
+    rst_n = 0
+    mcu_count = 0
+    zz = _JPEG_ZIGZAG
+    basis, basis_t = _JPEG_DCT_C, _JPEG_DCT_C.T
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                reader.align_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(comps)
+            for ci, dc_tbl, ac_tbl in scan:
+                _, ch, cv, tq = comps[ci]
+                q = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros((8, 8))
+                        t = reader.huff_decode(dc_tbl)
+                        if t > 11:
+                            raise ValueError("bad DC category")
+                        preds[ci] += _jpeg_extend(reader.receive(t), t)
+                        coef.flat[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff_decode(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            coef.flat[zz[k]] = _jpeg_extend(
+                                reader.receive(s), s
+                            )
+                            k += 1
+                        block = basis_t @ (coef * q) @ basis
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+    full = []
+    for ci, (_, ch, cv, _) in enumerate(comps):
+        plane = planes[ci] + 128.0
+        ys = (np.arange(h) * cv) // vmax
+        xs = (np.arange(w) * ch) // hmax
+        full.append(plane[np.ix_(ys, xs)])
+    if len(comps) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return {
+            "width": w, "height": h, "channels": 1,
+            "pixels": out.tobytes(),
+        }
+    y, cb, cr = full
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {
+        "width": w, "height": h, "channels": 3, "pixels": out.tobytes(),
+    }
 
 
 def _decode_tiff(payload: bytes) -> dict | None:
@@ -1307,9 +1644,11 @@ def resize_meta(
     a thumbnail.  The thumbnail is REAL — nearest-neighbor resampled
     pixel bytes — wherever pixels decode codec-free: 8-bit non-palette
     PNG (``decode_png_pixels``, stdlib-zlib inflate + per-row
-    unfilter), binary PPM (``_ppm_pixels``) and GIF
-    (``decode_gif_pixels``, pure-Python LZW + palette).  Formats that
-    need a real entropy codec (JPEG, TIFF-compressed) keep the labeled
+    unfilter), binary PPM (``_ppm_pixels``), GIF
+    (``decode_gif_pixels``, pure-Python LZW + palette), uncompressed
+    TIFF and baseline JPEG (``decode_jpeg_pixels``, from-spec T.81
+    Huffman + IDCT).  Formats still needing a library codec
+    (progressive JPEG, LZW/JPEG-compressed TIFF) keep the labeled
     payload-prefix stub; a deployment swaps in PIL there — same
     schema, same Arrow plumbing."""
     id_field = df.schema[id_col]
@@ -1348,6 +1687,7 @@ def resize_meta(
                     or _ppm_pixels(p)
                     or decode_gif_pixels(p)
                     or decode_tiff_pixels(p)
+                    or decode_jpeg_pixels(p)
                 )
                 if pix is not None:  # REAL resampled pixel bytes
                     thumb = _nn_resize(
@@ -1375,7 +1715,8 @@ def extract_features(
     """(id, embedding array<float>): payload → feature vector.  REAL
     pooled-pixel features wherever pixels decode codec-free (8-bit
     non-palette PNG via ``decode_png_pixels``, binary PPM via
-    ``_ppm_pixels``): the image is divided into a √dim x √dim grid and
+    ``_ppm_pixels``, GIF, uncompressed TIFF, and baseline JPEG via
+    ``decode_jpeg_pixels``): the image is divided into a √dim x √dim grid and
     each cell's mean luminance (channel average) is scaled to [-1, 1)
     — a classic tiny-gist descriptor, deterministic, no model weights.
     Entropy-coded formats and non-image payloads fall back to the
@@ -1398,6 +1739,7 @@ def extract_features(
             or _ppm_pixels(payload)
             or decode_gif_pixels(payload)
             or decode_tiff_pixels(payload)
+            or decode_jpeg_pixels(payload)
         )
         if pix is not None:  # REAL grid-pooled luminance features
             w, h, ch = pix["width"], pix["height"], pix["channels"]

@@ -38,6 +38,7 @@ def test_media_decoders_never_raise():
         _flac,
         _gif,
         _gif_px,
+        _jpeg_enc,
         _mp4,
         _png_raw,
         _tiff,
@@ -49,6 +50,7 @@ def test_media_decoders_never_raise():
         decode_audio,
         decode_gif_pixels,
         decode_image,
+        decode_jpeg_pixels,
         decode_png_pixels,
         decode_tiff_pixels,
         decode_video,
@@ -87,13 +89,23 @@ def test_media_decoders_never_raise():
               for y in range(4) for x in range(6) for _ in range(3)),
     )
 
+    # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
+    # MCU walk of decode_jpeg_pixels, not just the marker walk
+    pixel_jpeg = _jpeg_enc(
+        bytes((x * 13 + y * 7) % 256
+              for y in range(10) for x in range(9) for _ in range(3)),
+        9, 10, 3, subsample=True, dri=1,
+    )
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_gif, pixel_tiff,
+        pixel_jpeg,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,
         decode_wav_samples, decode_gif_pixels, decode_tiff_pixels,
+        decode_jpeg_pixels,
     )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):

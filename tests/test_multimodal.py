@@ -415,6 +415,285 @@ def test_decode_image_jpeg():
     assert decode_image(b"\xff\xd8not really a jpeg body") is None
 
 
+def _jpeg_canonical_table(symbols):
+    """All symbols at one code length L with 2^L > len(symbols): a
+    valid canonical JPEG table (the all-ones code stays unused)."""
+    syms = sorted(symbols)
+    length = 1
+    while (1 << length) <= len(syms):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, bytes(syms)
+
+
+def _jpeg_enc(pixels, w, h, channels, subsample=False, dri=0):
+    """Independent baseline-JPEG test ENCODER (quant tables all 1s so
+    the DCT roundtrip error is rounding-bounded; flat canonical
+    Huffman tables built from the emitted symbols — which also
+    exercises the decoder's generic DHT table builder, not just the
+    Annex-K shapes).  Optional 4:2:0 subsampling and restart
+    intervals.  Deliberately a different construction from the
+    decoder: forward DCT vs inverse, symbol-collection tables vs
+    generic canonical decode."""
+    import numpy as np
+
+    from arachne_spark.operators.multimodal import _JPEG_DCT_C, _JPEG_ZIGZAG
+
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
+    arr = arr.reshape(h, w, channels)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        planes = [arr[..., 0]]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    blocks = []
+    for pi, plane in enumerate(planes):
+        ch, cv = samp[pi]
+        if (ch, cv) != (hmax, vmax):  # average-pool by the ratio
+            fy, fx = vmax // cv, hmax // ch
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        zigs = np.zeros((th // 8, tw // 8, 64), dtype=np.int64)
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = _JPEG_DCT_C @ blk @ _JPEG_DCT_C.T
+                zigs[by, bx] = np.round(
+                    coef.flat[list(_JPEG_ZIGZAG)]
+                ).astype(np.int64)
+        blocks.append(zigs)
+
+    def category(v):
+        t, a = 0, abs(int(v))
+        while a:
+            t, a = t + 1, a >> 1
+        return t
+
+    nt = 1 if channels == 1 else 2
+    dc_syms = [set() for _ in range(nt)]
+    ac_syms = [set() for _ in range(nt)]
+    stream = []  # ("RST", n) | (tid, is_dc, symbol, value)
+    preds = [0] * len(planes)
+    mcu_count, n_rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                stream.append(("RST", n_rst & 7, None, None))
+                n_rst += 1
+                preds = [0] * len(planes)
+            for pi in range(len(planes)):
+                tid = 0 if pi == 0 else 1
+                ch, cv = samp[pi]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zig = blocks[pi][my * cv + by, mx * ch + bx]
+                        diff = int(zig[0]) - preds[pi]
+                        preds[pi] = int(zig[0])
+                        t = category(diff)
+                        dc_syms[tid].add(t)
+                        stream.append((tid, True, t, diff))
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zig[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ac_syms[tid].add(0xF0)
+                                stream.append((tid, False, 0xF0, 0))
+                                run -= 16
+                            rs = (run << 4) | category(v)
+                            ac_syms[tid].add(rs)
+                            stream.append((tid, False, rs, v))
+                            run = 0
+                        if run:
+                            ac_syms[tid].add(0x00)
+                            stream.append((tid, False, 0x00, 0))
+            mcu_count += 1
+    dc_tables = [_jpeg_canonical_table(s or {0}) for s in dc_syms]
+    ac_tables = [_jpeg_canonical_table(s or {0}) for s in ac_syms]
+
+    def enc_map(bits, vals):
+        table, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    dc_enc = [enc_map(*t) for t in dc_tables]
+    ac_enc = [enc_map(*t) for t in ac_tables]
+    body = bytearray()
+    acc = [0, 0]  # bit accumulator, count
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((code >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                body.append(acc[0])
+                if acc[0] == 0xFF:
+                    body.append(0x00)
+                acc[0] = acc[1] = 0
+
+    def flush():
+        while acc[1]:
+            put(1, 1)
+
+    for item in stream:
+        if item[0] == "RST":
+            flush()
+            body.extend((0xFF, 0xD0 + item[1]))
+            continue
+        tid, is_dc, sym, v = item
+        code, length = (dc_enc if is_dc else ac_enc)[tid][sym]
+        put(code, length)
+        t = sym if is_dc else sym & 15
+        if t:
+            if v < 0:
+                v += (1 << t) - 1
+            put(v, t)
+    flush()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nc])
+    for pi in range(nc):
+        sof += bytes([pi + 1, (samp[pi][0] << 4) | samp[pi][1], 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    for tc, tables in ((0, dc_tables), (1, ac_tables)):
+        for th_id, (bits, vals) in enumerate(tables):
+            seg = bytes([(tc << 4) | th_id]) + bytes(bits) + vals
+            out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+    if dri:
+        out += b"\xff\xdd\x00\x04" + dri.to_bytes(2, "big")
+    sos = bytes([nc])
+    for pi in range(nc):
+        tid = 0 if pi == 0 else 1
+        sos += bytes([pi + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_pixels():
+    """REAL baseline-JPEG pixel decode: encode→decode roundtrip error
+    is rounding-bounded with all-ones quant tables (forward DCT in
+    the test encoder, inverse in the decoder — independent
+    constructions), across grey, 4:4:4 RGB, 4:2:0 subsampled with
+    non-MCU-aligned dims, and restart intervals."""
+    import numpy as np
+
+    from arachne_spark.operators.multimodal import decode_jpeg_pixels
+
+    # solid grey 8x8: DC-only block decodes exactly
+    enc = _jpeg_enc(bytes([137] * 64), 8, 8, 1)
+    dec = decode_jpeg_pixels(enc)
+    assert (dec["width"], dec["height"], dec["channels"]) == (8, 8, 1)
+    assert set(dec["pixels"]) == {137}
+    # decode_image header walk agrees on the same payload
+    assert decode_image(enc) == {"format": "jpeg", "width": 8, "height": 8}
+
+    rng = np.random.RandomState(7)
+    # random RGB, 4:4:4, dims not a multiple of 8
+    w, h = 21, 14
+    pix = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg_pixels(_jpeg_enc(pix.tobytes(), w, h, 3))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+    got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - pix.astype(int)).max() <= 3
+
+    # 4:2:0 with constant chroma (grey content as RGB): subsampling is
+    # lossless there, so the full roundtrip stays rounding-bounded
+    w, h = 20, 12
+    g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    pix = np.stack([g, g, g], axis=-1)
+    dec = decode_jpeg_pixels(
+        _jpeg_enc(pix.tobytes(), w, h, 3, subsample=True)
+    )
+    got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - pix.astype(int)).max() <= 3
+
+    # restart intervals: RST markers present and honored
+    w, h = 32, 8
+    grey = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    enc = _jpeg_enc(grey.tobytes(), w, h, 1, dri=2)
+    assert b"\xff\xd0" in enc
+    dec = decode_jpeg_pixels(enc)
+    got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w)
+    assert np.abs(got.astype(int) - grey.astype(int)).max() <= 3
+
+    # out-of-scope / malformed: None, never a raise
+    assert decode_jpeg_pixels(None) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_pixels(_jpeg(16, 16)) is None  # header-only
+    prog = bytearray(enc)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive SOF
+    assert decode_jpeg_pixels(bytes(prog)) is None
+    assert decode_jpeg_pixels(enc[: len(enc) * 2 // 3]) is None  # cut scan
+    huge = bytearray(enc)
+    i = huge.find(b"\xff\xc0")
+    huge[i + 5:i + 9] = (30000).to_bytes(2, "big") * 2  # 9e8 pixels
+    assert decode_jpeg_pixels(bytes(huge)) is None
+
+
+def test_jpeg_pixels_feed_thumbs_and_features(spark):
+    """Baseline-JPEG payloads leave the stub path end-to-end: the
+    resize_meta thumbnail is the NN-resample of the REAL decoded
+    pixels, and extract_features pools real luminance."""
+    import numpy as np
+
+    from arachne_spark.operators.multimodal import (
+        _nn_resize,
+        decode_jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(11)
+    pix = rng.randint(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    enc = _jpeg_enc(pix.tobytes(), 16, 12, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(enc))], "doc_id long, payload binary"
+    )
+    (row,) = resize_meta(df, "doc_id", max_side=8).collect()
+    assert (row["width"], row["height"]) == (16, 12)
+    assert (row["out_width"], row["out_height"]) == (8, 6)
+    dec = decode_jpeg_pixels(enc)
+    assert bytes(row["thumb"]) == _nn_resize(
+        dec["pixels"], 16, 12, 3, 8, 6
+    )
+    # uniform grey jpeg: every pooled feature is the real luminance
+    grey = _jpeg_enc(bytes([100] * 256), 16, 16, 1)
+    gdf = spark.createDataFrame(
+        [(2, bytearray(grey))], "doc_id long, payload binary"
+    )
+    (frow,) = extract_features(gdf, "doc_id").collect()
+    assert len(frow["embedding"]) == 64
+    for v in frow["embedding"]:
+        assert abs(v - (100 / 127.5 - 1.0)) < 2 / 127.5
+
+
 def _wav(channels=2, rate=8000, bits=16, n_samples=100, tag=1,
          truncate=0, extra_chunk=True, data=None):
     import struct
