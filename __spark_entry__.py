@@ -915,17 +915,136 @@ def _png_oracle_rows() -> str:
     return ", ".join(rows)
 
 
+def _jpeg_block_val(i: int, bx: int, by: int) -> int:
+    """The q45 JPEG fixture's pixel spec: every 8x8 block of image i
+    is the solid grey value below — shared by the fixture encoder and
+    the oracle twin, which never parses JPEG."""
+    return (i * 37 + bx * 11 + by * 23) % 256
+
+
+def _jpeg_fixture() -> list[tuple[int, bytes, int, int]]:
+    """Deterministic valid baseline-JPEG payloads (grayscale,
+    block-constant): with all-ones quant tables a solid 8x8 block has
+    the single exact integer coefficient DC = 8*(v-128), so the
+    encoder needs no DCT at all (analytic — a THIRD construction,
+    independent of both ``multimodal.decode_jpeg_pixels`` and the
+    test-side forward-DCT encoder) and the decode roundtrip is
+    bit-exact: float IDCT of a DC-only block is the constant DC/8.
+    The scan still exercises the full real path — marker walk, DHT
+    canonical table build, Huffman decode, DC prediction across
+    blocks, EOB, byte stuffing, IDCT, crop of non-MCU-aligned dims.
+    24 images, ids 2_000_000+i."""
+    out = []
+    for i in range(24):
+        nx, ny = i % 4 + 1, i % 3 + 1
+        w, h = 8 * nx - i % 5, 8 * ny - i % 3  # non-aligned crops
+        # symbol stream: per block, DC category+diff then EOB
+        pred = 0
+        stream = []  # (category, diff)
+        cats = set()
+        for by in range(ny):
+            for bx in range(nx):
+                dc = 8 * (_jpeg_block_val(i, bx, by) - 128)
+                diff = dc - pred
+                pred = dc
+                t, a = 0, abs(diff)
+                while a:
+                    t, a = t + 1, a >> 1
+                cats.add(t)
+                stream.append((t, diff))
+        # flat canonical Huffman tables (all-ones code unused)
+        def table(symbols):
+            syms = sorted(symbols)
+            length = 1
+            while (1 << length) <= len(syms):
+                length += 1
+            bits = [0] * 16
+            bits[length - 1] = len(syms)
+            return bits, bytes(syms), length
+        dc_bits, dc_vals, dc_len = table(cats)
+        ac_bits, ac_vals, ac_len = table({0x00})  # EOB only
+        body = bytearray()
+        acc = [0, 0]
+
+        def put(code, length):
+            for k in range(length - 1, -1, -1):
+                acc[0] = (acc[0] << 1) | ((code >> k) & 1)
+                acc[1] += 1
+                if acc[1] == 8:
+                    body.append(acc[0])
+                    if acc[0] == 0xFF:
+                        body.append(0x00)
+                    acc[0] = acc[1] = 0
+
+        dc_code = {v: (idx, dc_len) for idx, v in enumerate(dc_vals)}
+        for t, diff in stream:
+            code, length = dc_code[t]
+            put(code, length)
+            if t:
+                v = diff if diff >= 0 else diff + (1 << t) - 1
+                put(v, t)
+            put(0, ac_len)  # EOB
+        while acc[1]:
+            put(1, 1)
+        jpg = bytearray(b"\xff\xd8")
+        jpg += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(
+            [1] * 64
+        )
+        sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+        jpg += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+        for tc, (bits, vals) in ((0, (dc_bits, dc_vals)),
+                                 (1, (ac_bits, ac_vals))):
+            seg = bytes([tc << 4]) + bytes(bits) + vals
+            jpg += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+        jpg += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
+            [1, 1, 0x00, 0, 63, 0]
+        )
+        jpg += body + b"\xff\xd9"
+        out.append((2_000_000 + i, bytes(jpg), w, h))
+    return out
+
+
+def _jpeg_oracle_rows() -> str:
+    """SQL VALUES literals for the JPEG third of q45's oracle:
+    expected dims, resize targets, and the md5 of the TRUE
+    nearest-neighbor thumbnail of the decoded pixels, recomputed
+    independently from the block spec (``_jpeg_block_val`` directly —
+    the oracle never parses JPEG, never Huffman-decodes, never runs
+    an IDCT; block-constant DC-only blocks make the real decode
+    bit-exact, see ``_jpeg_fixture``)."""
+    import hashlib
+
+    rows = []
+    for i in range(24):
+        img_id = 2_000_000 + i
+        nx, ny = i % 4 + 1, i % 3 + 1
+        w, h = 8 * nx - i % 5, 8 * ny - i % 3
+        scale = min(1.0, 16.0 / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        thumb = bytes(
+            _jpeg_block_val(i, (ox * w // ow) // 8, (oy * h // oh) // 8)
+            for oy in range(oh)
+            for ox in range(ow)
+        )
+        th = hashlib.md5(thumb).hexdigest()
+        rows.append(f"({img_id}, {w}, {h}, {ow}, {oh}, '{th}')")
+    return ", ".join(rows)
+
+
 def q45_resize_ppm(spark, sf_dir):
     """Aspect-preserving resize planning over REAL decoded images:
-    valid binary-PPM (P6) payloads are constructed from part keys and
-    valid PNG payloads (CRC-correct IHDR) from ``_png_fixture``;
-    ``resize_meta`` parses the actual headers for the true dimensions
-    (operators/multimodal.py::decode_image / _decode_png) — the decode
-    step is real for both formats.  The oracle rebuilds the PPM
-    payloads in SQL and carries the PNG expectations as spec-derived
-    literal rows (dims + resize targets + thumbnail-prefix hash
-    recomputed independently from the fixture spec, the q46-style
-    spec-oracle pattern)."""
+    valid binary-PPM (P6) payloads are constructed from part keys,
+    valid PNG payloads (CRC-correct IHDR) from ``_png_fixture``, and
+    valid baseline-JPEG payloads (real Huffman scan) from
+    ``_jpeg_fixture``; ``resize_meta`` parses the actual bytes — the
+    decode step is real for all three formats, and the thumbnails are
+    TRUE resampled pixels (PNG via zlib inflate + unfilter, JPEG via
+    the T.81 Huffman + IDCT decoder).  The oracle rebuilds the PPM
+    payloads in SQL and carries the PNG and JPEG expectations as
+    spec-derived literal rows (dims + resize targets + thumbnail
+    hash recomputed independently from the fixture specs, the
+    q46-style spec-oracle pattern)."""
     from arachne_spark.operators.multimodal import resize_meta
 
     part = _t(spark, sf_dir, "part")
@@ -948,8 +1067,14 @@ def q45_resize_ppm(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _, _ in _png_fixture()],
         "img_id long, payload binary",
     )
-    rm = resize_meta(payload.unionByName(pngs), id_col="img_id",
-                     max_side=16)
+    jpegs = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in _jpeg_fixture()],
+        "img_id long, payload binary",
+    )
+    rm = resize_meta(
+        payload.unionByName(pngs).unionByName(jpegs),
+        id_col="img_id", max_side=16,
+    )
     return rm.select(
         "img_id", "width", "height", "out_width", "out_height",
         F.md5(F.col("thumb")).alias("thumb_hash"),
@@ -1685,7 +1810,17 @@ def oracle_sql() -> dict[str, str]:
           from (values {png_rows})
                v(img_id, width, height, out_width, out_height,
                  thumb_hash)
-        """.format(png_rows=_png_oracle_rows()),
+          union all
+          -- block-constant baseline JPEGs decode bit-exactly (DC-only
+          -- blocks), so the spec twin carries the TRUE thumbnail md5
+          select cast(img_id as bigint), cast(width as int),
+                 cast(height as int), cast(out_width as int),
+                 cast(out_height as int), thumb_hash
+          from (values {jpeg_rows})
+               j(img_id, width, height, out_width, out_height,
+                 thumb_hash)
+        """.format(png_rows=_png_oracle_rows(),
+                   jpeg_rows=_jpeg_oracle_rows()),
         "q46_payload_features": """
           with m as (
             select doc_id,

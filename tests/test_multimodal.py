@@ -659,6 +659,35 @@ def test_decode_jpeg_pixels():
     assert decode_jpeg_pixels(bytes(huge)) is None
 
 
+def test_jpeg_fixture_decodes_bit_exact():
+    """The q45 JPEG fixture's block-constant payloads decode to the
+    block spec EXACTLY (DC-only blocks; float IDCT of a DC-only block
+    is the constant DC/8) — the invariant the spec-oracle VALUES rows
+    rely on."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __spark_entry__ import _jpeg_block_val, _jpeg_fixture
+
+    from arachne_spark.operators.multimodal import decode_jpeg_pixels
+
+    fixture = _jpeg_fixture()
+    assert len(fixture) == 24
+    for img_id, payload, w, h in fixture:
+        d = decode_jpeg_pixels(payload)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        i = img_id - 2_000_000
+        assert d["pixels"] == bytes(
+            _jpeg_block_val(i, x // 8, y // 8)
+            for y in range(h) for x in range(w)
+        )
+        # header walk agrees
+        assert decode_image(payload) == {
+            "format": "jpeg", "width": w, "height": h
+        }
+
+
 def test_jpeg_pixels_feed_thumbs_and_features(spark):
     """Baseline-JPEG payloads leave the stub path end-to-end: the
     resize_meta thumbnail is the NN-resample of the REAL decoded
