@@ -1374,6 +1374,118 @@ def _mp4_boxes(payload: bytes, start: int, end: int):
         raise ValueError("box table does not tile the range")
 
 
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the RIFF chunk table
+    in payload[start:end] (u32 little-endian sizes, bodies padded to
+    even offsets); raises ValueError when a chunk overruns the range
+    or the table does not tile it — same structural contract as
+    ``_mp4_boxes``."""
+    i = start
+    while i < end:
+        if i + 8 > end:
+            raise ValueError("truncated RIFF chunk header")
+        fourcc = bytes(payload[i:i + 4])
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = i + 8
+        if body + size > end:
+            raise ValueError("RIFF chunk overruns enclosing range")
+        yield fourcc, body, body + size
+        i = body + size + (size & 1)  # bodies pad to even
+    if i != end and i != end + 1:  # final pad byte may exceed `end`
+        raise ValueError("RIFF table does not tile the range")
+
+
+def _avi_scan(payload: bytes) -> tuple[dict, list[bytes]] | None:
+    """RIFF-AVI container walk: returns (meta, ordered video-frame
+    chunk bodies) or None.  The ``hdrl`` LIST must hold a valid
+    ``avih`` main header (frame timing, stream count, dimensions) and
+    the video ``strh`` supplies the handler fourcc (e.g. ``MJPG`` —
+    whose frames are baseline JPEGs that ``decode_jpeg_pixels``
+    decodes for real); frames are the ``##dc``/``##db`` chunks of the
+    ``movi`` LIST, including inside ``rec `` groups.  Raises
+    ValueError on structural violations (caller converts to None)."""
+    n = len(payload)
+    if n < 12 or bytes(payload[:4]) != b"RIFF":
+        return None
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if bytes(payload[8:12]) != b"AVI " or 8 + riff_size > n + 1:
+        return None
+    end = min(n, 8 + riff_size)
+    meta = {
+        "us_per_frame": None, "total_frames": None, "n_streams": None,
+        "width": None, "height": None, "handler": None,
+    }
+    frames: list[bytes] = []
+
+    def is_video_frame(fourcc: bytes) -> bool:
+        return (
+            len(fourcc) == 4
+            and fourcc[:2].isdigit()
+            and fourcc[2:] in (b"dc", b"db")
+        )
+
+    for fourcc, body, bend in _riff_chunks(payload, 12, end):
+        if fourcc != b"LIST" or bend - body < 4:
+            continue
+        ltype = bytes(payload[body:body + 4])
+        if ltype == b"hdrl":
+            for cf, cb, ce in _riff_chunks(payload, body + 4, bend):
+                if cf == b"avih":
+                    if ce - cb < 40:
+                        raise ValueError("short avih")
+                    u32 = lambda o: int.from_bytes(  # noqa: E731
+                        payload[cb + o:cb + o + 4], "little"
+                    )
+                    meta.update(
+                        us_per_frame=u32(0), total_frames=u32(16),
+                        n_streams=u32(24), width=u32(32),
+                        height=u32(36),
+                    )
+                elif cf == b"LIST" and ce - cb >= 4 and bytes(
+                    payload[cb:cb + 4]
+                ) == b"strl":
+                    for sf, sb, se in _riff_chunks(
+                        payload, cb + 4, ce
+                    ):
+                        if sf == b"strh" and se - sb >= 8 and bytes(
+                            payload[sb:sb + 4]
+                        ) == b"vids":
+                            raw = bytes(payload[sb + 4:sb + 8])
+                            if raw.isascii():
+                                meta["handler"] = (
+                                    raw.decode("ascii").strip() or None
+                                )
+        elif ltype == b"movi":
+            for cf, cb, ce in _riff_chunks(payload, body + 4, bend):
+                if is_video_frame(cf):
+                    frames.append(bytes(payload[cb:ce]))
+                elif cf == b"LIST" and ce - cb >= 4 and bytes(
+                    payload[cb:cb + 4]
+                ) == b"rec ":
+                    for rf, rb, re_ in _riff_chunks(
+                        payload, cb + 4, ce
+                    ):
+                        if is_video_frame(rf):
+                            frames.append(bytes(payload[rb:re_]))
+    if meta["us_per_frame"] is None or not meta["us_per_frame"]:
+        return None
+    if not meta["width"] or not meta["height"]:
+        return None
+    return meta, frames
+
+
+def _avi_video_frames(payload: bytes | None) -> list[bytes] | None:
+    """Ordered real video-frame chunks of an AVI payload, or None for
+    non-AVI/malformed payloads; never raises."""
+    if not payload:
+        return None
+    try:
+        scanned = _avi_scan(bytes(payload))
+    except (ValueError, IndexError, struct.error):
+        return None
+    return scanned[1] if scanned else None
+
+
 def decode_video(payload: bytes | None) -> dict | None:
     """REAL pure-Python video container decoder for MP4 (ISO base
     media file format): walk the top-level box table (every declared
@@ -1383,12 +1495,36 @@ def decode_video(payload: bytes | None) -> dict | None:
     (version 0 or 1, nonzero timescale), and an ``mdat``; read track
     count and the presentation (width, height) from the first ``tkhd``
     with nonzero dimensions (16.16 fixed point, rounded to int).
+    Also decodes RIFF-AVI containers (``_avi_scan``): the ``avih``
+    main header yields frame timing, stream count and dimensions, the
+    video ``strh`` the handler fourcc, reported with ``timescale`` =
+    1e6 (microsecond units) so ``duration_ms`` = µs/frame × frames.
     Returns ``{"format", "major_brand", "timescale", "duration_ms",
-    "n_tracks", "width", "height"}`` or None.  Frame/pixel decoding
-    stays behind the labeled stubs (``frame_sample`` models the
-    fan-out shape) — no codec libraries in this container — but the
-    container-structure contract is exercised for real here."""
+    "n_tracks", "width", "height"}`` or None.  For MJPEG AVIs the
+    frames themselves decode for real too (``frame_sample`` emits the
+    actual ``movi`` frame chunks, each a baseline JPEG that
+    ``decode_jpeg_pixels`` handles); other codecs keep the labeled
+    stub fan-out — but the container-structure contract is exercised
+    for real in both containers."""
     n = len(payload) if payload else 0
+    if n >= 12 and bytes(payload[:4]) == b"RIFF":
+        try:
+            scanned = _avi_scan(bytes(payload))
+        except (ValueError, IndexError, struct.error):
+            return None
+        if scanned is None:
+            return None
+        meta, _ = scanned
+        return {
+            "format": "avi",
+            "major_brand": meta["handler"],
+            "timescale": 1_000_000,
+            "duration_ms": meta["us_per_frame"]
+            * (meta["total_frames"] or 0) // 1000,
+            "n_tracks": meta["n_streams"] or 0,
+            "width": meta["width"],
+            "height": meta["height"],
+        }
     if n < 16 or bytes(payload[4:8]) != b"ftyp":
         return None
     brand = None
@@ -1593,12 +1729,16 @@ def frame_sample(
     every_n: int = 4,
     stride: int = FRAME_STRIDE,
 ) -> DataFrame:
-    """(id, frame_idx, frame_bytes): every ``every_n``-th fixed-stride
-    chunk of the payload — the fan-out shape of real video frame
-    sampling (one input row → many output rows), with the codec
-    replaced by deterministic byte slicing.  A real deployment swaps
-    the slicer for ffmpeg keyframe extraction; schema, batch iterator,
-    and row fan-out are identical."""
+    """(id, frame_idx, frame_bytes): every ``every_n``-th frame of the
+    payload (one input row → many output rows).  REAL for AVI
+    containers: the frames are the actual ``movi`` video chunks from
+    the RIFF walk (``_avi_video_frames``) — for MJPEG AVIs each one
+    is a baseline JPEG that ``decode_jpeg_pixels`` then decodes to
+    pixels, so video → frames → thumbnails/features runs end-to-end
+    with no codec library.  Non-AVI payloads keep the labeled
+    deterministic byte-slicing stub (fixed ``stride`` chunks); a
+    deployment swaps that for ffmpeg keyframe extraction — schema,
+    batch iterator, and row fan-out are identical."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -1615,6 +1755,13 @@ def frame_sample(
             ids, idxs, frames = [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
+                    continue
+                real = _avi_video_frames(payload)
+                if real is not None:  # REAL container frames
+                    for f in range(0, len(real), every_n):
+                        ids.append(i)
+                        idxs.append(f)
+                        frames.append(real[f])
                     continue
                 n_frames = len(payload) // stride
                 for f in range(0, n_frames, every_n):

@@ -35,6 +35,7 @@ def _mutations(rng, seed_blob: bytes, n: int):
 
 def test_media_decoders_never_raise():
     from test_multimodal import (
+        _avi,
         _flac,
         _gif,
         _gif_px,
@@ -97,10 +98,17 @@ def test_media_decoders_never_raise():
         9, 10, 3, subsample=True, dri=1,
     )
 
+    # MJPEG-AVI seed: mutations hit the RIFF walk + real frame
+    # extraction of _avi_scan through decode_video
+    mjpeg_avi = _avi(
+        [_jpeg_enc(bytes([g] * 64), 8, 8, 1) for g in (30, 90)],
+        w=8, h=8, rec_group=True,
+    )
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_gif, pixel_tiff,
-        pixel_jpeg,
+        pixel_jpeg, mjpeg_avi,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

@@ -1088,6 +1088,95 @@ def test_decode_video_mp4(spark):
     assert "BatchEvalPython" not in plan
 
 
+def _riff(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+
+def _avi(frames, w=16, h=12, us_per_frame=40000, handler=b"MJPG",
+         rec_group=False, n_streams=1):
+    """Minimal valid RIFF-AVI: hdrl LIST (avih MainAVIHeader + strl
+    with a 'vids' strh) + movi LIST holding one '00dc' chunk per
+    frame (optionally the tail frames inside a 'rec ' group)."""
+    avih = (
+        us_per_frame.to_bytes(4, "little") + bytes(12)
+        + len(frames).to_bytes(4, "little") + bytes(4)
+        + n_streams.to_bytes(4, "little") + bytes(4)
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little") + bytes(16)
+    )
+    strh = b"vids" + handler + bytes(48)
+    hdrl = _riff(
+        b"LIST",
+        b"hdrl" + _riff(b"avih", avih)
+        + _riff(b"LIST", b"strl" + _riff(b"strh", strh)),
+    )
+    chunks = [_riff(b"00dc", bytes(f)) for f in frames]
+    if rec_group and len(chunks) > 1:
+        head, tail = chunks[0], b"".join(chunks[1:])
+        movi_body = head + _riff(b"LIST", b"rec " + tail)
+    else:
+        movi_body = b"".join(chunks)
+    movi = _riff(b"LIST", b"movi" + movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_video_avi():
+    """RIFF-AVI container decode is REAL: avih supplies frame timing,
+    stream count and dimensions; the video strh supplies the handler;
+    malformed structures return None, never raise."""
+    from arachne_spark.operators.multimodal import decode_video
+
+    avi = _avi([b"x" * 10, b"y" * 11, b"z" * 9], w=320, h=240,
+               us_per_frame=33333)
+    meta = decode_video(avi)
+    assert meta == {
+        "format": "avi", "major_brand": "MJPG",
+        "timescale": 1_000_000, "duration_ms": 33333 * 3 // 1000,
+        "n_tracks": 1, "width": 320, "height": 240,
+    }
+    # WAVE is RIFF but not AVI; truncated and overrunning chunks fail
+    assert decode_video(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE") \
+        is None
+    assert decode_video(avi[:30]) is None
+    assert decode_video(_avi([], us_per_frame=0)) is None
+    bad = bytearray(avi)
+    bad[4:8] = (2**31).to_bytes(4, "little")  # RIFF size overrun
+    assert decode_video(bytes(bad)) is None
+
+
+def test_frame_sample_avi_real_frames(spark):
+    """For AVI payloads frame_sample emits the ACTUAL movi frame
+    chunks — and MJPEG frames then pixel-decode for real: video →
+    frames → pixels with no codec library.  Non-AVI payloads keep the
+    stride-slicing stub shape."""
+    import numpy as np
+
+    from arachne_spark.operators.multimodal import decode_jpeg_pixels
+
+    greys = [60, 130, 200, 255]
+    jpegs = [_jpeg_enc(bytes([g] * 64), 8, 8, 1) for g in greys]
+    avi = _avi(jpegs, w=8, h=8, rec_group=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"k" * 64))],
+        "vid_id long, payload binary",
+    )
+    rows = frame_sample(df, "vid_id", every_n=2, stride=16).collect()
+    real = sorted(
+        (r["frame_idx"], bytes(r["frame_bytes"]))
+        for r in rows if r["vid_id"] == 1
+    )
+    assert real == [(0, jpegs[0]), (2, jpegs[2])]
+    # the extracted frame decodes to the exact source pixels
+    dec = decode_jpeg_pixels(real[1][1])
+    assert np.frombuffer(dec["pixels"], dtype=np.uint8).tolist() \
+        == [200] * 64
+    # stub path unchanged for non-AVI payloads: 64/16 = 4 chunks, step 2
+    stub = [r for r in rows if r["vid_id"] == 2]
+    assert sorted(r["frame_idx"] for r in stub) == [0, 2]
+    assert all(bytes(r["frame_bytes"]) == b"k" * 16 for r in stub)
+
+
 def _flac(rate=44100, channels=2, bits=16, total=44100, extra_block=True):
     """Minimal valid FLAC: STREAMINFO (+ optional padding block) +
     one frame-sync byte pair standing in for audio frames."""
