@@ -746,18 +746,83 @@ def q41_distinct_touch(spark, sf_dir):
     ).select(F.col("o_custkey").alias("entity_id"), "n_days")
 
 
+def _avi_fixture() -> list[tuple[int, bytes, list[bytes]]]:
+    """Deterministic valid RIFF-AVI payloads embedding baseline-JPEG
+    frames (drawn from ``_jpeg_fixture``): (id, avi_bytes, frames).
+    The writer below is the fixture spec — the oracle twin hashes the
+    embedded frame bytes directly and never parses the container; the
+    Spark side recovers them from the actual AVI bytes through the
+    REAL RIFF walk (``multimodal._avi_scan``).  8 videos, 5-9 frames
+    each, ids 3_000_000+i."""
+
+    def riff(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    jpegs = [b for _, b, _, _ in _jpeg_fixture()]
+    out = []
+    for i in range(8):
+        frames = [jpegs[(i * 5 + k) % len(jpegs)] for k in range(5 + i % 5)]
+        avih = (
+            (40000 + i).to_bytes(4, "little") + bytes(12)
+            + len(frames).to_bytes(4, "little") + bytes(4)
+            + (1).to_bytes(4, "little") + bytes(4)
+            + (8).to_bytes(4, "little") + (8).to_bytes(4, "little")
+            + bytes(16)
+        )
+        hdrl = riff(
+            b"LIST",
+            b"hdrl" + riff(b"avih", avih)
+            + riff(b"LIST",
+                   b"strl" + riff(b"strh", b"vidsMJPG" + bytes(48))),
+        )
+        movi = riff(
+            b"LIST", b"movi" + b"".join(riff(b"00dc", f) for f in frames)
+        )
+        body = b"AVI " + hdrl + movi
+        avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+        out.append((3_000_000 + i, avi, frames))
+    return out
+
+
+def _avi_oracle_rows() -> str:
+    """SQL VALUES literals for the AVI section of q42's oracle: the
+    md5 of every 4th embedded frame, hashed from the fixture spec's
+    frame list — the oracle never walks RIFF; the Spark side extracts
+    the same bytes from the real container."""
+    import hashlib
+
+    rows = []
+    for vid_id, _, frames in _avi_fixture():
+        for f in range(0, len(frames), 4):
+            fh = hashlib.md5(frames[f]).hexdigest()
+            rows.append(f"({vid_id}, {f}, '{fh}')")
+    return ", ".join(rows)
+
+
 def q42_frame_sample(spark, sf_dir):
-    """Multimodal fan-out plumbing: every-4th fixed-stride frame of a
-    binary payload via mapInPandas (one input row -> many output
-    rows), hash-verified byte-for-byte.  The corpus is ASCII so the
-    DuckDB oracle's varchar slicing hashes the identical bytes."""
+    """Multimodal fan-out plumbing: every-4th frame of a binary
+    payload via mapInPandas (one input row -> many output rows),
+    hash-verified byte-for-byte.  Two regimes in one driver row: the
+    ASCII corpus exercises the labeled stride-slicing stub (the
+    DuckDB oracle's varchar slicing hashes the identical bytes), and
+    the ``_avi_fixture`` payloads exercise the REAL RIFF-AVI frame
+    extraction — frame_sample returns the actual movi JPEG chunks,
+    which the oracle carries as spec-derived literal hashes (the
+    q45/q46 spec-oracle pattern)."""
     from arachne_spark.operators.multimodal import frame_sample
 
     docs = _t(spark, sf_dir, "documents")
     payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    frames = frame_sample(payload, id_col="doc_id", every_n=4)
+    avis = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in _avi_fixture()],
+        "doc_id long, payload binary",
+    )
+    frames = frame_sample(
+        payload.unionByName(avis), id_col="doc_id", every_n=4
+    )
     return frames.select(
         "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_hash")
     )
@@ -2411,7 +2476,13 @@ def oracle_sql() -> dict[str, str]:
                  md5(substring(text, cast(i * 16 + 1 as bigint), 16))
                    as frame_hash
           from f where i % 4 = 0
-        """,
+          union all
+          -- the AVI fixture's REAL extracted frames, hashed from the
+          -- embedded frame spec (the oracle never walks RIFF)
+          select cast(doc_id as bigint), cast(frame_idx as bigint),
+                 frame_hash
+          from (values {avi_rows}) a(doc_id, frame_idx, frame_hash)
+        """.format(avi_rows=_avi_oracle_rows()),
         "q43_claims_flatten": """
           with e as (
             select 'Q' || (n_nationkey + 10000) as subj,
