@@ -115,9 +115,11 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
     """REAL PNG pixel decode via stdlib zlib — no codec library:
     inflate the concatenated IDAT stream and invert the five per-row
     filters (None/Sub/Up/Average/Paeth, PNG spec §9) scanline by
-    scanline.  Covers the non-palette 8-bit formats (color types 0
-    grey, 2 RGB, 4 grey+alpha, 6 RGBA), non-interlaced; palette and
-    16-bit return None and stay on the metadata-only path.  Returns
+    scanline.  Covers the 8-bit direct formats (color types 0 grey,
+    2 RGB, 4 grey+alpha, 6 RGBA) AND palette images (color type 3 at
+    bit depths 1/2/4/8: MSB-first index unpack + PLTE lookup → RGB),
+    non-interlaced; 16-bit returns None and stays on the
+    metadata-only path.  Returns
     ``{"width", "height", "channels", "pixels"}`` with ``pixels`` =
     height rows of width*channels bytes, or None; never raises on
     adversarial bytes (structural validation via ``_decode_png``,
@@ -138,10 +140,15 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
         payload[28],
     )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None or bit_depth != 8 or interlace != 0:
+    if color_type == 3:
+        if bit_depth not in (1, 2, 4, 8):
+            return None
+    elif channels is None or bit_depth != 8:
+        return None
+    if interlace != 0:
         return None
     w, h = meta["width"], meta["height"]
-    i, n, idat = 33, len(payload), []
+    i, n, idat, plte = 33, len(payload), [], None
     while i + 8 <= n:  # chunk table already validated by _decode_png
         clen = int.from_bytes(payload[i:i + 4], "big")
         ctype = bytes(payload[i + 4:i + 8])
@@ -149,12 +156,22 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
             break
         if ctype == b"IDAT":
             idat.append(bytes(payload[i + 8:i + 8 + clen]))
+        elif ctype == b"PLTE":
+            plte = bytes(payload[i + 8:i + 8 + clen])
         i += 12 + clen
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
+    if color_type == 3:
+        # filters act on the packed index bytes: bpp = 1, stride =
+        # the scanline's packed byte length (PNG spec §9: "bpp is
+        # rounded up to one" for sub-byte depths)
+        if plte is None or len(plte) % 3 or not plte:
+            return None
+        stride, bpp = (w * bit_depth + 7) // 8, 1
+    else:
+        stride, bpp = w * channels, channels
     if len(raw) != h * (stride + 1):
         return None
     out = bytearray(h * stride)
@@ -165,19 +182,19 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
             raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
         )
         if ft == 1:  # Sub
-            for x in range(channels, stride):
-                row[x] = (row[x] + row[x - channels]) & 0xFF
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
         elif ft == 2:  # Up
             for x in range(stride):
                 row[x] = (row[x] + prev[x]) & 0xFF
         elif ft == 3:  # Average
             for x in range(stride):
-                a = row[x - channels] if x >= channels else 0
+                a = row[x - bpp] if x >= bpp else 0
                 row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for x in range(stride):
-                a = row[x - channels] if x >= channels else 0
-                c = prev[x - channels] if x >= channels else 0
+                a = row[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -191,6 +208,28 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
             return None
         out[y * stride:(y + 1) * stride] = row
         prev = row
+    if color_type == 3:
+        n_entries = len(plte) // 3
+        rgb = bytearray(w * h * 3)
+        mask = (1 << bit_depth) - 1
+        per_byte = 8 // bit_depth
+        for y in range(h):
+            base = y * stride
+            for x in range(w):
+                if bit_depth == 8:
+                    idx = out[base + x]
+                else:  # MSB-first packed indices
+                    b = out[base + x // per_byte]
+                    shift = 8 - bit_depth * (x % per_byte + 1)
+                    idx = (b >> shift) & mask
+                if idx >= n_entries:
+                    return None  # spec: out-of-range index is an error
+                o = (y * w + x) * 3
+                rgb[o:o + 3] = plte[idx * 3:idx * 3 + 3]
+        return {
+            "width": w, "height": h, "channels": 3,
+            "pixels": bytes(rgb),
+        }
     return {
         "width": w,
         "height": h,

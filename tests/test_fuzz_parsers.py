@@ -79,6 +79,14 @@ def test_media_decoders_never_raise():
     # unfilter paths of decode_png_pixels, not just the chunk walk
     pixel_png = _png_raw(6, 5, 2, lambda x, y: (x * 40, y * 50, 7))
 
+    from test_multimodal import _png_pal
+
+    pixel_pal_png = _png_pal(
+        6, 5, 4,
+        [(x + y) % 3 for y in range(5) for x in range(6)],
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    )
+
     pixel_gif = _gif_px(
         5, 4, [(x + y) % 3 for y in range(4) for x in range(5)],
         [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
@@ -107,8 +115,8 @@ def test_media_decoders_never_raise():
 
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
-        _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_gif, pixel_tiff,
-        pixel_jpeg, mjpeg_avi,
+        _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
+        pixel_gif, pixel_tiff, pixel_jpeg, mjpeg_avi,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

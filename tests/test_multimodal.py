@@ -204,6 +204,79 @@ def test_decode_png_pixels():
     assert decode_png_pixels(None) is None
 
 
+def _png_pal(w, h, depth, indices, palette, sub_filter=False):
+    """Valid palette PNG (color type 3): PLTE + packed MSB-first
+    indices; filter 0 rows, or filter 1 (Sub, bpp=1) when asked."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    per_byte = 8 // depth
+    scan = bytearray()
+    for y in range(h):
+        packed = bytearray((w * depth + 7) // 8)
+        for x in range(w):
+            shift = 8 - depth * (x % per_byte + 1)
+            packed[x // per_byte] |= indices[y * w + x] << shift
+        if sub_filter and depth == 8:
+            scan.append(1)
+            prev = 0
+            for b in packed:
+                scan.append((b - prev) & 0xFF)
+                prev = b
+        else:
+            scan.append(0)
+            scan.extend(packed)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    plte = bytes(v for rgb in palette for v in rgb)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_palette_pixels():
+    """Palette PNGs (color type 3) decode for real at every legal
+    bit depth: MSB-first index unpack + PLTE lookup -> RGB; missing
+    PLTE and out-of-range indices return None, never raise."""
+    from arachne_spark.operators.multimodal import decode_png_pixels
+
+    pal = [(250, 10, 30), (0, 128, 255), (77, 77, 77), (1, 2, 3)]
+    for depth in (1, 2, 4, 8):
+        k = min(len(pal), 1 << depth)
+        w, h = 7, 5  # 7 pixels/row: sub-byte rows end mid-byte
+        idx = [(x * 3 + y) % k for y in range(h) for x in range(w)]
+        png = _png_pal(w, h, depth, idx, pal[:k])
+        d = decode_png_pixels(png)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == bytes(
+            v for i in idx for v in pal[:k][i]
+        )
+    # Sub-filtered rows at depth 8 (bpp = 1 for palette scanlines)
+    idx = [(x + y) % 4 for y in range(4) for x in range(6)]
+    d = decode_png_pixels(_png_pal(6, 4, 8, idx, pal, sub_filter=True))
+    assert d["pixels"] == bytes(v for i in idx for v in pal[i])
+    # out-of-range index (palette of 2, index 3) is an error
+    bad = _png_pal(4, 2, 8, [3] * 8, pal[:2])
+    assert decode_png_pixels(bad) is None
+    # PLTE missing entirely
+    import zlib as _z
+    import struct as _s
+
+    def _chunk(t, data):
+        return (_s.pack(">I", len(data)) + t + data
+                + _s.pack(">I", _z.crc32(t + data)))
+
+    no_plte = (b"\x89PNG\r\n\x1a\n"
+               + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + _chunk(b"IDAT", _z.compress(b"\x00\x00\x00" * 2))
+               + _chunk(b"IEND", b""))
+    assert decode_png_pixels(no_plte) is None
+
+
 def test_resize_meta_real_pixel_thumbs(spark):
     """Thumbnails are REAL resampled pixel bytes for PNG and PPM (not
     the payload-prefix stub): a 2x-downscaled gradient PNG and a
