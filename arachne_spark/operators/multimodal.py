@@ -115,10 +115,13 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
     """REAL PNG pixel decode via stdlib zlib — no codec library:
     inflate the concatenated IDAT stream and invert the five per-row
     filters (None/Sub/Up/Average/Paeth, PNG spec §9) scanline by
-    scanline.  Covers the 8-bit direct formats (color types 0 grey,
-    2 RGB, 4 grey+alpha, 6 RGBA) AND palette images (color type 3 at
-    bit depths 1/2/4/8: MSB-first index unpack + PLTE lookup → RGB),
-    non-interlaced; 16-bit returns None and stays on the
+    scanline.  Covers every non-interlaced PNG format: the 8-bit
+    direct formats (color types 0 grey, 2 RGB, 4 grey+alpha, 6 RGBA),
+    palette images (color type 3 at bit depths 1/2/4/8: MSB-first
+    index unpack + PLTE lookup → RGB), sub-byte grayscale (depths
+    1/2/4, rescaled to 8-bit by v*255/(2^d-1)) and 16-bit samples
+    (reduced to 8-bit by the high byte, the spec's sample-depth
+    scaling); Adam7 interlace returns None and stays on the
     metadata-only path.  Returns
     ``{"width", "height", "channels", "pixels"}`` with ``pixels`` =
     height rows of width*channels bytes, or None; never raises on
@@ -140,10 +143,16 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
         payload[28],
     )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    # legal (color type, bit depth) combinations, PNG spec §11.2.2
     if color_type == 3:
         if bit_depth not in (1, 2, 4, 8):
             return None
-    elif channels is None or bit_depth != 8:
+    elif channels is None:
+        return None
+    elif color_type == 0:
+        if bit_depth not in (1, 2, 4, 8, 16):
+            return None
+    elif bit_depth not in (8, 16):
         return None
     if interlace != 0:
         return None
@@ -170,8 +179,12 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
         if plte is None or len(plte) % 3 or not plte:
             return None
         stride, bpp = (w * bit_depth + 7) // 8, 1
+    elif bit_depth < 8:  # sub-byte grayscale, packed like palette
+        stride, bpp = (w * bit_depth + 7) // 8, 1
     else:
-        stride, bpp = w * channels, channels
+        sample_bytes = bit_depth // 8
+        stride = w * channels * sample_bytes
+        bpp = channels * sample_bytes
     if len(raw) != h * (stride + 1):
         return None
     out = bytearray(h * stride)
@@ -229,6 +242,25 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
         return {
             "width": w, "height": h, "channels": 3,
             "pixels": bytes(rgb),
+        }
+    if bit_depth < 8:  # sub-byte grayscale → 8-bit rescale
+        mask = (1 << bit_depth) - 1
+        per_byte = 8 // bit_depth
+        grey = bytearray(w * h)
+        for y in range(h):
+            base = y * stride
+            for x in range(w):
+                b = out[base + x // per_byte]
+                shift = 8 - bit_depth * (x % per_byte + 1)
+                grey[y * w + x] = ((b >> shift) & mask) * 255 // mask
+        return {
+            "width": w, "height": h, "channels": 1,
+            "pixels": bytes(grey),
+        }
+    if bit_depth == 16:  # high byte = the spec's depth rescale
+        return {
+            "width": w, "height": h, "channels": channels,
+            "pixels": bytes(out[::2]),
         }
     return {
         "width": w,

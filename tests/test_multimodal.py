@@ -177,7 +177,8 @@ def test_decode_png_pixels():
     rgba = _png_raw(3, 3, 6, lambda x, y: (x, y, x + y, 255))
     assert decode_png_pixels(rgba)["channels"] == 4
 
-    # out-of-scope / malformed: None, never a raise
+    # malformed: None, never a raise (both carry an invalid-zlib IDAT;
+    # 16-bit and palette formats are otherwise in scope now)
     assert decode_png_pixels(_png(4, 4, depth=16, color=6)) is None
     assert decode_png_pixels(_png(4, 4, depth=4, color=3)) is None
     assert decode_png_pixels(_png(4, 4)) is None  # IDAT not valid zlib
@@ -202,6 +203,57 @@ def test_decode_png_pixels():
            + _chunk(b"IEND", b""))
     assert decode_png_pixels(bad) is None
     assert decode_png_pixels(None) is None
+
+
+def _png_scan(w, h, depth, color, rows):
+    """Valid PNG from pre-packed scanline bytes (filter 0 rows)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    scan = b"".join(b"\x00" + bytes(r) for r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_16bit_and_subbyte_grey():
+    """16-bit samples reduce to their high byte (the spec's
+    sample-depth rescale) and sub-byte grayscale rescales to 8-bit by
+    v*255/(2^d-1) — every legal PNG format now pixel-decodes."""
+    from arachne_spark.operators.multimodal import decode_png_pixels
+
+    # 16-bit grey 3x2: samples 0x1234... -> high bytes
+    rows = [b"\x12\x34\x56\x78\x9a\xbc", b"\xff\x00\x00\xff\x80\x01"]
+    d = decode_png_pixels(_png_scan(3, 2, 16, 0, rows))
+    assert (d["channels"], d["pixels"]) == (1, b"\x12\x56\x9a\xff\x00\x80")
+    # 16-bit RGB 2x1
+    d = decode_png_pixels(
+        _png_scan(2, 1, 16, 2,
+                  [bytes.fromhex("11aa 22bb 33cc 44dd 55ee 66ff"
+                                 .replace(" ", ""))])
+    )
+    assert (d["channels"], d["pixels"]) == (3, bytes.fromhex("112233445566"))
+    # sub-byte grey: depth 1 (0/255), 2 (v*85), 4 (v*17); 5 px/row
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        mask = (1 << depth) - 1
+        w, h = 5, 3
+        vals = [(x + y) & mask for y in range(h) for x in range(w)]
+        per_byte = 8 // depth
+        rows = []
+        for y in range(h):
+            packed = bytearray((w * depth + 7) // 8)
+            for x in range(w):
+                shift = 8 - depth * (x % per_byte + 1)
+                packed[x // per_byte] |= vals[y * w + x] << shift
+            rows.append(bytes(packed))
+        d = decode_png_pixels(_png_scan(w, h, depth, 0, rows))
+        assert d["channels"] == 1
+        assert d["pixels"] == bytes(v * scale for v in vals)
 
 
 def _png_pal(w, h, depth, indices, palette, sub_filter=False):
