@@ -998,9 +998,15 @@ def _jpeg_fixture() -> list[tuple[int, bytes, int, int]]:
     The scan still exercises the full real path — marker walk, DHT
     canonical table build, Huffman decode, DC prediction across
     blocks, EOB, byte stuffing, IDCT, crop of non-MCU-aligned dims.
-    24 images, ids 2_000_000+i."""
+    24 sequential images (ids 2_000_000+i) plus 12 PROGRESSIVE ones
+    (SOF2, ids 4_000_000+j sharing spec index j): a DC first scan
+    followed by an Ss=1..63 AC scan that is one EOBn run over all
+    blocks — the same bit-exactness argument, now through the
+    Annex-G multi-scan path."""
     out = []
-    for i in range(24):
+    for idx in range(36):
+        progressive = idx >= 24
+        i = idx - 24 if progressive else idx
         nx, ny = i % 4 + 1, i % 3 + 1
         w, h = 8 * nx - i % 5, 8 * ny - i % 3  # non-aligned crops
         # symbol stream: per block, DC category+diff then EOB
@@ -1041,32 +1047,61 @@ def _jpeg_fixture() -> list[tuple[int, bytes, int, int]]:
                         body.append(0x00)
                     acc[0] = acc[1] = 0
 
-        dc_code = {v: (idx, dc_len) for idx, v in enumerate(dc_vals)}
+        if progressive:
+            # EOBn run covering all blocks: r = floor(log2(n)), then
+            # n - 2^r extension bits; the AC table holds just r<<4
+            nblocks = nx * ny
+            r = nblocks.bit_length() - 1
+            ac_bits, ac_vals, ac_len = table({r << 4})
+        dc_code = {v: (c, dc_len) for c, v in enumerate(dc_vals)}
+        ac_body = bytearray()
         for t, diff in stream:
             code, length = dc_code[t]
             put(code, length)
             if t:
                 v = diff if diff >= 0 else diff + (1 << t) - 1
                 put(v, t)
-            put(0, ac_len)  # EOB
+            if not progressive:
+                put(0, ac_len)  # EOB closes each sequential block
         while acc[1]:
             put(1, 1)
+        if progressive:  # second entropy segment: the AC scan
+            dc_body = bytes(body)
+            body.clear()  # reuse `put`'s bound buffer for the AC bits
+            put(0, ac_len)  # the single EOBn symbol (code 0)
+            if r:
+                put(nblocks - (1 << r), r)
+            while acc[1]:
+                put(1, 1)
+            ac_body = bytes(body)
         jpg = bytearray(b"\xff\xd8")
         jpg += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(
             [1] * 64
         )
         sof = (bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
                + bytes([1, 1, 0x11, 0]))
-        jpg += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+        sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        jpg += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
         for tc, (bits, vals) in ((0, (dc_bits, dc_vals)),
                                  (1, (ac_bits, ac_vals))):
             seg = bytes([tc << 4]) + bytes(bits) + vals
             jpg += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
-        jpg += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
-            [1, 1, 0x00, 0, 63, 0]
-        )
-        jpg += body + b"\xff\xd9"
-        out.append((2_000_000 + i, bytes(jpg), w, h))
+        if progressive:
+            jpg += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
+                [1, 1, 0x00, 0, 0, 0]  # DC scan: Ss=Se=0, Ah=Al=0
+            )
+            jpg += dc_body
+            jpg += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
+                [1, 1, 0x00, 1, 63, 0]  # AC scan: Ss=1, Se=63
+            )
+            jpg += ac_body + b"\xff\xd9"
+            out.append((4_000_000 + i, bytes(jpg), w, h))
+        else:
+            jpg += b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
+                [1, 1, 0x00, 0, 63, 0]
+            )
+            jpg += body + b"\xff\xd9"
+            out.append((2_000_000 + i, bytes(jpg), w, h))
     return out
 
 
@@ -1081,8 +1116,9 @@ def _jpeg_oracle_rows() -> str:
     import hashlib
 
     rows = []
-    for i in range(24):
-        img_id = 2_000_000 + i
+    for idx in range(36):
+        i = idx - 24 if idx >= 24 else idx
+        img_id = (4_000_000 if idx >= 24 else 2_000_000) + i
         nx, ny = i % 4 + 1, i % 3 + 1
         w, h = 8 * nx - i % 5, 8 * ny - i % 3
         scale = min(1.0, 16.0 / max(w, h))
@@ -1101,7 +1137,8 @@ def q45_resize_ppm(spark, sf_dir):
     """Aspect-preserving resize planning over REAL decoded images:
     valid binary-PPM (P6) payloads are constructed from part keys,
     valid PNG payloads (CRC-correct IHDR) from ``_png_fixture``, and
-    valid baseline-JPEG payloads (real Huffman scan) from
+    valid JPEG payloads — 24 sequential AND 12 progressive/SOF2, all
+    with real Huffman scans — from
     ``_jpeg_fixture``; ``resize_meta`` parses the actual bytes — the
     decode step is real for all three formats, and the thumbnails are
     TRUE resampled pixels (PNG via zlib inflate + unfilter, JPEG via

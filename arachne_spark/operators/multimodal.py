@@ -10,18 +10,20 @@ signature, fan-out row production, binary output columns, partition
 preservation — is real and tested:
 
 * ``binary_meta``       — per-payload typed metadata (1 row / input);
-* ``frame_sample``      — every-nth fixed-stride frame extraction
-  (N rows / input — the fan-out shape of real video sampling), hash-
-  checked against a byte-level DuckDB oracle (q42);
+* ``frame_sample``      — every-nth frame extraction (N rows / input
+  — the fan-out shape of real video sampling), hash-checked against
+  a byte-level DuckDB oracle (q42); REAL movi-chunk frames for AVI
+  containers, fixed-stride slicing stub otherwise;
 * ``resize_meta``       — decode → target-dimension computation with
   aspect preserved; thumbnail bytes are REAL nearest-neighbor
-  resampled pixels for every pixel-decodable format (8-bit
-  non-palette PNG via ``decode_png_pixels`` — stdlib-zlib inflate +
-  per-row unfilter — binary PPM, GIF via pure-Python LZW,
-  uncompressed baseline TIFF, and baseline JPEG via a from-spec
-  T.81 sequential-DCT decoder: Huffman entropy decode + dequantize
-  + numpy IDCT + YCbCr→RGB), payload-prefix stub only for the
-  remaining entropy-coded formats (progressive JPEG, MP3/AAC/OGG);
+  resampled pixels for every pixel-decodable format (every legal
+  non-interlaced PNG via ``decode_png_pixels`` — stdlib-zlib inflate
+  + per-row unfilter, palette/16-bit/sub-byte included — binary PPM,
+  GIF via pure-Python LZW, uncompressed TIFF, and JPEG — sequential
+  AND progressive — via a from-spec T.81 decoder: Huffman entropy
+  decode, Annex-G multi-scan coefficient accumulation, dequantize +
+  numpy IDCT + YCbCr→RGB), payload-prefix stub only for the
+  remaining library-codec formats (MP3/AAC/OGG, compressed TIFF);
 * ``extract_features``  — payload → float feature vector: REAL
   grid-pooled luminance features for the pixel-decodable formats,
   deterministic hash-seeded stub otherwise; the output column shape
@@ -689,9 +691,14 @@ def decode_jpeg_pixels(payload: bytes | None) -> dict | None:
     restart markers honored), coefficients are dequantized,
     un-zigzagged and IDCT'd with the exact 8x8 float basis (numpy),
     chroma planes are nearest-upsampled, and YCbCr converts to RGB by
-    the JFIF matrix.  Scope: sequential Huffman 8-bit (SOF0/SOF1), 1
-    or 3 components, sampling factors 1-4 — the overwhelming majority
-    of web JPEGs; progressive (SOF2), arithmetic, 12-bit and CMYK
+    the JFIF matrix.  PROGRESSIVE frames (SOF2) decode too: T.81
+    Annex G coefficient accumulation across scans — DC first and
+    refinement scans (interleaved MCU order or per-component tight
+    grids), AC first scans with EOB runs and ZRL, and AC refinement
+    scans with position-synchronized correction bits — then one
+    shared dequantize + IDCT + assemble pass at EOI.  Scope: Huffman
+    8-bit (SOF0/1/2), 1 or 3 components, sampling factors 1-4 — the
+    overwhelming majority of web JPEGs; arithmetic, 12-bit and CMYK
     return None and stay on the metadata-only path.  Same return
     shape as ``decode_png_pixels``; never raises on adversarial bytes
     (dimension claims bounded by ``_JPEG_MAX_PIXELS``).  Per-symbol
@@ -717,7 +724,10 @@ def _jpeg_pixels(p: bytes) -> dict | None:
     comps: list[tuple[int, int, int, int]] | None = None
     w = h = 0
     dri = 0
-    while i + 4 <= n:
+    progressive = False
+    coefs = grids = None  # per-component coefficient store (SOF2)
+    n_scans = 0
+    while i + 2 <= n:
         if p[i] != 0xFF:
             return None
         marker = p[i + 1]
@@ -727,7 +737,11 @@ def _jpeg_pixels(p: bytes) -> dict | None:
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI: ends a progressive frame
+            if progressive and n_scans:
+                return _jpeg_prog_finish(w, h, comps, coefs, grids, qt)
+            return None
+        if i + 4 > n:
             return None
         seg_len = int.from_bytes(p[i + 2:i + 4], "big")
         if seg_len < 2 or i + 2 + seg_len > n:
@@ -767,9 +781,10 @@ def _jpeg_pixels(p: bytes) -> dict | None:
                     _jpeg_huff_table(bits, vals)
                 )
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # sequential Huffman frames
+        elif marker in (0xC0, 0xC1, 0xC2):  # Huffman DCT frames
             if len(body) < 6 or body[0] != 8:
                 return None
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -784,7 +799,21 @@ def _jpeg_pixels(p: bytes) -> dict | None:
                 if not (1 <= ch <= 4 and 1 <= cv <= 4):
                     return None
                 comps.append((body[6 + 3 * c], ch, cv, body[8 + 3 * c]))
-        elif marker in _JPEG_SOF:  # progressive/arithmetic/lossless
+            if progressive:  # coefficients accumulate across scans
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                grids, coefs = [], []
+                for _, ch, cv, _ in comps:
+                    pw, ph = mcus_x * ch, mcus_y * cv  # padded grid
+                    # tight grid for non-interleaved scans:
+                    # ceil(ceil(dim * sampling / max_sampling) / 8)
+                    tw = -(-(-(-w * ch // hmax)) // 8)
+                    th_ = -(-(-(-h * cv // vmax)) // 8)
+                    grids.append((pw, ph, tw, th_, ch, cv))
+                    coefs.append(np.zeros((ph, pw, 64), dtype=np.int32))
+        elif marker in _JPEG_SOF:  # arithmetic/lossless/12-bit
             return None
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -793,6 +822,15 @@ def _jpeg_pixels(p: bytes) -> dict | None:
         elif marker == 0xDA:  # SOS
             if comps is None:
                 return None
+            if progressive:
+                n_scans += 1
+                if n_scans > 64:  # bound adversarial scan counts
+                    return None
+                i = _jpeg_prog_sos(
+                    p, i + 2 + seg_len, body, comps, grids, coefs,
+                    huff_dc, huff_ac, dri,
+                )
+                continue
             ns = body[0] if body else 0
             if ns != len(comps) or len(body) < 1 + 2 * ns + 3:
                 return None
@@ -812,6 +850,207 @@ def _jpeg_pixels(p: bytes) -> dict | None:
             )
         i += 2 + seg_len
     return None
+
+
+def _jpeg_next_marker(p: bytes, pos: int) -> int:
+    """Position of the next non-stuffed, non-restart marker at or
+    after ``pos`` (the resume point after a progressive scan's
+    entropy-coded segment)."""
+    n = len(p)
+    i = pos
+    while i + 1 < n:
+        if p[i] == 0xFF and p[i + 1] != 0x00:
+            if 0xD0 <= p[i + 1] <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    raise ValueError("no terminating marker after scan")
+
+
+def _jpeg_prog_sos(p, pos, body, comps, grids, coefs, huff_dc,
+                   huff_ac, dri):
+    """Decode one progressive scan (T.81 Annex G) into the
+    coefficient store: DC first/refinement scans (interleaved MCU
+    order or a single component's tight block grid) and AC
+    first/refinement scans (single component, EOB runs, correction
+    bits).  Returns the payload position of the next marker."""
+    ns = body[0] if body else 0
+    if ns < 1 or len(body) < 1 + 2 * ns + 3:
+        raise ValueError("bad SOS")
+    ss = body[1 + 2 * ns]
+    se = body[2 + 2 * ns]
+    a = body[3 + 2 * ns]
+    ah, al = a >> 4, a & 15
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("bad spectral range")
+    scan = []
+    for s in range(ns):
+        cs = body[1 + 2 * s]
+        td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 15
+        idx = next((k for k, c in enumerate(comps) if c[0] == cs), None)
+        if idx is None:
+            raise ValueError("unknown component in scan")
+        scan.append((idx, td, ta))
+    reader = _JpegBits(p, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        for _, td, _ in scan:
+            if ah == 0 and td not in huff_dc:
+                raise ValueError("missing DC table")
+        _jpeg_prog_dc(reader, scan, grids, coefs, huff_dc, ah, al, dri)
+    else:
+        if ns != 1:
+            raise ValueError("interleaved AC scan")
+        ci, _, ta = scan[0]
+        if ta not in huff_ac:
+            raise ValueError("missing AC table")
+        _jpeg_prog_ac(reader, grids[ci], coefs[ci], huff_ac[ta], ss,
+                      se, ah, al, dri)
+    return _jpeg_next_marker(p, reader.pos)
+
+
+def _jpeg_prog_dc(reader, scan, grids, coefs, huff_dc, ah, al, dri):
+    preds = {ci: 0 for ci, _, _ in scan}
+    rst_n = 0
+    count = 0
+
+    def block(ci, td, by, bx):
+        if ah == 0:  # first scan: diff at precision al
+            t = reader.huff_decode(huff_dc[td])
+            if t > 11:
+                raise ValueError("bad DC category")
+            preds[ci] += _jpeg_extend(reader.receive(t), t)
+            coefs[ci][by, bx, 0] = preds[ci] << al
+        elif reader.read_bit():  # refinement: one bit per block
+            coefs[ci][by, bx, 0] |= 1 << al
+
+    if len(scan) == 1:  # non-interleaved: the tight block grid
+        ci, td, _ = scan[0]
+        _, _, tw, th_, _, _ = grids[ci]
+        for by in range(th_):
+            for bx in range(tw):
+                if dri and count and count % dri == 0:
+                    reader.align_restart(rst_n)
+                    rst_n = (rst_n + 1) & 7
+                    preds[ci] = 0
+                block(ci, td, by, bx)
+                count += 1
+        return
+    pw0, ph0, _, _, ch0, cv0 = grids[scan[0][0]]
+    mcus_x, mcus_y = pw0 // ch0, ph0 // cv0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and count and count % dri == 0:
+                reader.align_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = {ci: 0 for ci, _, _ in scan}
+            for ci, td, _ in scan:
+                _, _, _, _, ch, cv = grids[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        block(ci, td, my * cv + by, mx * ch + bx)
+            count += 1
+
+
+def _jpeg_prog_ac(reader, grid, coef, tbl, ss, se, ah, al, dri):
+    _, _, tw, th_, _, _ = grid
+    eobrun = 0
+    rst_n = 0
+    count = 0
+    p1 = 1 << al
+    m1 = -p1
+    for by in range(th_):
+        for bx in range(tw):
+            if dri and count and count % dri == 0:
+                reader.align_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                eobrun = 0
+            count += 1
+            blk = coef[by, bx]
+            if ah == 0:  # AC first scan at precision al
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.huff_decode(tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overrun")
+                        blk[k] = _jpeg_extend(reader.receive(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16  # ZRL
+                continue
+            # AC refinement scan (T.81 G.1.2.3 / libjpeg semantics)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.huff_decode(tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad refinement size")
+                        s = p1 if reader.read_bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        s = 0  # ZRL: pass 16 zero-history positions
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:  # history coef: correction bit
+                            if reader.read_bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if s and k <= se:
+                        blk[k] = s
+                    k += 1
+            if eobrun > 0:  # correction bits for the EOB-run tail
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _jpeg_prog_finish(w, h, comps, coefs, grids, qt):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the pixel output (shared tail with the sequential path)."""
+    zz = list(_JPEG_ZIGZAG)
+    basis, basis_t = _JPEG_DCT_C, _JPEG_DCT_C.T
+    planes = []
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        if tq not in qt:
+            return None
+        q = qt[tq]
+        pw, ph, _, _, _, _ = grids[ci]
+        plane = np.zeros((ph * 8, pw * 8))
+        for by in range(ph):
+            for bx in range(pw):
+                nat = np.zeros(64)
+                nat[zz] = coefs[ci][by, bx]
+                block = basis_t @ (nat.reshape(8, 8) * q) @ basis
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+        planes.append(plane)
+    return _jpeg_assemble(w, h, comps, planes)
 
 
 def _jpeg_scan(p, pos, w, h, comps, scan, qt, dri):
@@ -870,6 +1109,15 @@ def _jpeg_scan(p, pos, w, h, comps, scan, qt, dri):
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
             mcu_count += 1
+    return _jpeg_assemble(w, h, comps, planes)
+
+
+def _jpeg_assemble(w, h, comps, planes):
+    """Level-shift, crop, nearest-upsample and color-convert the
+    per-component IDCT planes — shared by the sequential and
+    progressive paths."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for ci, (_, ch, cv, _) in enumerate(comps):
         plane = planes[ci] + 128.0
@@ -1864,11 +2112,11 @@ def resize_meta(
     PNG (``decode_png_pixels``, stdlib-zlib inflate + per-row
     unfilter), binary PPM (``_ppm_pixels``), GIF
     (``decode_gif_pixels``, pure-Python LZW + palette), uncompressed
-    TIFF and baseline JPEG (``decode_jpeg_pixels``, from-spec T.81
-    Huffman + IDCT).  Formats still needing a library codec
-    (progressive JPEG, LZW/JPEG-compressed TIFF) keep the labeled
-    payload-prefix stub; a deployment swaps in PIL there — same
-    schema, same Arrow plumbing."""
+    TIFF and JPEG — sequential and progressive —
+    (``decode_jpeg_pixels``, from-spec T.81 Huffman + IDCT).  Formats
+    still needing a library codec (LZW/JPEG-compressed TIFF) keep the
+    labeled payload-prefix stub; a deployment swaps in PIL there —
+    same schema, same Arrow plumbing."""
     id_field = df.schema[id_col]
     schema = StructType(
         [

@@ -106,6 +106,21 @@ def test_media_decoders_never_raise():
         9, 10, 3, subsample=True, dri=1,
     )
 
+    from test_multimodal import _jpeg_prog_enc
+
+    # progressive-JPEG seed: mutations hit the multi-scan coefficient
+    # accumulation (DC/AC first + refinement, EOB runs) and the
+    # between-scan marker resync
+    pixel_prog_jpeg = _jpeg_prog_enc(
+        bytes((x * 5 + y * 3) % 256
+              for y in range(10) for x in range(9) for _ in range(3)),
+        9, 10, 3,
+        [([0, 1, 2], 0, 0, 0, 1), ([0, 1, 2], 0, 0, 1, 0),
+         ([0], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+         ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)],
+        subsample=True,
+    )
+
     # MJPEG-AVI seed: mutations hit the RIFF walk + real frame
     # extraction of _avi_scan through decode_video
     mjpeg_avi = _avi(
@@ -116,7 +131,7 @@ def test_media_decoders_never_raise():
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
-        pixel_gif, pixel_tiff, pixel_jpeg, mjpeg_avi,
+        pixel_gif, pixel_tiff, pixel_jpeg, pixel_prog_jpeg, mjpeg_avi,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

@@ -723,7 +723,351 @@ def _jpeg_enc(pixels, w, h, channels, subsample=False, dri=0):
     return bytes(out)
 
 
-def test_decode_jpeg_pixels():
+def _jpeg_prog_enc(pixels, w, h, channels, scans, subsample=False,
+                   dri=0):
+    """Independent PROGRESSIVE baseline-JPEG test encoder (quant all
+    1s, flat canonical per-scan tables): ``scans`` is a list of
+    (comp_indices, ss, se, ah, al) — DC first/refine interleaved or
+    single-component, AC first/refine with EOB runs, ZRL folding and
+    position-synchronized correction bits, optional restart
+    intervals.  Mirrors T.81 Annex G from the ENCODE side, so the
+    decoder's Annex-G decode is exercised against an algorithmically
+    distinct construction."""
+    import numpy as np
+
+    from arachne_spark.operators.multimodal import (
+        _JPEG_DCT_C,
+        _JPEG_ZIGZAG,
+    )
+
+    def cat(v):
+        t, a = 0, abs(int(v))
+        while a:
+            t, a = t + 1, a >> 1
+        return t
+
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(np.float64)
+    arr = arr.reshape(h, w, channels)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        planes = [arr[..., 0]]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zigs, tights = [], []
+    zzl = list(_JPEG_ZIGZAG)
+    for pi, plane in enumerate(planes):
+        ch, cv = samp[pi]
+        if (ch, cv) != (hmax, vmax):
+            fy, fx = vmax // cv, hmax // ch
+            ph_, pw_ = -(-h // fy) * fy, -(-w // fx) * fx
+            plane = np.pad(plane, ((0, ph_ - h), (0, pw_ - w)),
+                           mode="edge")
+            plane = plane.reshape(ph_ // fy, fy, pw_ // fx, fx).mean((1, 3))
+        tights.append((-(-plane.shape[1] // 8), -(-plane.shape[0] // 8)))
+        th1, tw1 = mcus_y * cv * 8, mcus_x * ch * 8
+        plane = np.pad(plane, ((0, th1 - plane.shape[0]),
+                               (0, tw1 - plane.shape[1])), mode="edge")
+        zig = np.zeros((th1 // 8, tw1 // 8, 64), dtype=np.int64)
+        for by in range(th1 // 8):
+            for bx in range(tw1 // 8):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                zig[by, bx] = np.round(
+                    (_JPEG_DCT_C @ blk @ _JPEG_DCT_C.T).flat[zzl]
+                ).astype(np.int64)
+        zigs.append(zig)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nc])
+    for pi in range(nc):
+        sof += bytes([pi + 1, (samp[pi][0] << 4) | samp[pi][1], 0])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    if dri:
+        out += b"\xff\xdd\x00\x04" + dri.to_bytes(2, "big")
+    for scan_comps, ss, se, ah, al in scans:
+        syms_dc, syms_ac = set(), set()
+        body = bytearray()
+        acc = [0, 0]
+
+        def put(code, length):
+            for i in range(length - 1, -1, -1):
+                acc[0] = (acc[0] << 1) | ((code >> i) & 1)
+                acc[1] += 1
+                if acc[1] == 8:
+                    body.append(acc[0])
+                    if acc[0] == 0xFF:
+                        body.append(0x00)
+                    acc[0] = acc[1] = 0
+
+        def run(sink_sym, sink_bits, sink_rst):
+            rstate = [0, 0]
+
+            def at_boundary():
+                return dri and rstate[0] and rstate[0] % dri == 0
+
+            if ss == 0:
+                preds = {ci: 0 for ci in scan_comps}
+                if len(scan_comps) == 1:
+                    ci = scan_comps[0]
+                    tw_, th_ = tights[ci]
+                    units = [[(ci, by, bx)] for by in range(th_)
+                             for bx in range(tw_)]
+                else:
+                    units = []
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            mcu = []
+                            for ci in scan_comps:
+                                ch, cv = samp[ci]
+                                for by in range(cv):
+                                    for bx in range(ch):
+                                        mcu.append((ci, my * cv + by,
+                                                    mx * ch + bx))
+                            units.append(mcu)
+                for unit in units:
+                    if at_boundary():
+                        sink_rst(rstate[1] & 7)
+                        rstate[1] += 1
+                        for ci in scan_comps:
+                            preds[ci] = 0
+                    rstate[0] += 1
+                    for ci, by, bx in unit:
+                        dc = int(zigs[ci][by, bx, 0])
+                        if ah == 0:
+                            v = dc >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = cat(diff)
+                            sink_sym("dc", t)
+                            if t:
+                                sink_bits(
+                                    diff if diff >= 0
+                                    else diff + (1 << t) - 1, t)
+                        else:
+                            sink_bits((dc >> al) & 1, 1)
+                return
+            ci = scan_comps[0]
+            tw_, th_ = tights[ci]
+            eob = [0, []]  # pending EOB run, its correction bits
+
+            def flush_eob():
+                if eob[0] == 0:
+                    return
+                r = 0
+                while (2 << r) <= eob[0]:
+                    r += 1
+                sink_sym("ac", r << 4)
+                if r:
+                    sink_bits(eob[0] - (1 << r), r)
+                for b in eob[1]:
+                    sink_bits(b, 1)
+                eob[0], eob[1] = 0, []
+
+            def shifted(v, sh):
+                v = int(v)
+                return (v >> sh) if v >= 0 else -((-v) >> sh)
+
+            for by in range(th_):
+                for bx in range(tw_):
+                    if at_boundary():
+                        flush_eob()  # EOB runs stop at restarts
+                        sink_rst(rstate[1] & 7)
+                        rstate[1] += 1
+                    rstate[0] += 1
+                    blk = zigs[ci][by, bx]
+                    if ah == 0:  # AC first at precision al
+                        vals = [shifted(blk[k], al) for k in range(64)]
+                        nz = [k for k in range(ss, se + 1) if vals[k]]
+                        if not nz:
+                            eob[0] += 1
+                            continue
+                        flush_eob()
+                        rr = 0
+                        for k in range(ss, se + 1):
+                            v = vals[k]
+                            if v == 0:
+                                rr += 1
+                                continue
+                            while rr > 15:
+                                sink_sym("ac", 0xF0)
+                                rr -= 16
+                            s = cat(v)
+                            sink_sym("ac", (rr << 4) | s)
+                            sink_bits(v if v >= 0 else v + (1 << s) - 1,
+                                      s)
+                            rr = 0
+                        if nz[-1] < se:
+                            eob[0] += 1
+                        continue
+                    # AC refinement: history >>(al+1) → target >>al
+                    prev = [shifted(blk[k], al + 1) for k in range(64)]
+                    now = [shifted(blk[k], al) for k in range(64)]
+                    newly = [k for k in range(ss, se + 1)
+                             if prev[k] == 0 and now[k] != 0]
+                    if not newly:
+                        eob[0] += 1
+                        eob[1] += [abs(now[k]) & 1
+                                   for k in range(ss, se + 1)
+                                   if prev[k] != 0]
+                        continue
+                    flush_eob()
+                    rr, br = 0, []
+                    for k in range(ss, newly[-1] + 1):
+                        if now[k] == 0:
+                            rr += 1
+                            continue
+                        # ZRL flushes at ANY nonzero (history too) so
+                        # correction bits stay position-synchronized
+                        while rr > 15:
+                            sink_sym("ac", 0xF0)
+                            for b in br:
+                                sink_bits(b, 1)
+                            br = []
+                            rr -= 16
+                        if prev[k] != 0:
+                            br.append(abs(now[k]) & 1)
+                            continue
+                        sink_sym("ac", (rr << 4) | 1)
+                        sink_bits(1 if now[k] > 0 else 0, 1)
+                        for b in br:
+                            sink_bits(b, 1)
+                        br, rr = [], 0
+                    if newly[-1] < se:
+                        eob[0] += 1
+                        eob[1] += [abs(now[k]) & 1
+                                   for k in range(newly[-1] + 1, se + 1)
+                                   if prev[k] != 0]
+            flush_eob()
+
+        run(lambda kind, sym:
+            (syms_dc if kind == "dc" else syms_ac).add(sym),
+            lambda v, nb: None, lambda n: None)
+        segs = b""
+        enc_maps = {}
+        for kind, syms in (("dc", syms_dc), ("ac", syms_ac)):
+            if not syms:
+                continue
+            bits, vals = _jpeg_canonical_table(syms)
+            length = next(i + 1 for i, b in enumerate(bits) if b)
+            enc_maps[kind] = {v: (idx, length)
+                              for idx, v in enumerate(vals)}
+            tc = 0 if kind == "dc" else 1
+            seg = bytes([tc << 4]) + bytes(bits) + vals
+            segs += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+        ns = len(scan_comps)
+        sos = bytes([ns])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segs += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+        def emit_sym(kind, sym):
+            code, length = enc_maps[kind][sym]
+            put(code, length)
+
+        def emit_rst(n):
+            while acc[1]:
+                put(1, 1)
+            body.extend((0xFF, 0xD0 + n))
+
+        run(emit_sym, put, emit_rst)
+        while acc[1]:
+            put(1, 1)
+        out += segs + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive():
+    """PROGRESSIVE JPEG decode is REAL and exact: with quant=1 and
+    final successive-approximation precision 0, the accumulated
+    coefficients equal the sequential encoding's, so the progressive
+    decode must be byte-IDENTICAL to the sequential decode of the
+    same pixels — across spectral-selection-only scripts, full
+    DC+AC successive approximation (EOB runs, ZRL, correction bits),
+    subsampled frames, and restart intervals."""
+    import numpy as np
+
+    from arachne_spark.operators.multimodal import decode_jpeg_pixels
+
+    rng = np.random.RandomState(3)
+
+    def sa_scans(comps):
+        scans = [(comps, 0, 0, 0, 2), (comps, 0, 0, 2, 1),
+                 (comps, 0, 0, 1, 0)]
+        for ci in comps:
+            scans += [([ci], 1, 10, 0, 2), ([ci], 11, 63, 0, 2)]
+        for ci in comps:
+            scans += [([ci], 1, 63, 2, 1)]
+        for ci in comps:
+            scans += [([ci], 1, 63, 1, 0)]
+        return scans
+
+    def spectral_scans(comps):
+        scans = [(comps, 0, 0, 0, 0)]
+        for ci in comps:
+            scans += [([ci], 1, 5, 0, 0), ([ci], 6, 63, 0, 0)]
+        return scans
+
+    def gradient(w, h, ch):
+        return np.fromfunction(
+            lambda y, x, c: (x * 9 + y * 4 + c * 3) % 256, (h, w, ch)
+        ).astype(np.uint8)
+
+    cases = []
+    for (w, h, ch, sub) in [(16, 8, 1, False), (21, 14, 3, False),
+                            (20, 12, 3, True)]:
+        pix = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        cases.append((pix, w, h, ch, sub,
+                      spectral_scans(list(range(ch))), 0))
+        cases.append((pix, w, h, ch, sub, sa_scans(list(range(ch))), 0))
+        cases.append((gradient(w, h, ch), w, h, ch, sub,
+                      sa_scans(list(range(ch))), 0))
+    flat = (np.full((16, 16, 1), 120, dtype=np.int64)
+            + rng.randint(-2, 3, size=(16, 16, 1))).clip(0, 255)
+    cases.append((flat.astype(np.uint8), 16, 16, 1, False,
+                  sa_scans([0]), 0))
+    dri_pix = rng.randint(0, 256, size=(16, 24, 1), dtype=np.uint8)
+    cases.append((dri_pix, 24, 16, 1, False,
+                  [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0),
+                   ([0], 1, 63, 0, 1), ([0], 1, 63, 1, 0)], 3))
+    for pix, w, h, ch, sub, scans, dri in cases:
+        want = decode_jpeg_pixels(
+            _jpeg_enc(pix.tobytes(), w, h, ch, subsample=sub)
+        )
+        prog = _jpeg_prog_enc(pix.tobytes(), w, h, ch, scans,
+                              subsample=sub, dri=dri)
+        if dri:
+            assert b"\xff\xd0" in prog
+        got = decode_jpeg_pixels(prog)
+        assert got is not None, (w, h, ch, sub, dri)
+        assert got["pixels"] == want["pixels"], (w, h, ch, sub, dri)
+    # header walk agrees on progressive payloads too
+    prog = _jpeg_prog_enc(bytes(16 * 8), 16, 8, 1,
+                          spectral_scans([0]))
+    assert decode_image(prog) == {
+        "format": "jpeg", "width": 16, "height": 8
+    }
+    # truncated mid-scan: None, never a raise
+    assert decode_jpeg_pixels(prog[:len(prog) * 2 // 3]) is None
+    # adversarial scan-count bound: 65+ scans reject
+    torture = bytearray(prog[:-2])
+    sos_at = prog.index(b"\xff\xda")
+    eoi_at = len(prog) - 2
+    one_scan = prog[sos_at:eoi_at]
+    for _ in range(70):
+        torture += one_scan
+    torture += b"\xff\xd9"
+    assert decode_jpeg_pixels(bytes(torture)) is None
     """REAL baseline-JPEG pixel decode: encode→decode roundtrip error
     is rounding-bounded with all-ones quant tables (forward DCT in
     the test encoder, inverse in the decoder — independent
@@ -798,11 +1142,12 @@ def test_jpeg_fixture_decodes_bit_exact():
     from arachne_spark.operators.multimodal import decode_jpeg_pixels
 
     fixture = _jpeg_fixture()
-    assert len(fixture) == 24
+    assert len(fixture) == 36  # 24 sequential + 12 progressive
+    assert sum(1 for i, _, _, _ in fixture if i >= 4_000_000) == 12
     for img_id, payload, w, h in fixture:
         d = decode_jpeg_pixels(payload)
         assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
-        i = img_id - 2_000_000
+        i = img_id % 1_000_000
         assert d["pixels"] == bytes(
             _jpeg_block_val(i, x // 8, y // 8)
             for y in range(h) for x in range(w)
