@@ -891,8 +891,13 @@ def _png_fixture() -> list[tuple[int, bytes, int, int]]:
     through ALL FIVE filter types (y % 5: None/Sub/Up/Average/Paeth,
     encoded forward here, inverted by
     ``multimodal.decode_png_pixels``) + IEND.  40 RGB images, dims and
-    pixels derived from the index (``_png_pixel``).  Used by q45 and
-    its spec oracle."""
+    pixels derived from the index (``_png_pixel``); every 4th image
+    (i % 4 == 3) is Adam7-INTERLACED (PNG spec §8.2: seven reduced
+    images, each filter-cycled independently) so the driver hash also
+    pins the interlaced decode path — the oracle twin computes
+    thumbnails from the pixel spec and never parses PNG, so the
+    expected rows are identical either way.  Used by q45 and its spec
+    oracle."""
     import struct
     import zlib
 
@@ -911,18 +916,8 @@ def _png_fixture() -> list[tuple[int, bytes, int, int]]:
             return a
         return b if pb <= pc else c
 
-    out = []
-    for i in range(40):
-        w, h = i % 23 + 2, i % 13 + 3
-        stride = w * 3
-        raw_rows = [
-            bytes(
-                v
-                for x in range(w)
-                for v in _png_pixel(i, x, y)
-            )
-            for y in range(h)
-        ]
+    def filt(raw_rows: list[bytes], stride: int) -> bytearray:
+        """Forward-filter rows, cycling all five filter types."""
         scan = bytearray()
         prev = bytes(stride)
         for y, raw in enumerate(raw_rows):
@@ -943,7 +938,45 @@ def _png_fixture() -> list[tuple[int, bytes, int, int]]:
                 else:
                     scan.append((raw[x] - paeth(a, b, c)) & 0xFF)
             prev = raw
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return scan
+
+    adam7 = (  # pass origins/steps (x0, y0, dx, dy), PNG spec §8.2
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    out = []
+    for i in range(40):
+        w, h = i % 23 + 2, i % 13 + 3
+        interlaced = i % 4 == 3
+        if interlaced:
+            scan = bytearray()
+            for x0, y0, dx, dy in adam7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                rows = [
+                    bytes(
+                        v
+                        for px in range(pw)
+                        for v in _png_pixel(i, x0 + px * dx, y0 + py * dy)
+                    )
+                    for py in range(ph)
+                ]
+                scan += filt(rows, pw * 3)
+        else:
+            raw_rows = [
+                bytes(
+                    v
+                    for x in range(w)
+                    for v in _png_pixel(i, x, y)
+                )
+                for y in range(h)
+            ]
+            scan = filt(raw_rows, w * 3)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlaced else 0
+        )
         png = (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)

@@ -17,13 +17,14 @@ preservation — is real and tested:
 * ``resize_meta``       — decode → target-dimension computation with
   aspect preserved; thumbnail bytes are REAL nearest-neighbor
   resampled pixels for every pixel-decodable format (every legal
-  non-interlaced PNG via ``decode_png_pixels`` — stdlib-zlib inflate
-  + per-row unfilter, palette/16-bit/sub-byte included — binary PPM,
-  GIF via pure-Python LZW, uncompressed TIFF, and JPEG — sequential
+  PNG via ``decode_png_pixels`` — stdlib-zlib inflate + per-row
+  unfilter, palette/16-bit/sub-byte/Adam7 included — binary PPM,
+  GIF via pure-Python LZW, TIFF — uncompressed, Deflate and
+  PackBits strips, Predictor-2 undone — and JPEG — sequential
   AND progressive — via a from-spec T.81 decoder: Huffman entropy
   decode, Annex-G multi-scan coefficient accumulation, dequantize +
   numpy IDCT + YCbCr→RGB), payload-prefix stub only for the
-  remaining library-codec formats (MP3/AAC/OGG, compressed TIFF);
+  remaining library-codec formats (MP3/AAC/OGG, LZW/JPEG TIFF);
 * ``extract_features``  — payload → float feature vector: REAL
   grid-pooled luminance features for the pixel-decodable formats,
   deterministic hash-seeded stub otherwise; the output column shape
@@ -113,18 +114,73 @@ def _decode_png(payload: bytes) -> dict | None:
     return {"format": "png", "width": w, "height": h}
 
 
+def _png_unfilter(
+    raw: bytes, h: int, stride: int, bpp: int, off: int
+) -> tuple[bytes, int] | None:
+    """Invert the five per-row PNG filters (None/Sub/Up/Average/Paeth,
+    spec §9) over ``h`` scanlines of ``stride`` bytes starting at
+    ``raw[off]`` — one Adam7 pass, or the whole image when
+    non-interlaced.  Returns (unfiltered rows, next offset), or None
+    on truncation / an illegal filter byte."""
+    need = h * (stride + 1)
+    if off + need > len(raw):
+        return None
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        base = off + y * (stride + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1:base + 1 + stride])
+        if ft == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = (
+                    a
+                    if pa <= pb and pa <= pc
+                    else (b if pb <= pc else c)
+                )
+                row[x] = (row[x] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    return bytes(out), off + need
+
+
+# Adam7 pass origins/steps (x0, y0, dx, dy), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png_pixels(payload: bytes | None) -> dict | None:
     """REAL PNG pixel decode via stdlib zlib — no codec library:
     inflate the concatenated IDAT stream and invert the five per-row
     filters (None/Sub/Up/Average/Paeth, PNG spec §9) scanline by
-    scanline.  Covers every non-interlaced PNG format: the 8-bit
+    scanline.  Covers every legal PNG format: the 8-bit
     direct formats (color types 0 grey, 2 RGB, 4 grey+alpha, 6 RGBA),
     palette images (color type 3 at bit depths 1/2/4/8: MSB-first
     index unpack + PLTE lookup → RGB), sub-byte grayscale (depths
-    1/2/4, rescaled to 8-bit by v*255/(2^d-1)) and 16-bit samples
+    1/2/4, rescaled to 8-bit by v*255/(2^d-1)), 16-bit samples
     (reduced to 8-bit by the high byte, the spec's sample-depth
-    scaling); Adam7 interlace returns None and stays on the
-    metadata-only path.  Returns
+    scaling), and Adam7 interlace (spec §8.2: seven independently
+    filtered reduced images scattered back onto the pixel grid; empty
+    passes contribute zero stream bytes).  Returns
     ``{"width", "height", "channels", "pixels"}`` with ``pixels`` =
     height rows of width*channels bytes, or None; never raises on
     adversarial bytes (structural validation via ``_decode_png``,
@@ -156,8 +212,6 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
             return None
     elif bit_depth not in (8, 16):
         return None
-    if interlace != 0:
-        return None
     w, h = meta["width"], meta["height"]
     i, n, idat, plte = 33, len(payload), [], None
     while i + 8 <= n:  # chunk table already validated by _decode_png
@@ -174,90 +228,72 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    if color_type == 3:
-        # filters act on the packed index bytes: bpp = 1, stride =
-        # the scanline's packed byte length (PNG spec §9: "bpp is
-        # rounded up to one" for sub-byte depths)
-        if plte is None or len(plte) % 3 or not plte:
-            return None
-        stride, bpp = (w * bit_depth + 7) // 8, 1
-    elif bit_depth < 8:  # sub-byte grayscale, packed like palette
-        stride, bpp = (w * bit_depth + 7) // 8, 1
+    # packed formats (palette at any depth, sub-byte grayscale) carry
+    # one sample VALUE per pixel; byte-aligned formats carry bpp raw
+    # bytes per pixel — decode each pass and scatter onto the full
+    # pixel grid (the non-interlaced image is a single full-size pass)
+    packed = color_type == 3 or bit_depth < 8
+    if color_type == 3 and (plte is None or not plte or len(plte) % 3):
+        return None
+    if packed:
+        vals = bytearray(w * h)  # one sample value per pixel
+        mask = (1 << bit_depth) - 1
+        per_byte = 8 // bit_depth
     else:
         sample_bytes = bit_depth // 8
-        stride = w * channels * sample_bytes
         bpp = channels * sample_bytes
-    if len(raw) != h * (stride + 1):
-        return None
-    out = bytearray(h * stride)
-    prev = bytes(stride)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = bytearray(
-            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        )
-        if ft == 1:  # Sub
-            for x in range(bpp, stride):
-                row[x] = (row[x] + row[x - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(stride):
-                a = row[x - bpp] if x >= bpp else 0
-                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = row[x - bpp] if x >= bpp else 0
-                c = prev[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = (
-                    a
-                    if pa <= pb and pa <= pc
-                    else (b if pb <= pc else c)
-                )
-                row[x] = (row[x] + pr) & 0xFF
-        elif ft != 0:
+        out = bytearray(w * h * bpp)  # full-image sample bytes
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        if packed:
+            # filters act on the packed index bytes: bpp = 1, stride =
+            # the scanline's packed byte length (PNG spec §9: "bpp is
+            # rounded up to one" for sub-byte depths)
+            stride_p, bpp_p = (pw * bit_depth + 7) // 8, 1
+        else:
+            stride_p, bpp_p = pw * bpp, bpp
+        res = _png_unfilter(raw, ph, stride_p, bpp_p, off)
+        if res is None:
             return None
-        out[y * stride:(y + 1) * stride] = row
-        prev = row
+        rows, off = res
+        if packed:
+            for py in range(ph):
+                base = py * stride_p
+                trow = (y0 + py * dy) * w + x0
+                for px in range(pw):
+                    b = rows[base + px // per_byte]
+                    shift = 8 - bit_depth * (px % per_byte + 1)
+                    vals[trow + px * dx] = (b >> shift) & mask
+        else:
+            for py in range(ph):
+                base = py * stride_p
+                trow = (y0 + py * dy) * w + x0
+                for px in range(pw):
+                    t = (trow + px * dx) * bpp
+                    s = base + px * bpp
+                    out[t:t + bpp] = rows[s:s + bpp]
+    if off != len(raw):  # the passes must tile the stream exactly
+        return None
     if color_type == 3:
         n_entries = len(plte) // 3
         rgb = bytearray(w * h * 3)
-        mask = (1 << bit_depth) - 1
-        per_byte = 8 // bit_depth
-        for y in range(h):
-            base = y * stride
-            for x in range(w):
-                if bit_depth == 8:
-                    idx = out[base + x]
-                else:  # MSB-first packed indices
-                    b = out[base + x // per_byte]
-                    shift = 8 - bit_depth * (x % per_byte + 1)
-                    idx = (b >> shift) & mask
-                if idx >= n_entries:
-                    return None  # spec: out-of-range index is an error
-                o = (y * w + x) * 3
-                rgb[o:o + 3] = plte[idx * 3:idx * 3 + 3]
+        for i, idx in enumerate(vals):
+            if idx >= n_entries:
+                return None  # spec: out-of-range index is an error
+            rgb[i * 3:i * 3 + 3] = plte[idx * 3:idx * 3 + 3]
         return {
             "width": w, "height": h, "channels": 3,
             "pixels": bytes(rgb),
         }
     if bit_depth < 8:  # sub-byte grayscale → 8-bit rescale
-        mask = (1 << bit_depth) - 1
-        per_byte = 8 // bit_depth
-        grey = bytearray(w * h)
-        for y in range(h):
-            base = y * stride
-            for x in range(w):
-                b = out[base + x // per_byte]
-                shift = 8 - bit_depth * (x % per_byte + 1)
-                grey[y * w + x] = ((b >> shift) & mask) * 255 // mask
         return {
             "width": w, "height": h, "channels": 1,
-            "pixels": bytes(grey),
+            "pixels": bytes(v * 255 // mask for v in vals),
         }
     if bit_depth == 16:  # high byte = the spec's depth rescale
         return {
@@ -1215,9 +1251,34 @@ def _tiff_values(
     ]
 
 
+def _packbits(src: bytes) -> bytes | None:
+    """PackBits RLE decode (TIFF spec §9 / Apple): control byte n —
+    0..127 copies n+1 literal bytes, 129..255 repeats the next byte
+    257-n times, 128 is a no-op.  None on truncation."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        b = src[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            if i + b + 1 > n:
+                return None
+            out += src[i:i + b + 1]
+            i += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            if i >= n:
+                return None
+            out += src[i:i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
+
+
 def decode_tiff_pixels(payload: bytes | None) -> dict | None:
-    """REAL baseline-TIFF pixel decode — uncompressed strips need no
-    codec: both byte orders, Compression=1, 8 bits per sample,
+    """REAL baseline-TIFF pixel decode — no codec library: both byte
+    orders, Compression 1 (none), 8/32946 (Deflate — stdlib zlib) and
+    32773 (PackBits RLE — ``_packbits``), each strip decompressed
+    independently per the spec; Predictor 2 (horizontal differencing,
+    TIFF spec §14) undone per row per channel; 8 bits per sample,
     Photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero) or 2 (RGB),
     SamplesPerPixel 1 or 3; strip offsets/byte-counts read inline or
     through their value offsets, concatenated strips must tile
@@ -1252,7 +1313,11 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         v = values(tag)
         return v[0] if v else default
 
-    if scalar(259, 1) != 1:  # Compression: uncompressed only
+    comp = scalar(259, 1)
+    if comp not in (1, 8, 32946, 32773):  # none / Deflate / PackBits
+        return None
+    predictor = scalar(317, 1)
+    if predictor not in (1, 2):  # none / horizontal differencing
         return None
     photometric = scalar(262)
     spp = scalar(277, 1)
@@ -1274,9 +1339,29 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
     for o, c in zip(offs, counts):
         if o + c > n:
             return None
-        data.extend(payload[o:o + c])
+        strip = bytes(payload[o:o + c])
+        if comp in (8, 32946):  # Deflate: each strip its own stream
+            import zlib
+
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error:
+                return None
+        elif comp == 32773:
+            strip = _packbits(strip)
+            if strip is None:
+                return None
+        data.extend(strip)
     if len(data) != w * h * spp:
         return None
+    if predictor == 2:  # undo horizontal differencing per row/channel
+        stride = w * spp
+        for y in range(h):
+            base = y * stride
+            for x in range(spp, stride):
+                data[base + x] = (
+                    data[base + x] + data[base + x - spp]
+                ) & 0xFF
     if photometric == 0:  # WhiteIsZero: invert to BlackIsZero scale
         data = bytearray(255 - v for v in data)
     return {

@@ -79,13 +79,16 @@ def test_media_decoders_never_raise():
     # unfilter paths of decode_png_pixels, not just the chunk walk
     pixel_png = _png_raw(6, 5, 2, lambda x, y: (x * 40, y * 50, 7))
 
-    from test_multimodal import _png_pal
+    from test_multimodal import _png_adam7, _png_pal
 
     pixel_pal_png = _png_pal(
         6, 5, 4,
         [(x + y) % 3 for y in range(5) for x in range(6)],
         [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
     )
+
+    # Adam7 seed: mutations hit the per-pass unfilter + scatter path
+    adam7_png = _png_adam7(9, 6, 8, 2, lambda x, y: (x * 20, y * 30, 5))
 
     pixel_gif = _gif_px(
         5, 4, [(x + y) % 3 for y in range(4) for x in range(5)],
@@ -96,6 +99,16 @@ def test_media_decoders_never_raise():
         6, 4,
         bytes((x + y) % 256
               for y in range(4) for x in range(6) for _ in range(3)),
+    )
+
+    # compressed-TIFF seed: mutations hit the per-strip deflate +
+    # predictor-undo path (PackBits is covered by mutations flipping
+    # the compression tag to 32773 and by the unit tests)
+    deflate_tiff = _tiff_px(
+        6, 4,
+        bytes((x * 3 + y) % 256
+              for y in range(4) for x in range(6) for _ in range(3)),
+        compression=8, predictor=2,
     )
 
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
@@ -131,7 +144,8 @@ def test_media_decoders_never_raise():
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
-        pixel_gif, pixel_tiff, pixel_jpeg, pixel_prog_jpeg, mjpeg_avi,
+        adam7_png, pixel_gif, pixel_tiff, deflate_tiff, pixel_jpeg,
+        pixel_prog_jpeg, mjpeg_avi,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

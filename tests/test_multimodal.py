@@ -329,6 +329,170 @@ def test_decode_png_palette_pixels():
     assert decode_png_pixels(no_plte) is None
 
 
+# Adam7 pass origins/steps, PNG spec §8.2 — kept independent of the
+# decoder's table so a table typo cannot self-verify
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_adam7(w, h, depth, color, sample, palette=None):
+    """Independent Adam7 ENCODER: seven reduced images, each row
+    filtered with filter y % 5 (all five filter types exercised),
+    concatenated and deflated.  ``sample(x, y)`` returns the tuple of
+    channel values (a 1-tuple index/grey value for packed formats)."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    def filt(rows, stride, bpp):
+        out, prev = bytearray(), bytes(stride)
+        for y, row in enumerate(rows):
+            ft = y % 5
+            out.append(ft)
+            enc = bytearray(stride)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    enc[x] = row[x]
+                elif ft == 1:
+                    enc[x] = (row[x] - a) & 0xFF
+                elif ft == 2:
+                    enc[x] = (row[x] - b) & 0xFF
+                elif ft == 3:
+                    enc[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    enc[x] = (row[x] - paeth(a, b, c)) & 0xFF
+            out += enc
+            prev = bytes(row)
+        return out
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    packed = color == 3 or depth < 8
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows = []
+        for py in range(ph):
+            y = y0 + py * dy
+            if packed:
+                stride = (pw * depth + 7) // 8
+                row = bytearray(stride)
+                per = 8 // depth
+                for px in range(pw):
+                    shift = 8 - depth * (px % per + 1)
+                    row[px // per] |= sample(x0 + px * dx, y)[0] << shift
+                rows.append(row)
+            else:
+                sb = depth // 8
+                row = bytearray()
+                for px in range(pw):
+                    for v in sample(x0 + px * dx, y):
+                        if sb == 1:
+                            row.append(v & 0xFF)
+                        else:
+                            row += struct.pack(">H", v)
+                rows.append(row)
+        stride = (pw * depth + 7) // 8 if packed else pw * ch * (depth // 8)
+        stream += filt(rows, stride, 1 if packed else ch * (depth // 8))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    body += (chunk(b"IDAT", zlib.compress(bytes(stream)))
+             + chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7-interlaced PNGs pixel-decode for real in every format
+    family (8-bit RGB across odd/even/sub-8x8 dims that exercise
+    empty and partial passes, grey+alpha, 16-bit RGB, packed palette,
+    sub-byte grayscale) against an independent encoder; a stream that
+    does not tile the seven passes exactly returns None."""
+    import random
+
+    from arachne_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(7)
+    for (w, h) in [(1, 1), (2, 3), (5, 5), (8, 8), (9, 10), (13, 7),
+                   (16, 16), (3, 1), (1, 9), (17, 2), (2, 17)]:
+        vals = {(x, y): tuple(rng.randrange(256) for _ in range(3))
+                for y in range(h) for x in range(w)}
+        d = decode_png_pixels(_png_adam7(w, h, 8, 2,
+                                         lambda x, y: vals[(x, y)]))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == bytes(
+            v for y in range(h) for x in range(w) for v in vals[(x, y)]
+        )
+    # grey+alpha 8-bit
+    w, h = 11, 6
+    ga = {(x, y): ((x * 7 + y) % 256, (y * 13 + x) % 256)
+          for y in range(h) for x in range(w)}
+    d = decode_png_pixels(_png_adam7(w, h, 8, 4, lambda x, y: ga[(x, y)]))
+    assert d["channels"] == 2
+    assert d["pixels"] == bytes(
+        v for y in range(h) for x in range(w) for v in ga[(x, y)])
+    # 16-bit RGB reduces to the high byte
+    w, h = 6, 5
+    rgb16 = {(x, y): ((x * 4096 + y) % 65536, (y * 911) % 65536,
+                      (x * y * 257) % 65536)
+             for y in range(h) for x in range(w)}
+    d = decode_png_pixels(_png_adam7(w, h, 16, 2,
+                                     lambda x, y: rgb16[(x, y)]))
+    assert d["pixels"] == bytes(
+        (v >> 8) & 0xFF
+        for y in range(h) for x in range(w) for v in rgb16[(x, y)])
+    # packed palette (depth 4) and sub-byte grayscale (depth 2)
+    pal = [(i * 16, (255 - i * 16) % 256, i * 5) for i in range(16)]
+    w, h = 9, 7
+    idx = {(x, y): (x * 3 + y) % 16 for y in range(h) for x in range(w)}
+    d = decode_png_pixels(_png_adam7(w, h, 4, 3,
+                                     lambda x, y: (idx[(x, y)],),
+                                     palette=pal))
+    assert d["pixels"] == bytes(
+        v for y in range(h) for x in range(w) for v in pal[idx[(x, y)]])
+    w, h = 10, 9
+    g = {(x, y): (x + y) & 3 for y in range(h) for x in range(w)}
+    d = decode_png_pixels(_png_adam7(w, h, 2, 0, lambda x, y: (g[(x, y)],)))
+    assert d["pixels"] == bytes(
+        g[(x, y)] * 85 for y in range(h) for x in range(w))
+    # an interlaced stream with trailing/missing pass bytes → None
+    import struct as _s
+    import zlib as _z
+
+    def _chunk(t, data):
+        return (_s.pack(">I", len(data)) + t + data
+                + _s.pack(">I", _z.crc32(t + data)))
+
+    good = _png_adam7(5, 5, 8, 2, lambda x, y: (1, 2, 3))
+    raw_len = sum(
+        ((5 - x0 + dx - 1) // dx) * 3 + 1
+        for x0, y0, dx, dy in _ADAM7
+        for _ in range((5 - y0 + dy - 1) // dy)
+        if (5 - x0 + dx - 1) // dx > 0
+    )
+    for bad_len in (raw_len - 1, raw_len + 1):
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + _chunk(b"IHDR", _s.pack(">IIBBBBB", 5, 5, 8, 2, 0, 0, 1))
+               + _chunk(b"IDAT", _z.compress(b"\x00" * bad_len))
+               + _chunk(b"IEND", b""))
+        assert decode_png_pixels(bad) is None
+    assert decode_png_pixels(good) is not None
+
+
 def test_resize_meta_real_pixel_thumbs(spark):
     """Thumbnails are REAL resampled pixel bytes for PNG and PPM (not
     the payload-prefix stub): a 2x-downscaled gradient PNG and a
@@ -1711,12 +1875,18 @@ def _tiff(w=5, h=3, endian="little", typ=3, strips=True):
 
 
 def _tiff_px(w, h, pixels, endian="little", spp=3, photometric=None,
-             n_strips=2, compression=1):
-    """Full baseline TIFF with REAL uncompressed pixel strips: 9-entry
-    IFD (dims, 8-bit samples, compression, photometric, strip
-    offsets/counts, spp, rows-per-strip), value arrays spilled past
-    the 4-byte field when needed, strip data appended last."""
+             n_strips=2, compression=1, predictor=1):
+    """Full baseline TIFF with REAL pixel strips: 9-entry IFD (dims,
+    8-bit samples, compression, photometric, strip offsets/counts,
+    spp, rows-per-strip; +Predictor when asked), value arrays spilled
+    past the 4-byte field when needed, strip data appended last.
+    ``compression`` 8 deflates each strip independently; 32773
+    PackBits-encodes each strip (independent RLE encoder: literal
+    runs chunked at 128, repeats for >=3 equal bytes); ``predictor=2``
+    applies forward horizontal differencing per row/channel before
+    compression."""
     import struct
+    import zlib
 
     bo = "<" if endian == "little" else ">"
     magic = b"II*\x00" if endian == "little" else b"MM\x00*"
@@ -1724,12 +1894,49 @@ def _tiff_px(w, h, pixels, endian="little", spp=3, photometric=None,
         photometric = 2 if spp == 3 else 1
     rps = max(1, (h + n_strips - 1) // n_strips)
     row_bytes = w * spp
+    if predictor == 2:  # forward horizontal differencing
+        diff = bytearray(pixels)
+        for y in range(h):
+            base = y * row_bytes
+            for x in range(row_bytes - 1, spp - 1, -1):
+                diff[base + x] = (
+                    diff[base + x] - pixels[base + x - spp]
+                ) & 0xFF
+        pixels = bytes(diff)
+
+    def packbits_enc(raw: bytes) -> bytes:
+        out = bytearray()
+        i, n = 0, len(raw)
+        while i < n:
+            # find a repeat run of >= 3
+            j = i
+            while j + 1 < n and raw[j + 1] == raw[j] and j - i < 127:
+                j += 1
+            if j - i >= 2:  # repeat run [i..j]
+                out.append(257 - (j - i + 1))
+                out.append(raw[i])
+                i = j + 1
+            else:  # literal run up to next repeat-of-3 or 128 bytes
+                j = i
+                while (j < n and j - i < 128
+                       and not (j + 2 < n and raw[j + 1] == raw[j]
+                                and raw[j + 2] == raw[j])):
+                    j += 1
+                out.append(j - i - 1)
+                out += raw[i:j]
+                i = j
+        return bytes(out)
+
     strips = [
         bytes(pixels[r * row_bytes:min(r + rps, h) * row_bytes])
         for r in range(0, h, rps)
     ]
+    if compression == 8:
+        strips = [zlib.compress(s) for s in strips]
+    elif compression == 32773:
+        strips = [packbits_enc(s) for s in strips]
     k = len(strips)
-    ntags = 9
+    ntags = 9 + (1 if predictor != 1 else 0)
     ifd_off = 8
     ext_off = ifd_off + 2 + 12 * ntags + 4
 
@@ -1757,6 +1964,8 @@ def _tiff_px(w, h, pixels, endian="little", spp=3, photometric=None,
             entry(278, 3, 1, [rps]),
             entry(279, 4, k, [len(s) for s in strips]),
         ]
+        if predictor != 1:
+            entries.append(entry(317, 3, 1, [predictor]))
         ifd = (struct.pack(bo + "H", ntags) + b"".join(entries)
                + struct.pack(bo + "I", 0))
         return ifd, bytes(ext)
@@ -1801,6 +2010,47 @@ def test_decode_tiff_pixels():
     # header-only fixture (no real strips) must not pixel-decode
     assert decode_tiff_pixels(_tiff(5, 3)) is None
     assert decode_tiff_pixels(None) is None
+
+
+def test_decode_tiff_compressed_strips():
+    """Deflate (8) and PackBits (32773) strips decode for real —
+    each strip its own stream — and Predictor 2 (horizontal
+    differencing) is undone per row per channel; a corrupt deflate
+    stream or truncated PackBits run returns None, never raises."""
+    from arachne_spark.operators.multimodal import (
+        _packbits,
+        decode_tiff_pixels,
+    )
+
+    rgb = bytes((x * 7 + y * 11 + c) % 256
+                for y in range(6) for x in range(5) for c in range(3))
+    flat = bytes([9, 9, 9, 9, 9, 9] * 15)  # repeat runs for PackBits
+    for comp in (8, 32773):
+        for pred in (1, 2):
+            for pixels, (w, h, spp) in ((rgb, (5, 6, 3)),
+                                        (flat, (9, 10, 1))):
+                got = decode_tiff_pixels(_tiff_px(
+                    w, h, pixels, spp=spp, n_strips=3,
+                    compression=comp, predictor=pred,
+                ))
+                assert got is not None, (comp, pred, w)
+                assert got["pixels"] == pixels, (comp, pred, w)
+    # big-endian + deflate + predictor together
+    got = decode_tiff_pixels(_tiff_px(
+        5, 6, rgb, endian="big", compression=8, predictor=2))
+    assert got["pixels"] == rgb
+    # corrupt deflate stream → None
+    good = _tiff_px(5, 6, rgb, compression=8, n_strips=1)
+    bad = bytearray(good)
+    bad[-10] ^= 0xFF
+    assert decode_tiff_pixels(bytes(bad)) is None
+    # PackBits truncation inside a literal / repeat run → None
+    assert _packbits(b"\x05ab") is None      # literal run cut short
+    assert _packbits(b"\xfe") is None        # repeat with no byte
+    assert _packbits(b"\x80") == b""         # 128 is a no-op
+    # unknown predictor value → None
+    assert decode_tiff_pixels(_tiff_px(
+        5, 6, rgb, compression=8, predictor=3)) is None
 
 
 def test_decode_image_tiff():
