@@ -1512,19 +1512,188 @@ def _decode_flac(payload: bytes) -> dict | None:
     }
 
 
+# MPEG audio bitrate tables, kbps (ISO 11172-3 / 13818-3): keyed by
+# (is_mpeg1, layer); index 0 (free) and 15 (bad) are rejected
+_MP3_BITRATES = {
+    (True, 1): (0, 32, 64, 96, 128, 160, 192, 224,
+                256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (0, 32, 40, 48, 56, 64, 80, 96,
+                112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (0, 32, 48, 56, 64, 80, 96, 112,
+                 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (0, 8, 16, 24, 32, 40, 48, 56,
+                 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATES[(False, 3)] = _MP3_BITRATES[(False, 2)]
+_MP3_RATES = {  # by version bits (0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1)
+    0: (11025, 12000, 8000),
+    2: (22050, 24000, 16000),
+    3: (44100, 48000, 32000),
+}
+
+
+def _decode_mp3(payload: bytes) -> dict | None:
+    """MPEG-audio (MP3) frame-HEADER walk — entropy decode needs a
+    codec library, but the frame table is plain structure (ISO
+    11172-3 §2.4.1.3): skip an optional ID3v2 tag (syncsafe size),
+    then walk sync-aligned frame headers, each giving version / layer
+    / bitrate / sample-rate / padding and therefore its own byte
+    length; frames must share version, layer, sample rate and channel
+    mode, tile the payload exactly (an optional trailing 128-byte
+    ID3v1 'TAG' allowed), and number at least two.  Duration comes
+    from samples-per-frame × frame count.  Returns the
+    ``decode_audio`` dict shape (``bits_per_sample`` None — not
+    defined for entropy-coded audio); never raises."""
+    n = len(payload)
+    i = 0
+    if bytes(payload[:3]) == b"ID3" and n >= 10:
+        size = 0
+        for k in range(6, 10):
+            if payload[k] & 0x80:  # syncsafe bytes keep the top bit 0
+                return None
+            size = (size << 7) | payload[k]
+        i = 10 + size + (10 if payload[5] & 0x10 else 0)
+    spec = None  # (version_bits, layer, rate, channels)
+    frames = samples = 0
+    while i < n:
+        if n - i == 128 and bytes(payload[i:i + 3]) == b"TAG":
+            break  # trailing ID3v1 tag
+        if i + 4 > n or payload[i] != 0xFF or payload[i + 1] & 0xE0 != 0xE0:
+            return None
+        b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+        ver = (b1 >> 3) & 3
+        layer = 4 - ((b1 >> 1) & 3)  # bits 3/2/1 = Layer I/II/III
+        br_idx, rate_idx = b2 >> 4, (b2 >> 2) & 3
+        if ver == 1 or layer == 4 or br_idx in (0, 15) or rate_idx == 3:
+            return None
+        rate = _MP3_RATES[ver][rate_idx]
+        mpeg1 = ver == 3
+        bitrate = _MP3_BITRATES[(mpeg1, layer)][br_idx] * 1000
+        channels = 1 if (b3 >> 6) & 3 == 3 else 2
+        if spec is None:
+            spec = (ver, layer, rate, channels)
+        elif spec != (ver, layer, rate, channels):
+            return None  # frames must agree (no mid-stream switches)
+        padding = (b2 >> 1) & 1
+        if layer == 1:
+            spf = 384
+            flen = (12 * bitrate // rate + padding) * 4
+        else:
+            spf = 1152 if layer == 2 or mpeg1 else 576
+            flen = spf // 8 * bitrate // rate + padding
+        if flen <= 4 or i + flen > n:
+            return None
+        frames += 1
+        samples += spf
+        i += flen
+    if frames < 2 or spec is None:
+        return None
+    _, _, rate, channels = spec
+    return {
+        "format": "mp3",
+        "channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": None,
+        "n_samples": samples,
+        "duration_ms": samples * 1000 // rate,
+    }
+
+
+def _decode_ogg(payload: bytes) -> dict | None:
+    """OGG container walk (RFC 3533) + Vorbis/Opus identification
+    header — the page table is plain structure: every page is "OggS"
+    + version 0 + header-type + 64-bit granule position + serial /
+    sequence / checksum + a segment table sizing the page body; pages
+    must tile the payload exactly, the first page must carry the
+    beginning-of-stream flag and contain the codec's identification
+    header ("\\x01vorbis" — channels u8 + rate u32le; or "OpusHead" —
+    channels u8 + pre-skip u16le, granules always at 48 kHz).  Total
+    samples = the last finished-packet granule position (minus
+    pre-skip for Opus).  Returns the ``decode_audio`` dict shape
+    (``bits_per_sample`` None); never raises."""
+    n = len(payload)
+    i, first = 0, True
+    fmt = channels = rate = preskip = None
+    last_granule = 0
+    while i < n:
+        if i + 27 > n or bytes(payload[i:i + 4]) != b"OggS":
+            return None
+        if payload[i + 4] != 0:  # stream structure version
+            return None
+        header_type = payload[i + 5]
+        granule = int.from_bytes(
+            payload[i + 6:i + 14], "little", signed=True
+        )
+        n_segs = payload[i + 26]
+        if i + 27 + n_segs > n:
+            return None
+        body_len = sum(payload[i + 27:i + 27 + n_segs])
+        body_at = i + 27 + n_segs
+        if body_at + body_len > n:
+            return None
+        if first:
+            if not header_type & 0x02:  # BOS flag required
+                return None
+            body = bytes(payload[body_at:body_at + body_len])
+            if body[:7] == b"\x01vorbis" and len(body) >= 30:
+                if int.from_bytes(body[7:11], "little") != 0:
+                    return None  # vorbis_version must be 0
+                fmt = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                fmt = "opus"
+                channels = body[9]
+                preskip = int.from_bytes(body[10:12], "little")
+                rate = 48000  # granule positions are always 48 kHz
+            else:
+                return None
+            if not channels or not rate:
+                return None
+            first = False
+        if granule >= 0:  # -1 = no packet finishes on this page
+            last_granule = granule
+        i = body_at + body_len
+    if fmt is None:
+        return None
+    total = last_granule - (preskip or 0)
+    total = max(total, 0)
+    return {
+        "format": fmt,
+        "channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": None,
+        "n_samples": total,
+        "duration_ms": total * 1000 // rate,
+    }
+
+
 def decode_audio(payload: bytes | None) -> dict | None:
     """REAL pure-Python audio header decoder for WAV (RIFF/WAVE — walk
     the RIFF chunk table, read the fmt chunk (PCM or IEEE-float
     format tag, channels, sample rate, bits/sample) and size the data
-    chunk into a sample count + duration) and FLAC (STREAMINFO
-    metadata block — ``_decode_flac``).  Returns ``{"format",
-    "channels", "sample_rate", "bits_per_sample", "n_samples",
-    "duration_ms"}`` or None.  Compressed audio (MP3/AAC/OGG) stays a
-    labeled stub — no codec libraries in this container."""
+    chunk into a sample count + duration), FLAC (STREAMINFO metadata
+    block — ``_decode_flac``), MP3 (frame-header walk —
+    ``_decode_mp3``) and OGG Vorbis/Opus (page walk + identification
+    header — ``_decode_ogg``).  Returns ``{"format", "channels",
+    "sample_rate", "bits_per_sample", "n_samples", "duration_ms"}``
+    or None (``bits_per_sample`` is None for the entropy-coded
+    formats).  SAMPLE decode for the compressed formats stays a
+    labeled stub — no codec libraries in this container — but the
+    container structure, codec parameters and duration are real."""
     if not payload or len(payload) < 42:
         return None
     if bytes(payload[:4]) == b"fLaC":
         return _decode_flac(payload)
+    if bytes(payload[:4]) == b"OggS":
+        return _decode_ogg(payload)
+    if (
+        bytes(payload[:3]) == b"ID3"
+        or (payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0)
+    ):
+        return _decode_mp3(payload)
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
         return None
     n = len(payload)

@@ -79,7 +79,12 @@ def test_media_decoders_never_raise():
     # unfilter paths of decode_png_pixels, not just the chunk walk
     pixel_png = _png_raw(6, 5, 2, lambda x, y: (x * 40, y * 50, 7))
 
-    from test_multimodal import _png_adam7, _png_pal
+    from test_multimodal import _mp3, _ogg, _png_adam7, _png_pal
+
+    # compressed-audio seeds: mutations hit the MP3 frame-header walk
+    # and the OGG page/segment-table walk of decode_audio
+    mp3_seed = _mp3(n_frames=4, pad_odd=True, id3v2=32)
+    ogg_seed = _ogg(codec="opus", granule=9600)
 
     pixel_pal_png = _png_pal(
         6, 5, 4,
@@ -145,7 +150,7 @@ def test_media_decoders_never_raise():
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, pixel_jpeg,
-        pixel_prog_jpeg, mjpeg_avi,
+        pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

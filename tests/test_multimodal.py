@@ -1851,6 +1851,155 @@ def test_decode_audio_flac(spark):
     assert rows[2]["format"] == "wav" and rows[2]["duration_ms"] == 100
 
 
+def _mp3(n_frames=3, ver=3, layer=3, br_idx=9, rate_idx=0, mono=False,
+         id3v2=0, id3v1=False, pad_odd=False, truncate=0):
+    """MPEG-audio fixture from independent tables: ``ver`` is the
+    header's version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5), frame bodies
+    are deterministic junk of exactly the header-implied length."""
+    rates = {0: (11025, 12000, 8000), 2: (22050, 24000, 16000),
+             3: (44100, 48000, 32000)}[ver][rate_idx]
+    mpeg1 = ver == 3
+    table = {
+        (True, 1): (0, 32, 64, 96, 128, 160, 192, 224,
+                    256, 288, 320, 352, 384, 416, 448),
+        (True, 2): (0, 32, 48, 56, 64, 80, 96, 112,
+                    128, 160, 192, 224, 256, 320, 384),
+        (True, 3): (0, 32, 40, 48, 56, 64, 80, 96,
+                    112, 128, 160, 192, 224, 256, 320),
+        (False, 1): (0, 32, 48, 56, 64, 80, 96, 112,
+                     128, 144, 160, 176, 192, 224, 256),
+        (False, 2): (0, 8, 16, 24, 32, 40, 48, 56,
+                     64, 80, 96, 112, 128, 144, 160),
+        (False, 3): (0, 8, 16, 24, 32, 40, 48, 56,
+                     64, 80, 96, 112, 128, 144, 160),
+    }[(mpeg1, layer)]
+    bitrate = table[br_idx] * 1000
+    out = bytearray()
+    if id3v2:
+        out += (b"ID3" + bytes([4, 0, 0])
+                + bytes([(id3v2 >> 21) & 0x7F, (id3v2 >> 14) & 0x7F,
+                         (id3v2 >> 7) & 0x7F, id3v2 & 0x7F])
+                + bytes(id3v2))
+    for f in range(n_frames):
+        pad = 1 if pad_odd and f % 2 else 0
+        b1 = 0xE0 | (ver << 3) | ((4 - layer) << 1) | 1
+        b2 = (br_idx << 4) | (rate_idx << 2) | (pad << 1)
+        b3 = 0xC0 if mono else 0x00
+        if layer == 1:
+            flen = (12 * bitrate // rates + pad) * 4
+        else:
+            spf = 1152 if layer == 2 or mpeg1 else 576
+            flen = spf // 8 * bitrate // rates + pad
+        frame = bytearray([0xFF, b1, b2, b3])
+        frame += bytes((f + k) % 251 for k in range(flen - 4))
+        out += frame
+    if truncate:
+        out = out[:-truncate]
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def test_decode_audio_mp3():
+    """MP3 frame-header walk: version/layer/bitrate/rate tables give
+    each frame its byte length; duration = frames x samples-per-frame;
+    ID3v2 prefix and ID3v1 trailer skipped; inconsistent or truncated
+    frame tables return None, never raise."""
+    from arachne_spark.operators.multimodal import decode_audio
+
+    got = decode_audio(_mp3())  # MPEG1 L3 128kbps 44100 stereo
+    assert got == {
+        "format": "mp3", "channels": 2, "sample_rate": 44100,
+        "bits_per_sample": None, "n_samples": 3 * 1152,
+        "duration_ms": 3 * 1152 * 1000 // 44100,
+    }
+    # padding alternates frame sizes; tags skipped on both ends
+    got = decode_audio(_mp3(n_frames=5, pad_odd=True, id3v2=64,
+                            id3v1=True))
+    assert got["n_samples"] == 5 * 1152
+    # MPEG2.5 Layer III: 576 samples/frame at 8 kHz
+    got = decode_audio(_mp3(n_frames=4, ver=0, br_idx=1, rate_idx=2))
+    assert (got["sample_rate"], got["n_samples"]) == (8000, 4 * 576)
+    # Layer II (1152 always) and Layer I (384, x4 length formula), mono
+    assert decode_audio(_mp3(layer=2, mono=True))["channels"] == 1
+    assert decode_audio(
+        _mp3(n_frames=12, layer=1, br_idx=1))["n_samples"] == 12 * 384
+    # MPEG2 Layer III
+    got = decode_audio(_mp3(ver=2, br_idx=8, rate_idx=1))
+    assert (got["sample_rate"], got["n_samples"]) == (24000, 3 * 576)
+    # failures: lone frame, truncated walk, free/bad bitrate, junk
+    assert decode_audio(_mp3(n_frames=1)) is None
+    assert decode_audio(_mp3(truncate=7)) is None
+    assert decode_audio(_mp3() + b"junk") is None
+    bad = bytearray(_mp3())
+    bad[2] = (15 << 4) | bad[2] & 0x0F  # bitrate index 15 = bad
+    assert decode_audio(bytes(bad)) is None
+    # frames must agree: second frame at a different sample rate
+    two = bytearray(_mp3(n_frames=2))
+    flen = 144 * 128000 // 44100
+    two[flen + 2] = (9 << 4) | (1 << 2)  # rate_idx 0 -> 1 mid-stream
+    assert decode_audio(bytes(two)) is None
+    assert decode_audio(b"ID3" + bytes(60)) is None
+
+
+def _ogg(codec="vorbis", channels=2, rate=44100, granule=44100,
+         preskip=312, bos=True, page_version=0, ident_junk=False):
+    """OGG fixture: BOS identification page + one body page + an EOS
+    page carrying the final granule position (RFC 3533 lacing)."""
+    def page(body, htype, gran, seq):
+        segs = []
+        left = len(body)
+        while left >= 255:
+            segs.append(255)
+            left -= 255
+        segs.append(left)
+        return (b"OggS" + bytes([page_version, htype])
+                + gran.to_bytes(8, "little", signed=True)
+                + (1234).to_bytes(4, "little")
+                + seq.to_bytes(4, "little") + bytes(4)
+                + bytes([len(segs)]) + bytes(segs) + body)
+
+    if ident_junk:
+        ident = b"\x07junkhdr" + bytes(30)
+    elif codec == "vorbis":
+        ident = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                 + bytes([channels]) + rate.to_bytes(4, "little")
+                 + bytes(12) + b"\xb8\x01")
+    else:
+        ident = (b"OpusHead" + bytes([1, channels])
+                 + preskip.to_bytes(2, "little")
+                 + (48000).to_bytes(4, "little") + bytes(3))
+    return (page(ident, 0x02 if bos else 0x00, 0, 0)
+            + page(bytes(300), 0x00, -1, 1)      # packet spans on
+            + page(bytes(40), 0x04, granule, 2))  # EOS, final granule
+
+
+def test_decode_audio_ogg():
+    """OGG page walk + Vorbis/Opus identification headers: duration
+    from the last finished-packet granule (-1 pages skipped; Opus
+    minus pre-skip at 48 kHz); malformed pages return None."""
+    from arachne_spark.operators.multimodal import decode_audio
+
+    got = decode_audio(_ogg())
+    assert got == {
+        "format": "vorbis", "channels": 2, "sample_rate": 44100,
+        "bits_per_sample": None, "n_samples": 44100,
+        "duration_ms": 1000,
+    }
+    got = decode_audio(_ogg(codec="opus", granule=48000 + 312))
+    assert (got["format"], got["n_samples"]) == ("opus", 48000)
+    assert got["duration_ms"] == 1000
+    assert decode_audio(_ogg(channels=1))["channels"] == 1
+    # failures, never raises: no BOS, bad version byte, junk ident,
+    # truncated page body, zero rate
+    assert decode_audio(_ogg(bos=False)) is None
+    assert decode_audio(_ogg(page_version=1)) is None
+    assert decode_audio(_ogg(ident_junk=True)) is None
+    assert decode_audio(_ogg()[:-20]) is None
+    assert decode_audio(_ogg(rate=0)) is None
+    assert decode_audio(b"OggS" + bytes(60)) is None
+
+
 def _tiff(w=5, h=3, endian="little", typ=3, strips=True):
     import struct
 
