@@ -19,12 +19,12 @@ preservation — is real and tested:
   resampled pixels for every pixel-decodable format (every legal
   PNG via ``decode_png_pixels`` — stdlib-zlib inflate + per-row
   unfilter, palette/16-bit/sub-byte/Adam7 included — binary PPM,
-  GIF via pure-Python LZW, TIFF — uncompressed, Deflate and
+  GIF via pure-Python LZW, TIFF — uncompressed, LZW, Deflate and
   PackBits strips, Predictor-2 undone — and JPEG — sequential
   AND progressive — via a from-spec T.81 decoder: Huffman entropy
   decode, Annex-G multi-scan coefficient accumulation, dequantize +
   numpy IDCT + YCbCr→RGB), payload-prefix stub only for the
-  remaining library-codec formats (MP3/AAC/OGG, LZW/JPEG TIFF);
+  remaining library-codec formats (MP3/AAC/OGG, JPEG-in-TIFF);
 * ``extract_features``  — payload → float feature vector: REAL
   grid-pooled luminance features for the pixel-decodable formats,
   deterministic hash-seeded stub otherwise; the output column shape
@@ -1251,6 +1251,62 @@ def _tiff_values(
     ]
 
 
+def _tiff_lzw(src: bytes) -> bytes | None:
+    """TIFF-variant LZW decode (TIFF 6.0 §13) — pure bit-twiddling, no
+    codec library.  Unlike the GIF variant (``_lzw_decode``): codes are
+    packed MSB-first, the root alphabet is always the 256 byte values
+    (ClearCode 256, EOI 257, first dictionary entry 258), the stream
+    must begin with a ClearCode, and the code width grows one code
+    EARLY — after adding entry N the decoder widens when the next free
+    index N+1 reaches 2^width - 1 (the spec's "early change", which
+    keeps the decoder in lockstep with an encoder that widens at
+    2^width because its dictionary runs one entry ahead).  Decodes
+    until EOI (or the bits run out) and returns the byte stream, or
+    None on a corrupt code."""
+    clear, eoi = 256, 257
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(src) * 8
+    first = True
+    while bitpos + width <= total_bits:
+        byte_i = bitpos // 8
+        chunk = bytes(src[byte_i:byte_i + 4])
+        window = int.from_bytes(chunk.ljust(4, b"\x00"), "big")
+        code = (window >> (32 - (bitpos % 8) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if first:
+            if code != clear:  # spec: every strip begins with Clear
+                return None
+            first = False
+        if code == clear:
+            width = 9
+            del table[258:]
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1  # early change
+        out.extend(entry)
+        prev = entry
+    return bytes(out)  # bits exhausted without EOI: tolerate per §13
+
+
 def _packbits(src: bytes) -> bytes | None:
     """PackBits RLE decode (TIFF spec §9 / Apple): control byte n —
     0..127 copies n+1 literal bytes, 129..255 repeats the next byte
@@ -1275,14 +1331,15 @@ def _packbits(src: bytes) -> bytes | None:
 
 def decode_tiff_pixels(payload: bytes | None) -> dict | None:
     """REAL baseline-TIFF pixel decode — no codec library: both byte
-    orders, Compression 1 (none), 8/32946 (Deflate — stdlib zlib) and
+    orders, Compression 1 (none), 5 (LZW — ``_tiff_lzw``, MSB-first
+    early-change variant), 8/32946 (Deflate — stdlib zlib) and
     32773 (PackBits RLE — ``_packbits``), each strip decompressed
     independently per the spec; Predictor 2 (horizontal differencing,
     TIFF spec §14) undone per row per channel; 8 bits per sample,
     Photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero) or 2 (RGB),
     SamplesPerPixel 1 or 3; strip offsets/byte-counts read inline or
     through their value offsets, concatenated strips must tile
-    width*height*channels exactly.  LZW/JPEG-compressed, tiled,
+    width*height*channels exactly.  JPEG-compressed, tiled,
     planar, and non-8-bit TIFFs return None (header metadata stays
     real via ``_decode_tiff``).  Same return shape as
     ``decode_png_pixels``; never raises."""
@@ -1314,7 +1371,7 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         return v[0] if v else default
 
     comp = scalar(259, 1)
-    if comp not in (1, 8, 32946, 32773):  # none / Deflate / PackBits
+    if comp not in (1, 5, 8, 32946, 32773):  # none/LZW/Deflate/PackBits
         return None
     predictor = scalar(317, 1)
     if predictor not in (1, 2):  # none / horizontal differencing
@@ -1349,6 +1406,10 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
                 return None
         elif comp == 32773:
             strip = _packbits(strip)
+            if strip is None:
+                return None
+        elif comp == 5:  # LZW: each strip its own stream (TIFF6 §13)
+            strip = _tiff_lzw(strip)
             if strip is None:
                 return None
         data.extend(strip)
@@ -2365,12 +2426,12 @@ def resize_meta(
     pixel bytes — wherever pixels decode codec-free: 8-bit non-palette
     PNG (``decode_png_pixels``, stdlib-zlib inflate + per-row
     unfilter), binary PPM (``_ppm_pixels``), GIF
-    (``decode_gif_pixels``, pure-Python LZW + palette), uncompressed
-    TIFF and JPEG — sequential and progressive —
-    (``decode_jpeg_pixels``, from-spec T.81 Huffman + IDCT).  Formats
-    still needing a library codec (LZW/JPEG-compressed TIFF) keep the
-    labeled payload-prefix stub; a deployment swaps in PIL there —
-    same schema, same Arrow plumbing."""
+    (``decode_gif_pixels``, pure-Python LZW + palette), TIFF —
+    uncompressed / LZW / Deflate / PackBits strips — and JPEG —
+    sequential and progressive — (``decode_jpeg_pixels``, from-spec
+    T.81 Huffman + IDCT).  Formats still needing a library codec
+    (JPEG-in-TIFF) keep the labeled payload-prefix stub; a deployment
+    swaps in PIL there — same schema, same Arrow plumbing."""
     id_field = df.schema[id_col]
     schema = StructType(
         [

@@ -116,6 +116,15 @@ def test_media_decoders_never_raise():
         compression=8, predictor=2,
     )
 
+    # LZW-TIFF seed: mutations hit the variable-width MSB-first code
+    # walk of _tiff_lzw (bad codes, truncated streams, width desync)
+    lzw_tiff = _tiff_px(
+        6, 4,
+        bytes((x * 5 + y * 2) % 256
+              for y in range(4) for x in range(6) for _ in range(3)),
+        compression=5,
+    )
+
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
     # MCU walk of decode_jpeg_pixels, not just the marker walk
     pixel_jpeg = _jpeg_enc(
@@ -149,7 +158,8 @@ def test_media_decoders_never_raise():
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
-        adam7_png, pixel_gif, pixel_tiff, deflate_tiff, pixel_jpeg,
+        adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
+        pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (

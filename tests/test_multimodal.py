@@ -2023,6 +2023,51 @@ def _tiff(w=5, h=3, endian="little", typ=3, strips=True):
     return magic + struct.pack(bo + "I", 8) + ifd
 
 
+def _tiff_lzw_enc(raw: bytes) -> bytes:
+    """Independent TIFF-LZW test encoder (TIFF 6.0 §13): real
+    dictionary compression with MSB-first variable-width codes —
+    leading ClearCode, EOI trailer, width widened when the NEXT free
+    index reaches 2^width (the dictionary side of the spec's early
+    change: the decoder, one entry behind, widens at 2^width - 1), and
+    a mid-stream ClearCode reset before the table overflows."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)  # every strip begins with Clear
+    w = b""
+    for b in raw:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+        if next_code == 4094:  # reset before the 12-bit table fills
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_px(w, h, pixels, endian="little", spp=3, photometric=None,
              n_strips=2, compression=1, predictor=1):
     """Full baseline TIFF with REAL pixel strips: 9-entry IFD (dims,
@@ -2031,9 +2076,9 @@ def _tiff_px(w, h, pixels, endian="little", spp=3, photometric=None,
     past the 4-byte field when needed, strip data appended last.
     ``compression`` 8 deflates each strip independently; 32773
     PackBits-encodes each strip (independent RLE encoder: literal
-    runs chunked at 128, repeats for >=3 equal bytes); ``predictor=2``
-    applies forward horizontal differencing per row/channel before
-    compression."""
+    runs chunked at 128, repeats for >=3 equal bytes); 5 LZW-encodes
+    each strip (``_tiff_lzw_enc``); ``predictor=2`` applies forward
+    horizontal differencing per row/channel before compression."""
     import struct
     import zlib
 
@@ -2084,6 +2129,8 @@ def _tiff_px(w, h, pixels, endian="little", spp=3, photometric=None,
         strips = [zlib.compress(s) for s in strips]
     elif compression == 32773:
         strips = [packbits_enc(s) for s in strips]
+    elif compression == 5:
+        strips = [_tiff_lzw_enc(s) for s in strips]
     k = len(strips)
     ntags = 9 + (1 if predictor != 1 else 0)
     ifd_off = 8
@@ -2152,10 +2199,6 @@ def test_decode_tiff_pixels():
         _tiff_px(7, 3, grey, spp=1, photometric=0, n_strips=1)
     )
     assert inv["pixels"] == bytes(255 - v for v in grey)
-    # LZW-compressed declares itself out of codec-free scope
-    assert decode_tiff_pixels(
-        _tiff_px(5, 4, rgb, compression=5)
-    ) is None
     # header-only fixture (no real strips) must not pixel-decode
     assert decode_tiff_pixels(_tiff(5, 3)) is None
     assert decode_tiff_pixels(None) is None
@@ -2200,6 +2243,57 @@ def test_decode_tiff_compressed_strips():
     # unknown predictor value → None
     assert decode_tiff_pixels(_tiff_px(
         5, 6, rgb, compression=8, predictor=3)) is None
+
+
+def test_decode_tiff_lzw_strips():
+    """TIFF-LZW strips (Compression 5) decode for real: MSB-first
+    variable-width codes with the spec's early change, verified by
+    roundtrips against the independent dictionary encoder across every
+    code-width transition (9→10→11→12), the mid-stream ClearCode
+    reset of a full table, the KwKwK corner, Predictor 2 on top, and
+    both byte orders; corrupt streams return None, never raise."""
+    import hashlib
+
+    from arachne_spark.operators.multimodal import (
+        _tiff_lzw,
+        decode_tiff_pixels,
+    )
+
+    # deterministic incompressible stream: ~1 dictionary entry per
+    # byte, so 8k+ bytes crosses 511/1023/2047 (all three width
+    # transitions) AND the 4094-entry table reset inside ONE strip
+    stream = b"".join(
+        hashlib.md5(b"tiff-lzw-%d" % i).digest() for i in range(540)
+    )  # 8640 bytes = 64 * 45 * 3
+    assert _tiff_lzw(_tiff_lzw_enc(stream)) == stream
+    got = decode_tiff_pixels(
+        _tiff_px(64, 45, stream, compression=5, n_strips=1)
+    )
+    assert got is not None and got["pixels"] == stream
+    # KwKwK: the encoder emits a code on the very step it was added
+    kwk = b"ab" * 40 + b"a"
+    assert _tiff_lzw(_tiff_lzw_enc(kwk)) == kwk
+    # highly repetitive data (long dictionary hits) + multi-strip +
+    # predictor + big-endian
+    rgb = bytes((x * 7 + y * 11 + c) % 256
+                for y in range(6) for x in range(5) for c in range(3))
+    for pixels, (w, h, spp) in ((rgb, (5, 6, 3)),
+                                (bytes([9] * 90), (9, 10, 1))):
+        for endian in ("little", "big"):
+            got = decode_tiff_pixels(_tiff_px(
+                w, h, pixels, spp=spp, endian=endian, n_strips=3,
+                compression=5, predictor=2,
+            ))
+            assert got is not None and got["pixels"] == pixels, endian
+    # failures: stream not starting with Clear, out-of-range code,
+    # truncation mid-stream — None, never a raise
+    assert _tiff_lzw(b"\x00\x00\x00") is None          # first != Clear
+    assert _tiff_lzw(bytes([0x80, 0x7F, 0xFF, 0xFF])) is None  # code 511
+    enc = _tiff_lzw_enc(stream)
+    assert _tiff_lzw(enc[: len(enc) // 2]) != stream   # truncated
+    bad = bytearray(_tiff_px(64, 45, stream, compression=5, n_strips=1))
+    bad[-40] ^= 0xFF
+    assert decode_tiff_pixels(bytes(bad)) is None      # corrupt strip
 
 
 def test_decode_image_tiff():
