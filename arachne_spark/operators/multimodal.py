@@ -19,12 +19,12 @@ preservation — is real and tested:
   resampled pixels for every pixel-decodable format (every legal
   PNG via ``decode_png_pixels`` — stdlib-zlib inflate + per-row
   unfilter, palette/16-bit/sub-byte/Adam7 included — binary PPM,
-  GIF via pure-Python LZW, TIFF — uncompressed, LZW, Deflate and
-  PackBits strips, Predictor-2 undone — and JPEG — sequential
-  AND progressive — via a from-spec T.81 decoder: Huffman entropy
-  decode, Annex-G multi-scan coefficient accumulation, dequantize +
-  numpy IDCT + YCbCr→RGB), payload-prefix stub only for the
-  remaining library-codec formats (MP3/AAC/OGG, JPEG-in-TIFF);
+  GIF via pure-Python LZW, TIFF — uncompressed, LZW, Deflate,
+  PackBits and JPEG strips, Predictor-2 undone — and JPEG —
+  sequential AND progressive — via a from-spec T.81 decoder: Huffman
+  entropy decode, Annex-G multi-scan coefficient accumulation,
+  dequantize + numpy IDCT + YCbCr→RGB), payload-prefix stub only
+  for the remaining library-codec formats (MP3/AAC/OGG samples);
 * ``extract_features``  — payload → float feature vector: REAL
   grid-pooled luminance features for the pixel-decodable formats,
   deterministic hash-seeded stub otherwise; the output column shape
@@ -1332,16 +1332,20 @@ def _packbits(src: bytes) -> bytes | None:
 def decode_tiff_pixels(payload: bytes | None) -> dict | None:
     """REAL baseline-TIFF pixel decode — no codec library: both byte
     orders, Compression 1 (none), 5 (LZW — ``_tiff_lzw``, MSB-first
-    early-change variant), 8/32946 (Deflate — stdlib zlib) and
-    32773 (PackBits RLE — ``_packbits``), each strip decompressed
-    independently per the spec; Predictor 2 (horizontal differencing,
-    TIFF spec §14) undone per row per channel; 8 bits per sample,
-    Photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero) or 2 (RGB),
-    SamplesPerPixel 1 or 3; strip offsets/byte-counts read inline or
-    through their value offsets, concatenated strips must tile
-    width*height*channels exactly.  JPEG-compressed, tiled,
-    planar, and non-8-bit TIFFs return None (header metadata stays
-    real via ``_decode_tiff``).  Same return shape as
+    early-change variant), 8/32946 (Deflate — stdlib zlib), 32773
+    (PackBits RLE — ``_packbits``), each strip decompressed
+    independently per the spec, and 7 (new-style JPEG, TIFF TechNote
+    2 — each strip delegated to ``decode_jpeg_pixels``, shared
+    JPEGTables spliced ahead of abbreviated strip streams, decoded
+    strips stitched with their SOF geometry checked against the strip
+    layout); Predictor 2 (horizontal differencing, TIFF spec §14)
+    undone per row per channel; 8 bits per sample, Photometric 0
+    (WhiteIsZero, inverted), 1 (BlackIsZero), 2 (RGB) or 6 (YCbCr,
+    JPEG strips only); SamplesPerPixel 1 or 3; strip
+    offsets/byte-counts read inline or through their value offsets,
+    concatenated strips must tile width*height*channels exactly.
+    Tiled, planar, and non-8-bit TIFFs return None (header metadata
+    stays real via ``_decode_tiff``).  Same return shape as
     ``decode_png_pixels``; never raises."""
     if not payload:
         return None
@@ -1371,14 +1375,63 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         return v[0] if v else default
 
     comp = scalar(259, 1)
-    if comp not in (1, 5, 8, 32946, 32773):  # none/LZW/Deflate/PackBits
-        return None
+    if comp not in (1, 5, 7, 8, 32946, 32773):
+        return None  # none / LZW / JPEG / Deflate / PackBits
     predictor = scalar(317, 1)
     if predictor not in (1, 2):  # none / horizontal differencing
         return None
     photometric = scalar(262)
     spp = scalar(277, 1)
     bps = values(258)
+    if comp == 7:  # new-style JPEG strips (TIFF TechNote 2)
+        if 324 in tags or scalar(284, 1) != 1 or predictor != 1:
+            return None
+        if photometric not in (1, 2, 6) or spp not in (1, 3):
+            return None  # grayscale / RGB / YCbCr (JPEG-native)
+        if bps is None or len(bps) != spp or any(b != 8 for b in bps):
+            return None
+        offs, counts = values(273), values(279)
+        if offs is None or counts is None or len(offs) != len(counts):
+            return None
+        w, h = meta["width"], meta["height"]
+        rps = scalar(278, h)
+        if not rps or len(offs) != -(-h // rps):
+            return None
+        # JPEGTables (tag 347, UNDEFINED): SOI + DQT/DHT + EOI shared
+        # by abbreviated strip streams; splice ahead of each strip
+        tables = b""
+        if 347 in tags:
+            typ, count, field = tags[347]
+            if typ != 7 or count < 4:
+                return None
+            toff = (int.from_bytes(field, endian)
+                    if count > 4 else None)
+            raw = (bytes(payload[toff:toff + count])
+                   if toff is not None else field[:count])
+            if (len(raw) != count or raw[:2] != b"\xff\xd8"
+                    or raw[-2:] != b"\xff\xd9"):
+                return None
+            tables = raw[2:-2]
+        out = bytearray()
+        rows_done = 0
+        for o, c in zip(offs, counts):
+            if o + c > len(payload):
+                return None
+            strip = bytes(payload[o:o + c])
+            if tables and strip[:2] == b"\xff\xd8":
+                strip = b"\xff\xd8" + tables + strip[2:]
+            dec = decode_jpeg_pixels(strip)
+            want_rows = min(rps, h - rows_done)
+            if (dec is None or dec["width"] != w
+                    or dec["height"] != want_rows
+                    or dec["channels"] != spp):
+                return None
+            out += dec["pixels"]
+            rows_done += want_rows
+        if rows_done != h:
+            return None
+        return {"width": w, "height": h, "channels": spp,
+                "pixels": bytes(out)}
     if photometric not in (0, 1, 2) or spp not in (1, 3):
         return None
     if photometric == 2 and spp != 3:
@@ -1431,6 +1484,73 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         "channels": spp,
         "pixels": bytes(data),
     }
+
+
+def decode_bmp_pixels(payload: bytes | None) -> dict | None:
+    """REAL uncompressed-BMP pixel decode — BMP stores raw samples,
+    no entropy coder at all: BITMAPINFOHEADER (or larger), BI_RGB
+    only, bit depths 1/4/8 (palettized — BGRA quads after the info
+    header, MSB-first sub-byte indices) and 24/32 (BGR(A) triples),
+    rows 4-byte aligned and stored bottom-up (top-down when the
+    height is negative).  Emits RGB.  RLE/bitfield compressions and
+    16-bit return None (header metadata stays real).  Same return
+    shape as ``decode_png_pixels``; never raises."""
+    if not payload or len(payload) < 54 or bytes(payload[:2]) != b"BM":
+        return None
+    meta = _decode_bmp(payload)
+    if meta is None:
+        return None
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    w = meta["width"]
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    h = abs(h_raw)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp == 16:  # BI_RGB raw samples only
+        return None
+    offset = int.from_bytes(payload[10:14], "little")
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    palette = None
+    if bpp <= 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
+        if n_colors > (1 << bpp):
+            return None
+        pal_at = 14 + hdr_size
+        if pal_at + 4 * n_colors > len(payload):
+            return None
+        palette = [
+            bytes((payload[pal_at + 4 * i + 2],
+                   payload[pal_at + 4 * i + 1],
+                   payload[pal_at + 4 * i]))
+            for i in range(n_colors)
+        ]
+    out = bytearray()
+    for row in range(h):
+        src_row = row if h_raw < 0 else h - 1 - row
+        base = offset + src_row * row_bytes
+        if base + row_bytes > len(payload):
+            return None
+        line = payload[base:base + row_bytes]
+        if bpp == 24:
+            for x in range(w):
+                out += bytes((line[3 * x + 2], line[3 * x + 1],
+                              line[3 * x]))
+        elif bpp == 32:
+            for x in range(w):
+                out += bytes((line[4 * x + 2], line[4 * x + 1],
+                              line[4 * x]))
+        else:  # palettized, MSB-first sub-byte indices
+            per_byte = 8 // bpp
+            mask = (1 << bpp) - 1
+            for x in range(w):
+                b = line[x // per_byte]
+                shift = 8 - bpp * (x % per_byte + 1)
+                idx = (b >> shift) & mask
+                if idx >= len(palette):
+                    return None
+                out += palette[idx]
+    return {"width": w, "height": h, "channels": 3,
+            "pixels": bytes(out)}
 
 
 def decode_image(payload: bytes | None) -> dict | None:
@@ -1500,32 +1620,36 @@ def decode_image(payload: bytes | None) -> dict | None:
             "height": h,
         }
     if magic == b"BM" and len(payload) >= 54:
-        hdr_size = int.from_bytes(payload[14:18], "little")
-        if hdr_size < 40:
-            return None
-        w = int.from_bytes(payload[18:22], "little", signed=True)
-        h = int.from_bytes(payload[22:26], "little", signed=True)
-        if w <= 0 or h == 0:  # negative h = top-down BMP, legal
-            return None
-        # structural validation — without it any >=54-byte text that
-        # happens to start with "BM" (e.g. "BMW dealers ...") would
-        # "decode", since ASCII bytes at the dimension offsets form
-        # positive ints.  planes is REQUIRED to be 1 by the spec (two
-        # ASCII chars can never be 0x0001), bpp must be a legal depth,
-        # and the pixel array implied by (w, h, bpp) must actually be
-        # present past the declared data offset.
-        planes = int.from_bytes(payload[26:28], "little")
-        bpp = int.from_bytes(payload[28:30], "little")
-        offset = int.from_bytes(payload[10:14], "little")
-        if planes != 1 or bpp not in (1, 4, 8, 16, 24, 32):
-            return None
-        if not 54 <= offset <= len(payload):
-            return None
-        row_bytes = ((w * bpp + 31) // 32) * 4
-        if len(payload) - offset < row_bytes * abs(h):
-            return None
-        return {"format": "bmp", "width": w, "height": abs(h)}
+        return _decode_bmp(payload)
     return None
+
+
+def _decode_bmp(payload: bytes) -> dict | None:
+    """BMP (BITMAPINFOHEADER) structural validation + dimensions —
+    without it any >=54-byte text that happens to start with "BM"
+    (e.g. "BMW dealers ...") would "decode", since ASCII bytes at the
+    dimension offsets form positive ints.  planes is REQUIRED to be 1
+    by the spec (two ASCII chars can never be 0x0001), bpp must be a
+    legal depth, and the pixel array implied by (w, h, bpp) must
+    actually be present past the declared data offset."""
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    if w <= 0 or h == 0:  # negative h = top-down BMP, legal
+        return None
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    offset = int.from_bytes(payload[10:14], "little")
+    if planes != 1 or bpp not in (1, 4, 8, 16, 24, 32):
+        return None
+    if not 54 <= offset <= len(payload):
+        return None
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    if len(payload) - offset < row_bytes * abs(h):
+        return None
+    return {"format": "bmp", "width": w, "height": abs(h)}
 
 
 def _decode_flac(payload: bytes) -> dict | None:
@@ -2427,11 +2551,11 @@ def resize_meta(
     PNG (``decode_png_pixels``, stdlib-zlib inflate + per-row
     unfilter), binary PPM (``_ppm_pixels``), GIF
     (``decode_gif_pixels``, pure-Python LZW + palette), TIFF —
-    uncompressed / LZW / Deflate / PackBits strips — and JPEG —
-    sequential and progressive — (``decode_jpeg_pixels``, from-spec
-    T.81 Huffman + IDCT).  Formats still needing a library codec
-    (JPEG-in-TIFF) keep the labeled payload-prefix stub; a deployment
-    swaps in PIL there — same schema, same Arrow plumbing."""
+    uncompressed / LZW / Deflate / PackBits / JPEG strips — and JPEG
+    — sequential and progressive — (``decode_jpeg_pixels``,
+    from-spec T.81 Huffman + IDCT).  Every image format this engine
+    recognizes now pixel-decodes codec-free; the payload-prefix stub
+    remains only for unrecognized payloads."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -2469,6 +2593,7 @@ def resize_meta(
                     or decode_gif_pixels(p)
                     or decode_tiff_pixels(p)
                     or decode_jpeg_pixels(p)
+                    or decode_bmp_pixels(p)
                 )
                 if pix is not None:  # REAL resampled pixel bytes
                     thumb = _nn_resize(
@@ -2494,10 +2619,10 @@ def extract_features(
     dim: int = 64,
 ) -> DataFrame:
     """(id, embedding array<float>): payload → feature vector.  REAL
-    pooled-pixel features wherever pixels decode codec-free (8-bit
-    non-palette PNG via ``decode_png_pixels``, binary PPM via
-    ``_ppm_pixels``, GIF, uncompressed TIFF, and baseline JPEG via
-    ``decode_jpeg_pixels``): the image is divided into a √dim x √dim grid and
+    pooled-pixel features wherever pixels decode codec-free (PNG via
+    ``decode_png_pixels``, binary PPM via ``_ppm_pixels``, GIF, TIFF
+    — all supported compressions — JPEG via ``decode_jpeg_pixels``,
+    and BMP): the image is divided into a √dim x √dim grid and
     each cell's mean luminance (channel average) is scaled to [-1, 1)
     — a classic tiny-gist descriptor, deterministic, no model weights.
     Entropy-coded formats and non-image payloads fall back to the
@@ -2521,6 +2646,7 @@ def extract_features(
             or decode_gif_pixels(payload)
             or decode_tiff_pixels(payload)
             or decode_jpeg_pixels(payload)
+            or decode_bmp_pixels(payload)
         )
         if pix is not None:  # REAL grid-pooled luminance features
             w, h, ch = pix["width"], pix["height"], pix["channels"]

@@ -49,6 +49,7 @@ def test_media_decoders_never_raise():
 
     from arachne_spark.operators.multimodal import (
         decode_audio,
+        decode_bmp_pixels,
         decode_gif_pixels,
         decode_image,
         decode_jpeg_pixels,
@@ -125,6 +126,21 @@ def test_media_decoders_never_raise():
         compression=5,
     )
 
+    # JPEG-in-TIFF seed: mutations hit the strip-geometry checks, the
+    # JPEGTables splice, and the delegated T.81 decode
+    from test_multimodal import _bmp_px, _tiff_jpeg
+
+    jpeg_tiff = _tiff_jpeg(
+        16, 16, bytes([40] * 16 * 8 + [200] * 16 * 8),
+        spp=1, n_strips=1, use_tables=True,
+    )
+
+    # palettized-BMP seed: mutations hit the palette bounds, sub-byte
+    # index unpack, and row-padding walk of decode_bmp_pixels
+    pixel_bmp = _bmp_px(
+        6, 4, bytes([255, 0, 0] * 3 + [0, 0, 255] * 3) * 4, bpp=4,
+    )
+
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
     # MCU walk of decode_jpeg_pixels, not just the marker walk
     pixel_jpeg = _jpeg_enc(
@@ -159,13 +175,13 @@ def test_media_decoders_never_raise():
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
-        pixel_jpeg,
+        jpeg_tiff, pixel_bmp, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,
         decode_wav_samples, decode_gif_pixels, decode_tiff_pixels,
-        decode_jpeg_pixels,
+        decode_jpeg_pixels, decode_bmp_pixels,
     )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):
