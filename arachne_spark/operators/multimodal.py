@@ -23,8 +23,11 @@ preservation — is real and tested:
   PackBits and JPEG strips, Predictor-2 undone — and JPEG —
   sequential AND progressive — via a from-spec T.81 decoder: Huffman
   entropy decode, Annex-G multi-scan coefficient accumulation,
-  dequantize + numpy IDCT + YCbCr→RGB), payload-prefix stub only
-  for the remaining library-codec formats (MP3/AAC/OGG samples);
+  dequantize + numpy IDCT + YCbCr→RGB) and BMP; REAL SAMPLE decode
+  for WAV PCM/IEEE-float AND lossless FLAC (rice-coded residuals,
+  fixed/LPC predictors, stereo decorrelation — RFC 9639);
+  payload-prefix stub only for the remaining entropy-coded formats
+  (MP3/AAC/OGG samples);
 * ``extract_features``  — payload → float feature vector: REAL
   grid-pooled luminance features for the pixel-decodable formats,
   deterministic hash-seeded stub otherwise; the output column shape
@@ -2031,15 +2034,303 @@ def decode_wav_samples(payload: bytes | None) -> dict | None:
     }
 
 
+class _FlacBitReader:
+    """MSB-first bit reader over the FLAC frame section.  Raises
+    ValueError past the end — ``decode_flac_samples`` catches it."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos * 8  # bit position
+
+    def bits(self, n: int) -> int:
+        p, d = self.pos, self.data
+        if p + n > len(d) * 8:
+            raise ValueError("flac: out of bits")
+        out = 0
+        while n:
+            byte = d[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, n)
+            out = (out << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            p += take
+            n -= take
+        self.pos = p
+        return out
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while not self.bits(1):
+            q += 1
+            if q > 1 << 20:  # corrupt stream guard
+                raise ValueError("flac: runaway unary")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_utf8_num(reader: "_FlacBitReader") -> int:
+    """Extended-UTF-8 coded frame/sample number (RFC 9639 §9.1.5)."""
+    b0 = reader.bits(8)
+    if b0 < 0x80:
+        return b0
+    n_follow = 0
+    mask = 0x40
+    while b0 & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise ValueError("flac: bad utf8 number")
+    val = b0 & (mask - 1)
+    for _ in range(n_follow):
+        b = reader.bits(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("flac: bad utf8 continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def _flac_residual(reader, blocksize, order, out):
+    """Rice-coded residual (RFC 9639 §9.2.7): 2-bit method selects
+    4- or 5-bit partition parameters, 2^po partitions, escape code =
+    raw n-bit samples; zigzag decode."""
+    method = reader.bits(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = reader.bits(4)
+    n_parts = 1 << po
+    if blocksize % n_parts:
+        raise ValueError("flac: bad partition order")
+    for part in range(n_parts):
+        count = blocksize // n_parts - (order if part == 0 else 0)
+        if count < 0:
+            raise ValueError("flac: bad partition order")
+        param = reader.bits(pbits)
+        if param == escape:
+            nbits = reader.bits(5)
+            for _ in range(count):
+                out.append(reader.signed(nbits) if nbits else 0)
+        else:
+            for _ in range(count):
+                q = reader.unary()
+                u = (q << param) | (reader.bits(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))
+
+
+def _flac_subframe(reader, blocksize, bps):
+    """One subframe (RFC 9639 §9.2): constant / verbatim / fixed 0-4 /
+    LPC 1-32, wasted-bits unary prefix, warmup + residual +
+    predictor reconstruction in exact integer arithmetic."""
+    if reader.bits(1):
+        raise ValueError("flac: subframe padding bit set")
+    ftype = reader.bits(6)
+    wasted = 0
+    if reader.bits(1):
+        wasted = reader.unary() + 1
+    bps -= wasted
+    if ftype == 0:  # constant
+        v = reader.signed(bps)
+        samples = [v] * blocksize
+    elif ftype == 1:  # verbatim
+        samples = [reader.signed(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # fixed predictor, order 0-4
+        order = ftype & 7
+        samples = [reader.signed(bps) for _ in range(order)]
+        _flac_residual(reader, blocksize, order, samples)
+        coefs = {
+            0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1),
+            4: (4, -6, 4, -1),
+        }[order]
+        for i in range(order, blocksize):
+            samples[i] += sum(
+                c * samples[i - 1 - j] for j, c in enumerate(coefs)
+            )
+    elif ftype >= 32:  # LPC, order 1-32
+        order = (ftype & 31) + 1
+        samples = [reader.signed(bps) for _ in range(order)]
+        prec = reader.bits(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = reader.signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = [reader.signed(prec) for _ in range(order)]
+        _flac_residual(reader, blocksize, order, samples)
+        for i in range(order, blocksize):
+            pred = sum(
+                c * samples[i - 1 - j] for j, c in enumerate(coefs)
+            ) >> shift
+            samples[i] += pred
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac_samples(payload: bytes | None) -> dict | None:
+    """REAL FLAC sample decode — FLAC is lossless and needs no codec
+    library, only the public RFC 9639 bitstream: metadata blocks are
+    walked to the first frame, then each frame's header (14-bit sync,
+    block-size/rate/bps tables, UTF-8-coded ordinal, CRC-8 verified)
+    is followed by per-channel subframes — constant, verbatim, fixed
+    orders 0-4 and LPC up to order 32, rice-coded residuals with
+    escape partitions, wasted-bits shifts — reconstructed in exact
+    integer arithmetic and un-decorrelated (left-side / right-side /
+    mid-side) per the channel assignment.  Returns the
+    ``decode_wav_samples`` shape ``{"channels", "sample_rate",
+    "samples": interleaved floats in [-1, 1]}`` or None; never
+    raises.  Reference analog: the M-entity mediainfo capability
+    (/root/reference/src/pheidippides.cpp:36-39) exposes media
+    metadata only — sample access is this engine's extension."""
+    meta = decode_audio(payload)
+    if meta is None or meta["format"] != "flac":
+        return None
+    try:
+        data = bytes(payload)
+        n = len(data)
+        channels = meta["channels"]
+        rate = meta["sample_rate"]
+        stream_bps = meta["bits_per_sample"]
+        total = meta["n_samples"]
+        # walk metadata blocks to the first audio frame
+        i = 4
+        while i + 4 <= n:
+            last = data[i] & 0x80
+            size = int.from_bytes(data[i + 1:i + 4], "big")
+            i += 4 + size
+            if last:
+                break
+        out: list[list[int]] = [[] for _ in range(channels)]
+        done = 0
+        while done < total and i + 5 <= n:
+            hdr_start = i
+            if data[i] != 0xFF or data[i + 1] & 0xFC != 0xF8:
+                return None
+            reader = _FlacBitReader(data, i)
+            reader.bits(16)  # sync + reserved + blocking strategy
+            bs_bits = reader.bits(4)
+            rate_bits = reader.bits(4)
+            chan_bits = reader.bits(4)
+            bps_bits = reader.bits(3)
+            if reader.bits(1):
+                return None  # reserved bit must be 0
+            _flac_utf8_num(reader)
+            if bs_bits == 0:
+                return None
+            blocksize = _FLAC_BLOCKSIZES.get(bs_bits)
+            if bs_bits == 6:
+                blocksize = reader.bits(8) + 1
+            elif bs_bits == 7:
+                blocksize = reader.bits(16) + 1
+            elif bs_bits >= 8:
+                blocksize = 256 << (bs_bits - 8)
+            if rate_bits == 12:
+                reader.bits(8)
+            elif rate_bits in (13, 14):
+                reader.bits(16)
+            elif rate_bits == 15:
+                return None
+            bps = _FLAC_BPS.get(bps_bits, stream_bps)
+            if bps_bits == 3:
+                return None
+            crc_at = reader.byte_pos()
+            if _flac_crc8(data[hdr_start:crc_at]) != reader.bits(8):
+                return None
+            if chan_bits < 8:
+                if chan_bits + 1 != channels:
+                    return None
+                chans = [
+                    _flac_subframe(reader, blocksize, bps)
+                    for _ in range(channels)
+                ]
+            elif chan_bits <= 10:
+                if channels != 2:
+                    return None
+                # the SIDE channel carries one extra bit
+                extra0 = 1 if chan_bits == 9 else 0
+                extra1 = 0 if chan_bits == 9 else 1
+                c0 = _flac_subframe(reader, blocksize, bps + extra0)
+                c1 = _flac_subframe(reader, blocksize, bps + extra1)
+                if chan_bits == 8:  # left/side: R = L - side
+                    chans = [c0, [a - b for a, b in zip(c0, c1)]]
+                elif chan_bits == 9:  # side/right: L = side + R
+                    chans = [[a + b for a, b in zip(c0, c1)], c1]
+                else:  # mid/side
+                    left, right = [], []
+                    for m, s in zip(c0, c1):
+                        m2 = (m << 1) | (s & 1)
+                        left.append((m2 + s) >> 1)
+                        right.append((m2 - s) >> 1)
+                    chans = [left, right]
+            else:
+                return None
+            reader.align()
+            if reader.byte_pos() + 2 > n:
+                return None
+            reader.bits(16)  # frame CRC-16 (presence-checked)
+            take = min(blocksize, total - done)
+            for c in range(channels):
+                out[c].extend(chans[c][:take])
+            done += take
+            i = reader.byte_pos()
+        if done != total:
+            return None
+        half = 1 << (stream_bps - 1)
+        samples = [
+            out[c][k] / half
+            for k in range(total)
+            for c in range(channels)
+        ]
+        return {
+            "channels": channels,
+            "sample_rate": rate,
+            "samples": samples,
+        }
+    except (ValueError, IndexError, KeyError, OverflowError):
+        return None
+
+
 def audio_features(
     df: DataFrame, id_col: str, payload_col: str = "payload"
 ) -> DataFrame:
     """(id, is_decodable, n_frames, rms, peak, zero_crossings): REAL
-    signal statistics over the decoded WAV samples (mono mix = mean
-    across channels per frame) — the audio analog of the pooled-pixel
-    image features; non-PCM payloads come back is_decodable=false with
-    NULL stats.  Arrow ``mapInPandas`` throughout, like every decoder
-    here."""
+    signal statistics over decoded samples — WAV PCM/IEEE-float via
+    ``decode_wav_samples`` and lossless FLAC via
+    ``decode_flac_samples`` (mono mix = mean across channels per
+    frame) — the audio analog of the pooled-pixel image features;
+    entropy-coded payloads (MP3/OGG) come back is_decodable=false
+    with NULL stats.  Arrow ``mapInPandas`` throughout, like every
+    decoder here."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -2053,7 +2344,9 @@ def audio_features(
     )
 
     def stats(payload: bytes) -> tuple:
-        dec = decode_wav_samples(payload)
+        dec = decode_wav_samples(payload) or decode_flac_samples(
+            payload
+        )
         if dec is None:
             return (False, None, None, None, None)
         ch = dec["channels"]

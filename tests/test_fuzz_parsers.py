@@ -50,6 +50,7 @@ def test_media_decoders_never_raise():
     from arachne_spark.operators.multimodal import (
         decode_audio,
         decode_bmp_pixels,
+        decode_flac_samples,
         decode_gif_pixels,
         decode_image,
         decode_jpeg_pixels,
@@ -141,6 +142,15 @@ def test_media_decoders_never_raise():
         6, 4, bytes([255, 0, 0] * 3 + [0, 0, 255] * 3) * 4, bpp=4,
     )
 
+    # real-frame FLAC seed: mutations hit the frame-header CRC, rice
+    # partition walk, and predictor reconstruction of
+    # decode_flac_samples
+    from test_multimodal import _flac_enc
+
+    sample_flac = _flac_enc(
+        [[(i * 37) % 2000 - 1000 for i in range(96)]], blocksize=64,
+    )
+
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
     # MCU walk of decode_jpeg_pixels, not just the marker walk
     pixel_jpeg = _jpeg_enc(
@@ -175,13 +185,13 @@ def test_media_decoders_never_raise():
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
-        jpeg_tiff, pixel_bmp, pixel_jpeg,
+        jpeg_tiff, pixel_bmp, sample_flac, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,
         decode_wav_samples, decode_gif_pixels, decode_tiff_pixels,
-        decode_jpeg_pixels, decode_bmp_pixels,
+        decode_jpeg_pixels, decode_bmp_pixels, decode_flac_samples,
     )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):

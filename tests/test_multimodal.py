@@ -1914,6 +1914,245 @@ def _flac(rate=44100, channels=2, bits=16, total=44100, extra_block=True):
     return out + b"\xff\xf8\x69\x18"
 
 
+class _BitW:
+    """MSB-first bit writer for the FLAC test encoder."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, val, width):
+        self.acc = (self.acc << width) | (val & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes(self):
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _flac_crc8(data):
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data):
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000
+                   else crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_enc(chans, rate=8000, bps=16, blocksize=64, stereo="indep",
+              order=2, po=0, escape_bits=None, verbatim=False,
+              wasted=0):
+    """Independent FLAC test ENCODER (RFC 9639): STREAMINFO + frames
+    with uncommon-blocksize headers, CRC-8/CRC-16 trailers, and
+    constant / verbatim / fixed-order subframes with rice-coded
+    residuals (partition order ``po``; ``escape_bits`` forces raw
+    escape partitions).  ``stereo`` picks indep / left_side /
+    right_side / mid_side decorrelation; ``wasted`` shifts every
+    sample left and records wasted bits.  Deliberately a different
+    construction from the decoder: forward prediction + param-choice
+    tables vs reconstruction."""
+    n_ch = len(chans)
+    total = len(chans[0])
+    if wasted:
+        chans = [[s << wasted for s in c] for c in chans]
+
+    packed = (rate << 44) | ((n_ch - 1) << 41) | ((bps - 1) << 36) | total
+    streaminfo = (blocksize.to_bytes(2, "big") * 2 + bytes(6)
+                  + packed.to_bytes(8, "big") + bytes(16))
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo
+
+    bps_bits = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+
+    def subframe(bw, sub, sub_bps):
+        eff = sub_bps - wasted
+        bw.w(0, 1)  # padding
+        if not verbatim and len(set(sub)) == 1:
+            bw.w(0, 6)  # constant
+            bw.w(1 if wasted else 0, 1)
+            if wasted:
+                bw.w(1, wasted)  # unary wasted-1 zeros then 1
+            bw.w((sub[0] >> wasted) & ((1 << eff) - 1), eff)
+            return
+        if verbatim:
+            bw.w(1, 6)
+            bw.w(1 if wasted else 0, 1)
+            if wasted:
+                bw.w(1, wasted)
+            for s in sub:
+                bw.w((s >> wasted) & ((1 << eff) - 1), eff)
+            return
+        k = min(order, len(sub) - 1, 4)
+        bw.w(8 | k, 6)  # fixed, order k
+        bw.w(1 if wasted else 0, 1)
+        if wasted:
+            bw.w(1, wasted)
+        vals = [s >> wasted for s in sub]
+        for s in vals[:k]:
+            bw.w(s & ((1 << eff) - 1), eff)
+        coefs = {0: (), 1: (1,), 2: (2, -1), 3: (3, -3, 1),
+                 4: (4, -6, 4, -1)}[k]
+        res = [
+            vals[i] - sum(c * vals[i - 1 - j]
+                          for j, c in enumerate(coefs))
+            for i in range(k, len(vals))
+        ]
+        bw.w(0, 2)  # rice method 0 (4-bit params)
+        bw.w(po, 4)
+        n_parts = 1 << po
+        bs = len(sub)
+        assert bs % n_parts == 0
+        pos = 0
+        for part in range(n_parts):
+            count = bs // n_parts - (k if part == 0 else 0)
+            chunk = res[pos:pos + count]
+            pos += count
+            if escape_bits is not None:
+                bw.w(15, 4)  # escape
+                bw.w(escape_bits, 5)
+                for r in chunk:
+                    if escape_bits:
+                        bw.w(r & ((1 << escape_bits) - 1), escape_bits)
+            else:
+                zz = [(r << 1) if r >= 0 else ((-r) << 1) - 1
+                      for r in chunk]
+                mean = (sum(zz) // max(1, len(zz))) or 1
+                param = min(14, max(0, mean.bit_length() - 1))
+                bw.w(param, 4)
+                for u in zz:
+                    q = u >> param
+                    bw.w(0, q) if q else None
+                    bw.w(1, 1)
+                    if param:
+                        bw.w(u & ((1 << param) - 1), param)
+
+    frame_idx = 0
+    pos = 0
+    while pos < total:
+        bs = min(blocksize, total - pos)
+        block = [c[pos:pos + bs] for c in chans]
+        if stereo == "indep" or n_ch != 2:
+            chan_bits = n_ch - 1
+            subs = [(b, bps) for b in block]
+        else:
+            left, right = block
+            side = [a - b for a, b in zip(left, right)]
+            if stereo == "left_side":
+                chan_bits, subs = 8, [(left, bps), (side, bps + 1)]
+            elif stereo == "right_side":
+                chan_bits, subs = 9, [(side, bps + 1), (right, bps)]
+            else:  # mid_side
+                mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                chan_bits, subs = 10, [(mid, bps), (side, bps + 1)]
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])  # sync + fixed blocking
+        use16 = bs > 256
+        hdr.append(((7 if use16 else 6) << 4) | 0)  # bs bits + rate=0
+        hdr.append((chan_bits << 4) | (bps_bits << 1))
+        hdr += chr(frame_idx).encode("utf-8")
+        hdr += ((bs - 1).to_bytes(2, "big") if use16
+                else bytes([bs - 1]))
+        hdr.append(_flac_crc8(hdr))
+        bw = _BitW()
+        for sub, sub_bps in subs:
+            subframe(bw, sub, sub_bps)
+        bw.align()
+        frame = bytes(hdr) + bw.bytes()
+        frame += _flac_crc16(frame).to_bytes(2, "big")
+        out += frame
+        pos += bs
+        frame_idx += 1
+    return bytes(out)
+
+
+def test_decode_flac_samples():
+    """REAL FLAC sample decode: lossless, so every roundtrip against
+    the independent test encoder must be EXACT — fixed orders 0-4,
+    constant and verbatim subframes, rice partitions and raw-escape
+    partitions, wasted bits, all four channel assignments, multi-frame
+    streams with a short last block, 8/16/24-bit depths; corrupt CRC-8
+    or truncation returns None, never raises."""
+    from arachne_spark.operators.multimodal import decode_flac_samples
+
+    def expect(chans, bps):
+        half = 1 << (bps - 1)
+        n = len(chans[0])
+        return [chans[c][k] / half
+                for k in range(n) for c in range(len(chans))]
+
+    # mono 16-bit, multi-frame with short last block, fixed order 2
+    mono = [[(i * 37) % 2000 - 1000 for i in range(150)]]
+    got = decode_flac_samples(_flac_enc(mono, blocksize=64))
+    assert got is not None
+    assert (got["channels"], got["sample_rate"]) == (1, 8000)
+    assert got["samples"] == expect(mono, 16)
+    # every fixed order
+    for order in range(5):
+        got = decode_flac_samples(_flac_enc(mono, order=order))
+        assert got["samples"] == expect(mono, 16), order
+    # constant + verbatim subframes
+    flat = [[123] * 100]
+    assert decode_flac_samples(
+        _flac_enc(flat))["samples"] == expect(flat, 16)
+    assert decode_flac_samples(
+        _flac_enc(mono, verbatim=True))["samples"] == expect(mono, 16)
+    # stereo: all four channel assignments decode identically
+    left = [(i * 53) % 3000 - 1500 for i in range(128)]
+    right = [(i * 29) % 3000 - 1500 for i in range(128)]
+    want = expect([left, right], 16)
+    for stereo in ("indep", "left_side", "right_side", "mid_side"):
+        got = decode_flac_samples(
+            _flac_enc([left, right], stereo=stereo)
+        )
+        assert got is not None and got["samples"] == want, stereo
+    # rice partitions (po=2) and raw-escape partitions
+    mono128 = [mono[0][:128]]
+    assert decode_flac_samples(
+        _flac_enc(mono128, po=2, blocksize=64))["samples"] == expect(
+            mono128, 16)
+    small = [[(i % 7) - 3 for i in range(64)]]
+    assert decode_flac_samples(
+        _flac_enc(small, escape_bits=6))["samples"] == expect(small, 16)
+    # wasted bits: samples pre-shifted by the encoder, decoder restores
+    w = [[((i * 11) % 200 - 100) for i in range(64)]]
+    got = decode_flac_samples(_flac_enc(w, wasted=3))
+    assert got["samples"] == expect([[s << 3 for s in w[0]]], 16)
+    # other bit depths
+    b8 = [[(i % 200) - 100 for i in range(96)]]
+    assert decode_flac_samples(
+        _flac_enc(b8, bps=8))["samples"] == expect(b8, 8)
+    b24 = [[(i * 9973) % 400000 - 200000 for i in range(96)]]
+    assert decode_flac_samples(
+        _flac_enc(b24, bps=24))["samples"] == expect(b24, 24)
+    # failures: corrupt header CRC-8, truncation, junk — None
+    enc = _flac_enc(mono)
+    bad = bytearray(enc)
+    bad[4 + 4 + 34 + 4] ^= 0xFF  # first frame header byte 5 (utf8/bs)
+    assert decode_flac_samples(bytes(bad)) is None
+    assert decode_flac_samples(enc[: len(enc) - 10]) is None
+    assert decode_flac_samples(_flac()) is None  # sync bytes, no frame
+    assert decode_flac_samples(b"fLaC" + bytes(60)) is None
+    assert decode_flac_samples(None) is None
+
+
 def test_decode_audio_flac(spark):
     from arachne_spark.operators.multimodal import audio_meta, decode_audio
 
