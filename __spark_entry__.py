@@ -1166,18 +1166,248 @@ def _jpeg_oracle_rows() -> str:
     return ", ".join(rows)
 
 
+def _bmp_palette(i: int, n: int) -> list[tuple[int, int, int]]:
+    """Palette spec for the q45 palettized-BMP fixtures — shared by
+    the fixture builder and the oracle twin, which never parses
+    BMP."""
+    return [
+        ((c * 53 + i * 7) % 256, (c * 97 + i * 3) % 256,
+         (c * 31 + i * 11) % 256)
+        for c in range(n)
+    ]
+
+
+def _bmp_pixel(i: int, x: int, y: int) -> tuple[int, int, int]:
+    """Pixel spec for the q45 BMP fixtures: truecolor variants derive
+    RGB from coordinates; palettized variants (i % 5 in {2,3,4} →
+    8/4/1-bit) index the ``_bmp_palette`` spec."""
+    kind = i % 5
+    if kind in (0, 1):  # 24-bit bottom-up / 32-bit top-down
+        return (
+            (x * 11 + y * 5 + i) % 256,
+            (x * 3 + y * 13 + 2 * i) % 256,
+            (x * 7 + y + 5 * i) % 256,
+        )
+    n = {2: 8, 3: 4, 4: 2}[kind]
+    return _bmp_palette(i, n)[(x + 2 * y + i) % n]
+
+
+def _bmp_fixture() -> list[tuple[int, bytes, int, int]]:
+    """Deterministic valid-BMP payloads with REAL pixel rows for q45
+    (ids 5_000_000+i): 15 images cycling 24-bit bottom-up, 32-bit
+    TOP-DOWN (negative height), and 8/4/1-bit palettized (BGRA quads,
+    MSB-first sub-byte indices), rows 4-byte padded — decoded for
+    real by ``multimodal.decode_bmp_pixels``; the oracle twin
+    recomputes thumbnails from ``_bmp_pixel`` and never parses
+    BMP."""
+    out = []
+    for i in range(15):
+        w, h = i % 11 + 2, i % 7 + 2
+        kind = i % 5
+        bpp = {0: 24, 1: 32, 2: 8, 3: 4, 4: 1}[kind]
+        topdown = kind == 1
+        palette = b""
+        if bpp <= 8:
+            n = {8: 8, 4: 4, 1: 2}[bpp]
+            palette = b"".join(
+                bytes((b, g, r, 0)) for r, g, b in _bmp_palette(i, n)
+            )
+        offset = 54 + len(palette)
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        hdr = bytearray(54)
+        hdr[0:2] = b"BM"
+        hdr[10:14] = offset.to_bytes(4, "little")
+        hdr[14:18] = (40).to_bytes(4, "little")
+        hdr[18:22] = w.to_bytes(4, "little", signed=True)
+        hdr[22:26] = (-h if topdown else h).to_bytes(
+            4, "little", signed=True
+        )
+        hdr[26:28] = (1).to_bytes(2, "little")
+        hdr[28:30] = bpp.to_bytes(2, "little")
+        if palette:
+            hdr[46:50] = (len(palette) // 4).to_bytes(4, "little")
+        body = bytearray(hdr) + palette
+        rows = range(h) if topdown else range(h - 1, -1, -1)
+        for y in rows:
+            line = bytearray()
+            for x in range(w):
+                r, g, b = _bmp_pixel(i, x, y)
+                if bpp == 24:
+                    line += bytes((b, g, r))
+                elif bpp == 32:
+                    line += bytes((b, g, r, 0xFF))
+                else:
+                    n = {8: 8, 4: 4, 1: 2}[bpp]
+                    idx = (x + 2 * y + i) % n
+                    per = 8 // bpp
+                    if x % per == 0:
+                        line.append(0)
+                    line[-1] |= idx << (8 - bpp * (x % per + 1))
+            line += bytes(row_bytes - len(line))
+            body += line
+        out.append((5_000_000 + i, bytes(body), w, h))
+    return out
+
+
+def _tiff_lzw_pixel(i: int, x: int, y: int) -> tuple[int, int, int]:
+    """Pixel spec for the q45 LZW-TIFF fixtures — shared by the
+    fixture builder and the oracle twin, which never parses TIFF or
+    LZW."""
+    return (
+        (x * 9 + y * 4 + i) % 256,
+        (x * 2 + y * 17 + 3 * i) % 256,
+        (x * 5 + y * 7 + 7 * i) % 256,
+    )
+
+
+def _tiff_lzw_fixture() -> list[tuple[int, bytes, int, int]]:
+    """Deterministic valid LZW-TIFF payloads for q45 (ids
+    6_000_000+i): 12 little-endian RGB images, 2 strips each, every
+    strip independently LZW-compressed by an inline TIFF6 §13 encoder
+    (MSB-first variable-width codes, early-change widening) — decoded
+    for real by ``multimodal.decode_tiff_pixels`` through
+    ``_tiff_lzw``; the oracle twin recomputes thumbnails from
+    ``_tiff_lzw_pixel`` and never parses TIFF."""
+    import struct
+
+    def lzw(raw: bytes) -> bytes:
+        buf = bytearray()
+        acc = [0, 0]
+
+        def emit(code, width):
+            acc[0] = (acc[0] << width) | code
+            acc[1] += width
+            while acc[1] >= 8:
+                buf.append((acc[0] >> (acc[1] - 8)) & 0xFF)
+                acc[1] -= 8
+
+        table = {bytes([b]): b for b in range(256)}
+        nxt, width = 258, 9
+        emit(256, width)
+        w = b""
+        for b in raw:
+            wc = w + bytes([b])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            table[wc] = nxt
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            w = bytes([b])
+            if nxt == 4094:
+                emit(256, width)
+                table = {bytes([b2]): b2 for b2 in range(256)}
+                nxt, width = 258, 9
+        if w:
+            emit(table[w], width)
+        emit(257, width)
+        if acc[1]:
+            buf.append((acc[0] << (8 - acc[1])) & 0xFF)
+        return bytes(buf)
+
+    out = []
+    for i in range(12):
+        w, h = i % 9 + 2, i % 6 + 2
+        pixels = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in _tiff_lzw_pixel(i, x, y)
+        )
+        rps = max(1, (h + 1) // 2)
+        strips = [
+            lzw(pixels[r * w * 3:min(r + rps, h) * w * 3])
+            for r in range(0, h, rps)
+        ]
+        k = len(strips)
+        ntags = 9
+        ifd_off = 8
+        ext_off = ifd_off + 2 + 12 * ntags + 4
+
+        def build(strip_offsets):
+            ext = bytearray()
+
+            def entry(tag, typ, count, vals):
+                fmt = "H" if typ == 3 else "I"
+                raw = b"".join(
+                    struct.pack("<" + fmt, v) for v in vals
+                )
+                if len(raw) <= 4:
+                    field = raw + b"\x00" * (4 - len(raw))
+                else:
+                    field = struct.pack("<I", ext_off + len(ext))
+                    ext.extend(raw)
+                return struct.pack("<HHI", tag, typ, count) + field
+
+            entries = [
+                entry(256, 3, 1, [w]),
+                entry(257, 3, 1, [h]),
+                entry(258, 3, 3, [8, 8, 8]),
+                entry(259, 3, 1, [5]),  # LZW
+                entry(262, 3, 1, [2]),  # RGB
+                entry(273, 4, k, strip_offsets),
+                entry(277, 3, 1, [3]),
+                entry(278, 3, 1, [rps]),
+                entry(279, 4, k, [len(s) for s in strips]),
+            ]
+            ifd = (struct.pack("<H", ntags) + b"".join(entries)
+                   + struct.pack("<I", 0))
+            return ifd, bytes(ext)
+
+        _, ext0 = build([0] * k)
+        data_off = ext_off + len(ext0)
+        offsets, pos = [], data_off
+        for s in strips:
+            offsets.append(pos)
+            pos += len(s)
+        ifd, ext = build(offsets)
+        payload = (b"II*\x00" + struct.pack("<I", ifd_off) + ifd + ext
+                   + b"".join(strips))
+        out.append((6_000_000 + i, payload, w, h))
+    return out
+
+
+def _spec_thumb_rows(count, id_base, dims, pixel) -> str:
+    """SQL VALUES literals from a pixel spec: expected dims, resize
+    targets, and the md5 of the TRUE nearest-neighbor RGB thumbnail —
+    the shared oracle-twin shape of q45's PNG/BMP/TIFF sections."""
+    import hashlib
+
+    rows = []
+    for i in range(count):
+        w, h = dims(i)
+        scale = min(1.0, 16.0 / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        thumb = bytes(
+            v
+            for oy in range(oh)
+            for ox in range(ow)
+            for v in pixel(i, ox * w // ow, oy * h // oh)
+        )
+        th = hashlib.md5(thumb).hexdigest()
+        rows.append(
+            f"({id_base + i}, {w}, {h}, {ow}, {oh}, '{th}')"
+        )
+    return ", ".join(rows)
+
+
 def q45_resize_ppm(spark, sf_dir):
     """Aspect-preserving resize planning over REAL decoded images:
     valid binary-PPM (P6) payloads are constructed from part keys,
     valid PNG payloads (CRC-correct IHDR) from ``_png_fixture``, and
     valid JPEG payloads — 24 sequential AND 12 progressive/SOF2, all
-    with real Huffman scans — from
-    ``_jpeg_fixture``; ``resize_meta`` parses the actual bytes — the
-    decode step is real for all three formats, and the thumbnails are
-    TRUE resampled pixels (PNG via zlib inflate + unfilter, JPEG via
-    the T.81 Huffman + IDCT decoder).  The oracle rebuilds the PPM
-    payloads in SQL and carries the PNG and JPEG expectations as
-    spec-derived literal rows (dims + resize targets + thumbnail
+    with real Huffman scans — from ``_jpeg_fixture``, 15 BMPs
+    (24/32-bit + 8/4/1-bit palettized, top-down included) from
+    ``_bmp_fixture``, and 12 LZW-compressed TIFFs from
+    ``_tiff_lzw_fixture``; ``resize_meta`` parses the actual bytes —
+    the decode step is real for all five formats, and the thumbnails
+    are TRUE resampled pixels (PNG via zlib inflate + unfilter, JPEG
+    via the T.81 Huffman + IDCT decoder, TIFF via the §13 LZW code
+    walk, BMP via the padded-row walk).  The oracle rebuilds the PPM
+    payloads in SQL and carries the other four formats' expectations
+    as spec-derived literal rows (dims + resize targets + thumbnail
     hash recomputed independently from the fixture specs, the
     q46-style spec-oracle pattern)."""
     from arachne_spark.operators.multimodal import resize_meta
@@ -1206,8 +1436,17 @@ def q45_resize_ppm(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _, _ in _jpeg_fixture()],
         "img_id long, payload binary",
     )
+    bmps = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in _bmp_fixture()],
+        "img_id long, payload binary",
+    )
+    tiffs = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in _tiff_lzw_fixture()],
+        "img_id long, payload binary",
+    )
     rm = resize_meta(
-        payload.unionByName(pngs).unionByName(jpegs),
+        payload.unionByName(pngs).unionByName(jpegs)
+        .unionByName(bmps).unionByName(tiffs),
         id_col="img_id", max_side=16,
     )
     return rm.select(
@@ -1954,8 +2193,32 @@ def oracle_sql() -> dict[str, str]:
           from (values {jpeg_rows})
                j(img_id, width, height, out_width, out_height,
                  thumb_hash)
+          union all
+          -- BMP is raw samples (lossless), so the spec twin carries
+          -- the TRUE thumbnail md5 computed from the pixel spec
+          select cast(img_id as bigint), cast(width as int),
+                 cast(height as int), cast(out_width as int),
+                 cast(out_height as int), thumb_hash
+          from (values {bmp_rows})
+               b(img_id, width, height, out_width, out_height,
+                 thumb_hash)
+          union all
+          -- TIFF-LZW is lossless too: same spec-twin shape
+          select cast(img_id as bigint), cast(width as int),
+                 cast(height as int), cast(out_width as int),
+                 cast(out_height as int), thumb_hash
+          from (values {tiff_rows})
+               t(img_id, width, height, out_width, out_height,
+                 thumb_hash)
         """.format(png_rows=_png_oracle_rows(),
-                   jpeg_rows=_jpeg_oracle_rows()),
+                   jpeg_rows=_jpeg_oracle_rows(),
+                   bmp_rows=_spec_thumb_rows(
+                       15, 5_000_000,
+                       lambda i: (i % 11 + 2, i % 7 + 2), _bmp_pixel),
+                   tiff_rows=_spec_thumb_rows(
+                       12, 6_000_000,
+                       lambda i: (i % 9 + 2, i % 6 + 2),
+                       _tiff_lzw_pixel)),
         "q46_payload_features": """
           with m as (
             select doc_id,
