@@ -2537,6 +2537,133 @@ def _avi_video_frames(payload: bytes | None) -> list[bytes] | None:
     return scanned[1] if scanned else None
 
 
+def _mp4_video_frames(payload: bytes | None) -> list[bytes] | None:
+    """Ordered REAL video samples of an MP4 payload via the sample
+    tables — ISO 14496-12 ``stbl`` is plain structure, no codec:
+    ``stsz`` sizes every sample, ``stsc`` runs map samples to chunks,
+    ``stco``/``co64`` give absolute chunk offsets, and samples lie
+    consecutively within each chunk.  The first trak whose ``hdlr``
+    handler is 'vide' is used; each returned byte string is one
+    sample exactly as the encoder wrote it (e.g. AVC NAL units) —
+    the codec-free frame-extraction step a 100 TB pipeline runs
+    before shipping frames to a GPU decoder.  None for
+    non-MP4 / malformed / table-less payloads; never raises."""
+    if not payload:
+        return None
+    data = bytes(payload)
+    n = len(data)
+    if n < 16 or data[4:8] != b"ftyp":
+        return None
+
+    def child(start, end, wanted):
+        for btype, body, bend in _mp4_boxes(data, start, end):
+            if btype == wanted:
+                return body, bend
+        return None
+
+    try:
+        moov = child(0, n, b"moov")
+        if moov is None:
+            return None
+        stbl = None
+        for btype, body, bend in _mp4_boxes(data, *moov):
+            if btype != b"trak":
+                continue
+            mdia = child(body, bend, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = child(*mdia, b"hdlr")
+            if hdlr is None or hdlr[1] - hdlr[0] < 12:
+                continue
+            if data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+                continue
+            minf = child(*mdia, b"minf")
+            if minf is None:
+                continue
+            stbl = child(*minf, b"stbl")
+            break
+        if stbl is None:
+            return None
+        stsz = child(*stbl, b"stsz")
+        stsc = child(*stbl, b"stsc")
+        stco = child(*stbl, b"stco")
+        width = 4
+        if stco is None:
+            stco = child(*stbl, b"co64")
+            width = 8
+        if stsz is None or stsc is None or stco is None:
+            return None
+
+        def u32(at):
+            if at + 4 > n:
+                raise ValueError("mp4: truncated table")
+            return int.from_bytes(data[at:at + 4], "big")
+
+        # stsz: ver/flags, uniform sample_size, count, [sizes]
+        b0 = stsz[0]
+        uniform = u32(b0 + 4)
+        count = u32(b0 + 8)
+        if count == 0 or count > n:
+            return None
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            if b0 + 12 + 4 * count > stsz[1]:
+                return None
+            sizes = [u32(b0 + 12 + 4 * k) for k in range(count)]
+        # stco/co64: chunk offsets
+        b0 = stco[0]
+        n_chunks = u32(b0 + 4)
+        if b0 + 8 + width * n_chunks > stco[1] or n_chunks == 0:
+            return None
+        offs = [
+            int.from_bytes(
+                data[b0 + 8 + width * k:b0 + 8 + width * (k + 1)],
+                "big",
+            )
+            for k in range(n_chunks)
+        ]
+        # stsc: (first_chunk, samples_per_chunk) runs over the chunks
+        b0 = stsc[0]
+        n_runs = u32(b0 + 4)
+        if n_runs == 0 or b0 + 8 + 12 * n_runs > stsc[1]:
+            return None
+        runs = [
+            (u32(b0 + 8 + 12 * k), u32(b0 + 12 + 12 * k))
+            for k in range(n_runs)
+        ]
+        if runs[0][0] != 1:
+            return None
+        spc = []
+        for k, (first, per) in enumerate(runs):
+            last = (
+                runs[k + 1][0] - 1 if k + 1 < n_runs else n_chunks
+            )
+            if last < first:
+                return None
+            spc.extend([per] * (last - first + 1))
+        if len(spc) != n_chunks:
+            return None
+        frames = []
+        si = 0
+        for c, off in enumerate(offs):
+            pos = off
+            for _ in range(spc[c]):
+                if si >= count:
+                    return None
+                sz = sizes[si]
+                if pos + sz > n:
+                    return None
+                frames.append(data[pos:pos + sz])
+                pos += sz
+                si += 1
+        if si != count:
+            return None
+        return frames
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
 def decode_video(payload: bytes | None) -> dict | None:
     """REAL pure-Python video container decoder for MP4 (ISO base
     media file format): walk the top-level box table (every declared
@@ -2782,14 +2909,17 @@ def frame_sample(
 ) -> DataFrame:
     """(id, frame_idx, frame_bytes): every ``every_n``-th frame of the
     payload (one input row → many output rows).  REAL for AVI
-    containers: the frames are the actual ``movi`` video chunks from
-    the RIFF walk (``_avi_video_frames``) — for MJPEG AVIs each one
-    is a baseline JPEG that ``decode_jpeg_pixels`` then decodes to
-    pixels, so video → frames → thumbnails/features runs end-to-end
-    with no codec library.  Non-AVI payloads keep the labeled
-    deterministic byte-slicing stub (fixed ``stride`` chunks); a
-    deployment swaps that for ffmpeg keyframe extraction — schema,
-    batch iterator, and row fan-out are identical."""
+    containers (the actual ``movi`` video chunks from the RIFF walk,
+    ``_avi_video_frames`` — for MJPEG AVIs each one is a baseline
+    JPEG that ``decode_jpeg_pixels`` then decodes to pixels) AND for
+    MP4 containers (the actual video-trak samples reconstructed from
+    the ``stsz``/``stsc``/``stco`` sample tables,
+    ``_mp4_video_frames``) — so video → frames runs end-to-end with
+    no codec library for both container families.  Other payloads
+    keep the labeled deterministic byte-slicing stub (fixed
+    ``stride`` chunks); a deployment swaps that for ffmpeg keyframe
+    extraction — schema, batch iterator, and row fan-out are
+    identical."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -2808,6 +2938,8 @@ def frame_sample(
                 if payload is None:
                     continue
                 real = _avi_video_frames(payload)
+                if real is None:
+                    real = _mp4_video_frames(payload)
                 if real is not None:  # REAL container frames
                     for f in range(0, len(real), every_n):
                         ids.append(i)

@@ -145,11 +145,15 @@ def test_media_decoders_never_raise():
     # real-frame FLAC seed: mutations hit the frame-header CRC, rice
     # partition walk, and predictor reconstruction of
     # decode_flac_samples
-    from test_multimodal import _flac_enc
+    from test_multimodal import _flac_enc, _mp4_frames
 
     sample_flac = _flac_enc(
         [[(i * 37) % 2000 - 1000 for i in range(96)]], blocksize=64,
     )
+
+    # sample-table MP4 seed: mutations hit the stsz/stsc/stco walk and
+    # chunk-offset bounds of _mp4_video_frames
+    table_mp4 = _mp4_frames([bytes([i] * (5 + i)) for i in range(5)])
 
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
     # MCU walk of decode_jpeg_pixels, not just the marker walk
@@ -185,7 +189,7 @@ def test_media_decoders_never_raise():
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
-        jpeg_tiff, pixel_bmp, sample_flac, pixel_jpeg,
+        jpeg_tiff, pixel_bmp, sample_flac, table_mp4, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (
@@ -193,11 +197,20 @@ def test_media_decoders_never_raise():
         decode_wav_samples, decode_gif_pixels, decode_tiff_pixels,
         decode_jpeg_pixels, decode_bmp_pixels, decode_flac_samples,
     )
+    from arachne_spark.operators.multimodal import (
+        _avi_video_frames,
+        _mp4_video_frames,
+    )
+
+    extractors = (_avi_video_frames, _mp4_video_frames)
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):
             for fn in decoders:
                 out = fn(blob)  # must return, never raise
                 assert out is None or isinstance(out, dict)
+            for fn in extractors:
+                out = fn(blob)  # frame extractors return lists
+                assert out is None or isinstance(out, list)
     for _ in range(2000):
         blob = bytes(
             rng.randrange(256) for _ in range(rng.randrange(200))

@@ -1766,6 +1766,101 @@ def _mp4(ts=600, dur=1200, v1=False, w=640, h=360, tracks=1,
     return out
 
 
+def _mp4_frames(samples, chunks=None, co64=False, uniform=False,
+                handler=b"vide"):
+    """MP4 with a REAL video sample table: ftyp + moov(mvhd +
+    trak(tkhd + mdia(hdlr + minf(stbl(stsz + stsc + stco/co64))))) +
+    mdat carrying the samples; ``chunks`` = samples-per-chunk layout,
+    chunk offsets are absolute (two-pass build).  Independent of the
+    product walk: the table is composed forward from the layout."""
+    if chunks is None:
+        k = len(samples) // 2
+        chunks = [2] * k + ([1] if len(samples) % 2 else [])
+    assert sum(chunks) == len(samples)
+    sizes = [len(s) for s in samples]
+    if uniform:
+        assert len(set(sizes)) == 1
+        stsz = (bytes(4) + sizes[0].to_bytes(4, "big")
+                + len(samples).to_bytes(4, "big"))
+    else:
+        stsz = (bytes(4) + bytes(4) + len(samples).to_bytes(4, "big")
+                + b"".join(sz.to_bytes(4, "big") for sz in sizes))
+    runs = []
+    for ci, per in enumerate(chunks):
+        if not runs or runs[-1][1] != per:
+            runs.append((ci + 1, per))
+    stsc = (bytes(4) + len(runs).to_bytes(4, "big")
+            + b"".join(f.to_bytes(4, "big") + p.to_bytes(4, "big")
+                       + (1).to_bytes(4, "big") for f, p in runs))
+    ow = 8 if co64 else 4
+
+    def build(chunk_offsets):
+        stco = (bytes(4) + len(chunks).to_bytes(4, "big")
+                + b"".join(o.to_bytes(ow, "big")
+                           for o in chunk_offsets))
+        stbl = (_box(b"stsz", stsz) + _box(b"stsc", stsc)
+                + _box(b"co64" if co64 else b"stco", stco))
+        hdlr = bytes(8) + handler + bytes(4)
+        mdia = _box(b"hdlr", hdlr) + _box(b"minf", _box(b"stbl", stbl))
+        tkhd = (bytes(4) + b"\x00" * 72
+                + (64 << 16).to_bytes(4, "big")
+                + (48 << 16).to_bytes(4, "big"))
+        mvhd = (bytes(4) + b"\x00" * 8 + (600).to_bytes(4, "big")
+                + (1200).to_bytes(4, "big"))
+        moov = _box(b"mvhd", mvhd) + _box(
+            b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+        )
+        return _box(b"ftyp", b"isom" + bytes(4)) + _box(b"moov", moov)
+
+    head = build([0] * len(chunks))
+    pos = len(head) + 8  # mdat body starts after its 8-byte header
+    offsets, si = [], 0
+    for per in chunks:
+        offsets.append(pos)
+        for _ in range(per):
+            pos += len(samples[si])
+            si += 1
+    head = build(offsets)
+    return head + _box(b"mdat", b"".join(samples))
+
+
+def test_mp4_video_frames():
+    """REAL MP4 frame extraction from the sample tables: stsz sizes
+    (per-sample and uniform), stsc runs, stco and co64 offsets all
+    reconstruct the exact sample bytes; non-video handlers, missing
+    tables, and out-of-range offsets return None, never raise."""
+    from arachne_spark.operators.multimodal import (
+        _mp4_video_frames,
+        decode_video,
+    )
+
+    samples = [bytes([i] * (5 + i)) for i in range(5)]
+    payload = _mp4_frames(samples)
+    assert _mp4_video_frames(payload) == samples
+    # the same payload still container-decodes (ftyp/mvhd/mdat intact)
+    assert decode_video(payload)["format"] == "mp4"
+    # uniform sample size + co64 offsets + irregular stsc runs
+    uni = [bytes([i] * 7) for i in range(4)]
+    assert _mp4_video_frames(
+        _mp4_frames(uni, uniform=True)) == uni
+    assert _mp4_video_frames(_mp4_frames(samples, co64=True)) == samples
+    assert _mp4_video_frames(
+        _mp4_frames(samples, chunks=[3, 1, 1])) == samples
+    assert _mp4_video_frames(
+        _mp4_frames(samples, chunks=[5])) == samples
+    # non-video handler → None; table-less MP4 → None
+    assert _mp4_video_frames(
+        _mp4_frames(samples, handler=b"soun")) is None
+    assert _mp4_video_frames(_mp4()) is None
+    # offset past payload end → None (corrupt the last stco entry)
+    bad = bytearray(_mp4_frames(samples))
+    at = bad.find(b"stco") + 4 + 8 + 4 * 2  # last of 3 chunk offsets
+    bad[at:at + 4] = (len(bad) + 100).to_bytes(4, "big")
+    assert _mp4_video_frames(bytes(bad)) is None
+    assert _mp4_video_frames(b"\x00" * 40) is None
+    assert _mp4_video_frames(None) is None
+
+
 def test_decode_video_mp4(spark):
     from arachne_spark.operators.multimodal import decode_video, video_meta
 
