@@ -800,16 +800,95 @@ def _avi_oracle_rows() -> str:
     return ", ".join(rows)
 
 
+def _mp4_fixture() -> list[tuple[int, bytes, list[bytes]]]:
+    """Deterministic valid sample-table MP4 payloads: (id, mp4_bytes,
+    samples).  The writer composes ftyp + moov(mvhd + trak(tkhd +
+    mdia(hdlr 'vide' + minf(stbl(stsz + stsc + stco))))) + mdat
+    forward from the layout — the oracle twin hashes the sample list
+    directly and never parses ISO-BMFF; the Spark side recovers the
+    samples from the actual bytes through the REAL table walk
+    (``multimodal._mp4_video_frames``).  6 videos, 5-10 samples each
+    (JPEG frames from ``_jpeg_fixture``), varied chunk layouts, ids
+    7_000_000+i."""
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + fourcc + body
+
+    jpegs = [b for _, b, _, _ in _jpeg_fixture()]
+    out = []
+    for i in range(6):
+        samples = [
+            jpegs[(i * 7 + k) % len(jpegs)] for k in range(5 + i)
+        ]
+        chunks = [3, len(samples) - 3] if i % 2 else [len(samples)]
+        sizes = b"".join(len(s).to_bytes(4, "big") for s in samples)
+        stsz = (bytes(8) + len(samples).to_bytes(4, "big") + sizes)
+        runs = []
+        for ci, per in enumerate(chunks):
+            if not runs or runs[-1][1] != per:
+                runs.append((ci + 1, per))
+        stsc = (bytes(4) + len(runs).to_bytes(4, "big") + b"".join(
+            f.to_bytes(4, "big") + p.to_bytes(4, "big")
+            + (1).to_bytes(4, "big") for f, p in runs
+        ))
+
+        def build(offsets):
+            stco = (bytes(4) + len(chunks).to_bytes(4, "big")
+                    + b"".join(o.to_bytes(4, "big") for o in offsets))
+            stbl = box(b"stsz", stsz) + box(b"stsc", stsc) + box(
+                b"stco", stco
+            )
+            mdia = box(b"hdlr", bytes(8) + b"vide" + bytes(4)) + box(
+                b"minf", box(b"stbl", stbl)
+            )
+            tkhd = (bytes(4) + bytes(72)
+                    + (64 << 16).to_bytes(4, "big")
+                    + (48 << 16).to_bytes(4, "big"))
+            mvhd = (bytes(4) + bytes(8) + (600).to_bytes(4, "big")
+                    + (1200).to_bytes(4, "big"))
+            moov = box(b"mvhd", mvhd) + box(
+                b"trak", box(b"tkhd", tkhd) + box(b"mdia", mdia)
+            )
+            return box(b"ftyp", b"isom" + bytes(4)) + box(b"moov", moov)
+
+        head = build([0] * len(chunks))
+        pos = len(head) + 8
+        offsets, si = [], 0
+        for per in chunks:
+            offsets.append(pos)
+            for _ in range(per):
+                pos += len(samples[si])
+                si += 1
+        payload = build(offsets) + box(b"mdat", b"".join(samples))
+        out.append((7_000_000 + i, payload, samples))
+    return out
+
+
+def _mp4_oracle_rows() -> str:
+    """SQL VALUES literals for the MP4 section of q42's oracle: the
+    md5 of every 4th sample, hashed from the fixture spec's sample
+    list — the oracle never parses ISO-BMFF."""
+    import hashlib
+
+    rows = []
+    for vid_id, _, samples in _mp4_fixture():
+        for f in range(0, len(samples), 4):
+            fh = hashlib.md5(samples[f]).hexdigest()
+            rows.append(f"({vid_id}, {f}, '{fh}')")
+    return ", ".join(rows)
+
+
 def q42_frame_sample(spark, sf_dir):
     """Multimodal fan-out plumbing: every-4th frame of a binary
     payload via mapInPandas (one input row -> many output rows),
-    hash-verified byte-for-byte.  Two regimes in one driver row: the
-    ASCII corpus exercises the labeled stride-slicing stub (the
-    DuckDB oracle's varchar slicing hashes the identical bytes), and
-    the ``_avi_fixture`` payloads exercise the REAL RIFF-AVI frame
-    extraction — frame_sample returns the actual movi JPEG chunks,
-    which the oracle carries as spec-derived literal hashes (the
-    q45/q46 spec-oracle pattern)."""
+    hash-verified byte-for-byte.  Three regimes in one driver row:
+    the ASCII corpus exercises the labeled stride-slicing stub (the
+    DuckDB oracle's varchar slicing hashes the identical bytes), the
+    ``_avi_fixture`` payloads exercise the REAL RIFF-AVI frame
+    extraction, and the ``_mp4_fixture`` payloads the REAL ISO-BMFF
+    sample-table walk — frame_sample returns the actual frame/sample
+    bytes, which the oracle carries as spec-derived literal hashes
+    (the q45/q46 spec-oracle pattern)."""
     from arachne_spark.operators.multimodal import frame_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -820,8 +899,13 @@ def q42_frame_sample(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _ in _avi_fixture()],
         "doc_id long, payload binary",
     )
+    mp4s = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in _mp4_fixture()],
+        "doc_id long, payload binary",
+    )
     frames = frame_sample(
-        payload.unionByName(avis), id_col="doc_id", every_n=4
+        payload.unionByName(avis).unionByName(mp4s),
+        id_col="doc_id", every_n=4,
     )
     return frames.select(
         "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_hash")
@@ -2815,7 +2899,14 @@ def oracle_sql() -> dict[str, str]:
           select cast(doc_id as bigint), cast(frame_idx as bigint),
                  frame_hash
           from (values {avi_rows}) a(doc_id, frame_idx, frame_hash)
-        """.format(avi_rows=_avi_oracle_rows()),
+          union all
+          -- the MP4 fixture's REAL extracted samples, hashed from the
+          -- sample spec (the oracle never parses ISO-BMFF)
+          select cast(doc_id as bigint), cast(frame_idx as bigint),
+                 frame_hash
+          from (values {mp4_rows}) m(doc_id, frame_idx, frame_hash)
+        """.format(avi_rows=_avi_oracle_rows(),
+                   mp4_rows=_mp4_oracle_rows()),
         "q43_claims_flatten": """
           with e as (
             select 'Q' || (n_nationkey + 10000) as subj,
