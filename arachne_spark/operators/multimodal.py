@@ -1347,9 +1347,11 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
     JPEG strips only); SamplesPerPixel 1 or 3; strip
     offsets/byte-counts read inline or through their value offsets,
     concatenated strips must tile width*height*channels exactly.
-    Tiled, planar, and non-8-bit TIFFs return None (header metadata
-    stays real via ``_decode_tiff``).  Same return shape as
-    ``decode_png_pixels``; never raises."""
+    TILED layouts (TIFF6 §15, tags 322-325) decode too: full-size
+    edge tiles decompressed independently, predictor undone per tile
+    row, placement cropped to the image.  Planar and non-8-bit TIFFs
+    return None (header metadata stays real via ``_decode_tiff``).
+    Same return shape as ``decode_png_pixels``; never raises."""
     if not payload:
         return None
     meta = _decode_tiff(payload)
@@ -1441,44 +1443,83 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         return None
     if bps is None or len(bps) != spp or any(b != 8 for b in bps):
         return None
-    if 324 in tags or scalar(284, 1) != 1:  # tiled / planar: codec-ish
+    if scalar(284, 1) != 1:  # planar (separate sample planes): rare
         return None
-    offs, counts = values(273), values(279)
-    if offs is None or counts is None or len(offs) != len(counts):
-        return None
+    tiled = 322 in tags and 324 in tags
+    offs = counts = None
+    if not tiled:
+        offs, counts = values(273), values(279)
+        if (offs is None or counts is None
+                or len(offs) != len(counts)):
+            return None
     w, h = meta["width"], meta["height"]
     n = len(payload)
-    data = bytearray()
-    for o, c in zip(offs, counts):
-        if o + c > n:
-            return None
-        strip = bytes(payload[o:o + c])
-        if comp in (8, 32946):  # Deflate: each strip its own stream
+
+    def decomp(chunk: bytes) -> bytes | None:
+        if comp in (8, 32946):  # Deflate: each chunk its own stream
             import zlib
 
             try:
-                strip = zlib.decompress(strip)
+                return zlib.decompress(chunk)
             except zlib.error:
                 return None
-        elif comp == 32773:
-            strip = _packbits(strip)
-            if strip is None:
-                return None
-        elif comp == 5:  # LZW: each strip its own stream (TIFF6 §13)
-            strip = _tiff_lzw(strip)
-            if strip is None:
-                return None
-        data.extend(strip)
-    if len(data) != w * h * spp:
-        return None
-    if predictor == 2:  # undo horizontal differencing per row/channel
-        stride = w * spp
-        for y in range(h):
+        if comp == 32773:
+            return _packbits(chunk)
+        if comp == 5:  # LZW: each chunk its own stream (TIFF6 §13)
+            return _tiff_lzw(chunk)
+        return chunk
+
+    def undo_predictor(buf: bytearray, stride: int, rows: int) -> None:
+        for y in range(rows):
             base = y * stride
             for x in range(spp, stride):
-                data[base + x] = (
-                    data[base + x] + data[base + x - spp]
+                buf[base + x] = (
+                    buf[base + x] + buf[base + x - spp]
                 ) & 0xFF
+
+    if tiled:
+        # tiles: a 2D grid of tw x tl blocks, each compressed
+        # independently and FULL-SIZED even at the right/bottom edge
+        # (TIFF6 §15); predictor runs per tile row, placement crops
+        tw_, tl_ = scalar(322), scalar(323)
+        t_offs, t_counts = values(324), values(325)
+        if (not tw_ or not tl_ or t_offs is None or t_counts is None
+                or len(t_offs) != len(t_counts)):
+            return None
+        across = -(-w // tw_)
+        down = -(-h // tl_)
+        if len(t_offs) != across * down:
+            return None
+        data = bytearray(w * h * spp)
+        for ti, (o, c) in enumerate(zip(t_offs, t_counts)):
+            if o + c > n:
+                return None
+            tile = decomp(bytes(payload[o:o + c]))
+            if tile is None or len(tile) != tw_ * tl_ * spp:
+                return None
+            tile = bytearray(tile)
+            if predictor == 2:
+                undo_predictor(tile, tw_ * spp, tl_)
+            x0 = (ti % across) * tw_
+            y0 = (ti // across) * tl_
+            ncopy = min(tw_, w - x0) * spp
+            for ry in range(min(tl_, h - y0)):
+                src = ry * tw_ * spp
+                dst = ((y0 + ry) * w + x0) * spp
+                data[dst:dst + ncopy] = tile[src:src + ncopy]
+    else:
+        data = bytearray()
+        for o, c in zip(offs, counts):
+            if o + c > n:
+                return None
+            strip = decomp(bytes(payload[o:o + c]))
+            if strip is None:
+                return None
+            data.extend(strip)
+        if len(data) != w * h * spp:
+            return None
+        if predictor == 2:  # strips slice whole rows: undo per row
+            undo_predictor(data, w * spp, h)
     if photometric == 0:  # WhiteIsZero: invert to BlackIsZero scale
         data = bytearray(255 - v for v in data)
     return {

@@ -155,6 +155,17 @@ def test_media_decoders_never_raise():
     # chunk-offset bounds of _mp4_video_frames
     table_mp4 = _mp4_frames([bytes([i] * (5 + i)) for i in range(5)])
 
+    # tiled-TIFF seed: mutations hit the tile-grid geometry, per-tile
+    # decompression, and placement-crop paths
+    from test_multimodal import _tiff_tiled
+
+    tiled_tiff = _tiff_tiled(
+        11, 10,
+        bytes((x + y) % 256
+              for y in range(10) for x in range(11) for _ in range(3)),
+        4, 4, compression=5, predictor=2,
+    )
+
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
     # MCU walk of decode_jpeg_pixels, not just the marker walk
     pixel_jpeg = _jpeg_enc(
@@ -189,7 +200,8 @@ def test_media_decoders_never_raise():
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
-        jpeg_tiff, pixel_bmp, sample_flac, table_mp4, pixel_jpeg,
+        jpeg_tiff, pixel_bmp, sample_flac, table_mp4, tiled_tiff,
+        pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (

@@ -2668,6 +2668,131 @@ def test_decode_tiff_compressed_strips():
         5, 6, rgb, compression=8, predictor=3)) is None
 
 
+def _tiff_tiled(w, h, pixels, tw, tl, endian="little", spp=3,
+                compression=1, predictor=1, drop_tiles=0):
+    """Tiled TIFF fixture (TIFF6 §15): the image cut into a grid of
+    FULL tw x tl tiles (edge tiles zero-padded), each compressed
+    independently; ``predictor=2`` applies forward differencing per
+    TILE row before compression."""
+    import struct
+    import zlib
+
+    bo = "<" if endian == "little" else ">"
+    magic = b"II*\x00" if endian == "little" else b"MM\x00*"
+    photometric = 2 if spp == 3 else 1
+    across = -(-w // tw)
+    down = -(-h // tl)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            tile = bytearray(tw * tl * spp)
+            for ry in range(min(tl, h - ty * tl)):
+                y = ty * tl + ry
+                ncopy = min(tw, w - tx * tw) * spp
+                src = (y * w + tx * tw) * spp
+                tile[ry * tw * spp:ry * tw * spp + ncopy] = (
+                    pixels[src:src + ncopy]
+                )
+            if predictor == 2:
+                stride = tw * spp
+                for ry in range(tl):
+                    base = ry * stride
+                    for x in range(stride - 1, spp - 1, -1):
+                        tile[base + x] = (
+                            tile[base + x] - tile[base + x - spp]
+                        ) & 0xFF
+            raw = bytes(tile)
+            if compression == 8:
+                raw = zlib.compress(raw)
+            elif compression == 5:
+                raw = _tiff_lzw_enc(raw)
+            tiles.append(raw)
+    if drop_tiles:
+        tiles = tiles[:-drop_tiles]
+    k = len(tiles)
+    ntags = 10 + (1 if predictor != 1 else 0)
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * ntags + 4
+
+    def build(tile_offsets):
+        ext = bytearray()
+
+        def entry(tag, typ, count, vals):
+            fmt = "H" if typ == 3 else "I"
+            raw = b"".join(struct.pack(bo + fmt, v) for v in vals)
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(bo + "I", ext_off + len(ext))
+                ext.extend(raw)
+            return struct.pack(bo + "HHI", tag, typ, count) + field
+
+        entries = [
+            entry(256, 3, 1, [w]),
+            entry(257, 3, 1, [h]),
+            entry(258, 3, spp, [8] * spp),
+            entry(259, 3, 1, [compression]),
+            entry(262, 3, 1, [photometric]),
+            entry(277, 3, 1, [spp]),
+            entry(322, 3, 1, [tw]),
+            entry(323, 3, 1, [tl]),
+            entry(324, 4, k, tile_offsets),
+            entry(325, 4, k, [len(t) for t in tiles]),
+        ]
+        if predictor != 1:
+            entries.append(entry(317, 3, 1, [predictor]))
+        entries.sort(key=lambda e: int.from_bytes(e[:2], endian))
+        ifd = (struct.pack(bo + "H", ntags) + b"".join(entries)
+               + struct.pack(bo + "I", 0))
+        return ifd, bytes(ext)
+
+    _, ext0 = build([0] * k)
+    data_off = ext_off + len(ext0)
+    offsets, pos = [], data_off
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    ifd, ext = build(offsets)
+    return (magic + struct.pack(bo + "I", ifd_off) + ifd + ext
+            + b"".join(tiles))
+
+
+def test_decode_tiff_tiled():
+    """Tiled TIFFs (TIFF6 §15) pixel-decode: full-size edge tiles are
+    cropped on placement, each tile decompresses independently
+    (uncompressed / LZW / Deflate), Predictor 2 is undone per TILE
+    row, both byte orders; a wrong tile count or truncated tile
+    returns None."""
+    from arachne_spark.operators.multimodal import decode_tiff_pixels
+
+    rgb = bytes((x * 7 + y * 11 + c) % 256
+                for y in range(10) for x in range(11) for c in range(3))
+    # 11x10 with 4x4 tiles: partial tiles on both edges
+    for endian in ("little", "big"):
+        got = decode_tiff_pixels(
+            _tiff_tiled(11, 10, rgb, 4, 4, endian=endian)
+        )
+        assert got == {"width": 11, "height": 10, "channels": 3,
+                       "pixels": rgb}, endian
+    # LZW + predictor per tile row; Deflate
+    for comp, pred in ((5, 2), (8, 2), (8, 1)):
+        got = decode_tiff_pixels(_tiff_tiled(
+            11, 10, rgb, 4, 4, compression=comp, predictor=pred
+        ))
+        assert got is not None and got["pixels"] == rgb, (comp, pred)
+    # grayscale, tile exactly divides image
+    grey = bytes((x * 3 + y) % 256
+                 for y in range(8) for x in range(8))
+    got = decode_tiff_pixels(_tiff_tiled(8, 8, grey, 4, 4, spp=1))
+    assert got is not None and got["pixels"] == grey
+    # failures: missing tiles, truncated tile bytes
+    assert decode_tiff_pixels(
+        _tiff_tiled(11, 10, rgb, 4, 4, drop_tiles=1)
+    ) is None
+    bad = bytearray(_tiff_tiled(11, 10, rgb, 4, 4))
+    assert decode_tiff_pixels(bytes(bad[:-8])) is None
+
+
 def test_decode_tiff_lzw_strips():
     """TIFF-LZW strips (Compression 5) decode for real: MSB-first
     variable-width codes with the spec's early change, verified by
