@@ -1530,15 +1530,65 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
     }
 
 
+def _bmp_rle(data, w: int, h: int, bpp: int) -> list | None:
+    """BI_RLE8 / BI_RLE4 decode (Windows BMP spec): encoded runs
+    (count, index — nibbles alternating for RLE4), escapes 0,0 = end
+    of line, 0,1 = end of bitmap, 0,2 = delta (skipped pixels stay
+    index 0), and absolute runs padded to a 16-bit boundary.  Returns
+    h bottom-up rows of palette indices, or None on truncation."""
+    rows = [bytearray(w) for _ in range(h)]
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            for k in range(cnt):
+                if x < w and y < h:
+                    if bpp == 8:
+                        rows[y][x] = val
+                    else:
+                        rows[y][x] = (val >> 4) if k % 2 == 0 else (
+                            val & 15
+                        )
+                x += 1
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return rows
+        elif val == 2:  # delta: move the cursor
+            if i + 2 > n:
+                return None
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute run of `val` literal indices
+            nb = val if bpp == 8 else (val + 1) // 2
+            if i + nb > n:
+                return None
+            for k in range(val):
+                if bpp == 8:
+                    idx = data[i + k]
+                else:
+                    b = data[i + k // 2]
+                    idx = (b >> 4) if k % 2 == 0 else (b & 15)
+                if x < w and y < h:
+                    rows[y][x] = idx
+                x += 1
+            i += nb + (nb & 1)  # runs pad to a WORD boundary
+    return rows  # tolerated: bitmap without the 0,1 trailer
+
+
 def decode_bmp_pixels(payload: bytes | None) -> dict | None:
-    """REAL uncompressed-BMP pixel decode — BMP stores raw samples,
-    no entropy coder at all: BITMAPINFOHEADER (or larger), BI_RGB
-    only, bit depths 1/4/8 (palettized — BGRA quads after the info
-    header, MSB-first sub-byte indices) and 24/32 (BGR(A) triples),
-    rows 4-byte aligned and stored bottom-up (top-down when the
-    height is negative).  Emits RGB.  RLE/bitfield compressions and
-    16-bit return None (header metadata stays real).  Same return
-    shape as ``decode_png_pixels``; never raises."""
+    """REAL BMP pixel decode — BMP needs no entropy codec:
+    BITMAPINFOHEADER (or larger); BI_RGB raw rows at bit depths 1/4/8
+    (palettized — BGRA quads after the info header, MSB-first
+    sub-byte indices) and 24/32 (BGR(A) triples), rows 4-byte aligned
+    and stored bottom-up (top-down when the height is negative); and
+    BI_RLE8/BI_RLE4 run-length rows (``_bmp_rle``).  Emits RGB.
+    Bitfield compressions and 16-bit return None (header metadata
+    stays real).  Same return shape as ``decode_png_pixels``; never
+    raises."""
     if not payload or len(payload) < 54 or bytes(payload[:2]) != b"BM":
         return None
     meta = _decode_bmp(payload)
@@ -1550,7 +1600,12 @@ def decode_bmp_pixels(payload: bytes | None) -> dict | None:
     h = abs(h_raw)
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if compression != 0 or bpp == 16:  # BI_RGB raw samples only
+    rle = None
+    if compression == 1 and bpp == 8 and h_raw > 0:
+        rle = 8  # BI_RLE8 (RLE bitmaps are always bottom-up)
+    elif compression == 2 and bpp == 4 and h_raw > 0:
+        rle = 4  # BI_RLE4
+    elif compression != 0 or bpp == 16:  # bitfields / 16-bit: no
         return None
     offset = int.from_bytes(payload[10:14], "little")
     row_bytes = ((w * bpp + 31) // 32) * 4
@@ -1568,6 +1623,21 @@ def decode_bmp_pixels(payload: bytes | None) -> dict | None:
                    payload[pal_at + 4 * i]))
             for i in range(n_colors)
         ]
+    if rle:
+        idx_rows = _bmp_rle(
+            bytes(payload[offset:]), w, h, rle
+        )
+        if idx_rows is None:
+            return None
+        out = bytearray()
+        for row in range(h):
+            src = idx_rows[h - 1 - row]  # bottom-up storage
+            for x in range(w):
+                if src[x] >= len(palette):
+                    return None
+                out += palette[src[x]]
+        return {"width": w, "height": h, "channels": 3,
+                "pixels": bytes(out)}
     out = bytearray()
     for row in range(h):
         src_row = row if h_raw < 0 else h - 1 - row
@@ -1685,14 +1755,19 @@ def _decode_bmp(payload: bytes) -> dict | None:
         return None
     planes = int.from_bytes(payload[26:28], "little")
     bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
     offset = int.from_bytes(payload[10:14], "little")
     if planes != 1 or bpp not in (1, 4, 8, 16, 24, 32):
         return None
     if not 54 <= offset <= len(payload):
         return None
-    row_bytes = ((w * bpp + 31) // 32) * 4
-    if len(payload) - offset < row_bytes * abs(h):
-        return None
+    if compression in (1, 2):  # RLE: data is variable-length, just
+        if offset >= len(payload):  # require SOME pixel bytes
+            return None
+    else:
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        if len(payload) - offset < row_bytes * abs(h):
+            return None
     return {"format": "bmp", "width": w, "height": abs(h)}
 
 
@@ -1935,6 +2010,7 @@ def decode_audio(payload: bytes | None) -> dict | None:
             channels = int.from_bytes(payload[i + 10:i + 12], "little")
             rate = int.from_bytes(payload[i + 12:i + 16], "little")
             bits = int.from_bytes(payload[i + 22:i + 24], "little")
+            tag = _wav_resolve_tag(payload, i, csize, tag)
             # 1 = PCM, 3 = IEEE float; anything else needs a codec
             if tag not in (1, 3):
                 return None
@@ -1963,6 +2039,28 @@ def decode_audio(payload: bytes | None) -> dict | None:
         "n_samples": n_samples,
         "duration_ms": n_samples * 1000 // rate,
     }
+
+
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (RFC 2361 / mmreg.h):
+# bytes 2-16 of the GUID are fixed; bytes 0-2 carry the real tag
+_WAVE_GUID_TAIL = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
+def _wav_resolve_tag(payload, i: int, csize: int, tag: int) -> int:
+    """Resolve WAVE_FORMAT_EXTENSIBLE (0xFFFE, the modern default for
+    multichannel/high-bit WAVs) to the real format tag carried in the
+    SubFormat GUID's first two bytes; other tags pass through.
+    Returns -1 for a malformed extensible header."""
+    if tag != 0xFFFE:
+        return tag
+    if csize < 40 or i + 48 > len(payload):
+        return -1
+    sub = bytes(payload[i + 32:i + 48])
+    if sub[2:] != _WAVE_GUID_TAIL:
+        return -1
+    return int.from_bytes(sub[:2], "little")
 
 
 def audio_meta(
@@ -2034,6 +2132,7 @@ def decode_wav_samples(payload: bytes | None) -> dict | None:
         if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= n:
             tag = int.from_bytes(payload[i + 8:i + 10], "little")
             bits = int.from_bytes(payload[i + 22:i + 24], "little")
+            tag = _wav_resolve_tag(payload, i, csize, tag)
         elif cid == b"data":
             data = bytes(payload[i + 8:i + 8 + csize])
         i += 8 + csize + (csize & 1)

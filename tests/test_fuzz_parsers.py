@@ -142,6 +142,16 @@ def test_media_decoders_never_raise():
         6, 4, bytes([255, 0, 0] * 3 + [0, 0, 255] * 3) * 4, bpp=4,
     )
 
+    # RLE-BMP seed: mutations hit the run/escape state machine and
+    # absolute-run padding of _bmp_rle
+    from test_multimodal import _bmp_rle_px
+
+    rle_bmp = _bmp_rle_px(
+        9, 5, [[(x + y) % 3 for x in range(9)] for y in range(5)],
+        [(200, 10, 10), (10, 200, 10), (10, 10, 200)],
+        use_absolute=True,
+    )
+
     # real-frame FLAC seed: mutations hit the frame-header CRC, rice
     # partition walk, and predictor reconstruction of
     # decode_flac_samples
@@ -200,8 +210,8 @@ def test_media_decoders_never_raise():
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
-        jpeg_tiff, pixel_bmp, sample_flac, table_mp4, tiled_tiff,
-        pixel_jpeg,
+        jpeg_tiff, pixel_bmp, rle_bmp, sample_flac, table_mp4,
+        tiled_tiff, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (

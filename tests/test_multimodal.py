@@ -95,6 +95,116 @@ def _bmp_px(w, h, rgb, bpp=24, topdown=False, compression=0,
     return bytes(b)
 
 
+def _bmp_rle_px(w, h, idx_rows, palette, bpp=8, use_absolute=False,
+                use_delta=None, truncate=0):
+    """RLE-compressed BMP fixture: independent RLE8/RLE4 encoder over
+    top-down index rows (stored bottom-up per the spec) — encoded
+    runs by default, absolute runs (word-padded) when asked, an
+    optional 0,2 delta escape, per-row 0,0 EOL and a final 0,1 end of
+    bitmap."""
+    enc = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = idx_rows[y]
+        if use_delta and y == use_delta[0]:
+            enc += bytes([0, 2, use_delta[1], 0])  # skip dx pixels
+            row = row[use_delta[1]:]
+        x = 0
+        while x < len(row):
+            run = 1
+            while (x + run < len(row) and row[x + run] == row[x]
+                   and run < 255):
+                run += 1
+            if use_absolute and run < 3 and len(row) - x >= 3:
+                take = min(len(row) - x, 254)
+                enc += bytes([0, take])
+                if bpp == 8:
+                    enc += bytes(row[x:x + take])
+                    if take & 1:
+                        enc += b"\x00"
+                else:
+                    nib = bytearray()
+                    for k in range(take):
+                        if k % 2 == 0:
+                            nib.append(row[x + k] << 4)
+                        else:
+                            nib[-1] |= row[x + k]
+                    if len(nib) & 1:
+                        nib.append(0)
+                    enc += nib
+                x += take
+            else:
+                if bpp == 8:
+                    enc += bytes([run, row[x]])
+                else:
+                    enc += bytes([run, (row[x] << 4) | row[x]])
+                x += run
+        enc += bytes([0, 0])  # end of line
+    enc += bytes([0, 1])  # end of bitmap
+    if truncate:
+        enc = enc[:-truncate]
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    offset = 54 + len(pal)
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[10:14] = offset.to_bytes(4, "little")
+    hdr[14:18] = (40).to_bytes(4, "little")
+    hdr[18:22] = w.to_bytes(4, "little", signed=True)
+    hdr[22:26] = h.to_bytes(4, "little", signed=True)
+    hdr[26:28] = (1).to_bytes(2, "little")
+    hdr[28:30] = bpp.to_bytes(2, "little")
+    hdr[30:34] = (1 if bpp == 8 else 2).to_bytes(4, "little")
+    hdr[46:50] = len(palette).to_bytes(4, "little")
+    return bytes(hdr) + pal + bytes(enc)
+
+
+def test_decode_bmp_rle():
+    """BI_RLE8/BI_RLE4 BMPs decode: encoded runs, absolute runs with
+    word padding, EOL/EOB escapes, and the delta escape (skipped
+    pixels = palette index 0); truncated absolute runs return None."""
+    from arachne_spark.operators.multimodal import decode_bmp_pixels
+
+    palette = [(200, 10, 10), (10, 200, 10), (10, 10, 200),
+               (77, 77, 77)]
+    idx_rows = [
+        [(x // 2 + y) % 4 for x in range(9)] for y in range(5)
+    ]
+    want = bytes(
+        v for y in range(5) for x in range(9)
+        for v in palette[idx_rows[y][x]]
+    )
+    for bpp in (8, 4):
+        for absolute in (False, True):
+            got = decode_bmp_pixels(_bmp_rle_px(
+                9, 5, idx_rows, palette, bpp=bpp,
+                use_absolute=absolute,
+            ))
+            assert got == {
+                "width": 9, "height": 5, "channels": 3,
+                "pixels": want,
+            }, (bpp, absolute)
+    # delta escape: row 2's first 3 pixels skipped → index 0
+    got = decode_bmp_pixels(_bmp_rle_px(
+        9, 5, idx_rows, palette, use_delta=(2, 3)
+    ))
+    skipped = [r[:] for r in idx_rows]
+    skipped[2] = [0, 0, 0] + idx_rows[2][3:]
+    assert got["pixels"] == bytes(
+        v for y in range(5) for x in range(9)
+        for v in palette[skipped[y][x]]
+    )
+    # truncation inside the run stream → still never raises (the
+    # un-covered pixels fall back to palette index 0)
+    out = decode_bmp_pixels(
+        _bmp_rle_px(9, 5, idx_rows, palette, truncate=6)
+    )
+    assert out is None or isinstance(out, dict)
+    # truncation INSIDE an absolute run → None
+    assert decode_bmp_pixels(_bmp_rle_px(
+        9, 5, [[1, 2, 3] + [0] * 6 for _ in range(5)], palette,
+        use_absolute=True, truncate=9,
+    )) is None
+
+
 def test_decode_bmp_pixels():
     """REAL BMP pixel decode: 24/32-bit BGR(A) and 1/4/8-bit
     palettized rows roundtrip (bottom-up AND top-down, 4-byte row
@@ -1447,15 +1557,24 @@ def test_jpeg_pixels_feed_thumbs_and_features(spark):
 
 
 def _wav(channels=2, rate=8000, bits=16, n_samples=100, tag=1,
-         truncate=0, extra_chunk=True, data=None):
+         truncate=0, extra_chunk=True, data=None, extensible=False,
+         guid_tail=None):
     import struct
 
     if data is None:
         data = bytes(n_samples * channels * (bits // 8))
     fmt = struct.pack(
-        "<HHIIHH", tag, channels, rate,
+        "<HHIIHH",
+        0xFFFE if extensible else tag, channels, rate,
         rate * channels * bits // 8, channels * bits // 8, bits,
     )
+    if extensible:  # WAVE_FORMAT_EXTENSIBLE: cbSize=22 + SubFormat
+        tail = guid_tail if guid_tail is not None else (
+            b"\x00\x00\x00\x00\x10\x00\x80\x00"
+            b"\x00\xaa\x00\x38\x9b\x71"
+        )
+        fmt += struct.pack("<HHI", 22, bits, 0x3)  # valid bits, mask
+        fmt += tag.to_bytes(2, "little") + tail
     body = b"WAVE"
     if extra_chunk:  # a LIST chunk the walk must skip (odd size → pad)
         body += b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
@@ -1475,6 +1594,16 @@ def test_decode_audio_wav(spark):
         "format": "wav", "channels": 2, "sample_rate": 8000,
         "bits_per_sample": 16, "n_samples": 4000, "duration_ms": 500,
     }
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE): real tag lives in the SubFormat
+    # GUID's first two bytes; PCM and float both resolve
+    assert decode_audio(_wav(2, 8000, 16, 4000, extensible=True)) == got
+    assert decode_audio(
+        _wav(1, 44100, 32, 441, tag=3, extensible=True)
+    )["duration_ms"] == 10
+    # a non-audio SubFormat GUID tail must NOT resolve
+    assert decode_audio(_wav(
+        2, 8000, 16, 100, extensible=True, guid_tail=bytes(14)
+    )) is None
     assert decode_audio(_wav(1, 44100, 32, 441, tag=3))["duration_ms"] \
         == 10
     assert decode_audio(_wav(truncate=8)) is None       # short data
