@@ -1342,16 +1342,21 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
     JPEGTables spliced ahead of abbreviated strip streams, decoded
     strips stitched with their SOF geometry checked against the strip
     layout); Predictor 2 (horizontal differencing, TIFF spec §14)
-    undone per row per channel; 8 bits per sample, Photometric 0
-    (WhiteIsZero, inverted), 1 (BlackIsZero), 2 (RGB) or 6 (YCbCr,
-    JPEG strips only); SamplesPerPixel 1 or 3; strip
-    offsets/byte-counts read inline or through their value offsets,
-    concatenated strips must tile width*height*channels exactly.
-    TILED layouts (TIFF6 §15, tags 322-325) decode too: full-size
-    edge tiles decompressed independently, predictor undone per tile
-    row, placement cropped to the image.  Planar and non-8-bit TIFFs
-    return None (header metadata stays real via ``_decode_tiff``).
-    Same return shape as ``decode_png_pixels``; never raises."""
+    undone per row per channel AT SAMPLE WIDTH; 8 or 16 bits per
+    sample (16-bit samples read in the file's byte order, inverted /
+    predicted at full width, then reduced by the high byte — the
+    PNG-spec rescale); Photometric 0 (WhiteIsZero, inverted), 1
+    (BlackIsZero), 2 (RGB) or 6 (YCbCr, JPEG strips only);
+    SamplesPerPixel 1 or 3; strip offsets/byte-counts read inline or
+    through their value offsets, concatenated strips must tile
+    width*height*channels exactly.  TILED layouts (TIFF6 §15, tags
+    322-325) decode too: full-size edge tiles decompressed
+    independently, predictor undone per tile row, placement cropped
+    to the image.  PLANAR layouts (PlanarConfiguration 2) decode for
+    strips: plane 0's strips then plane 1's, re-interleaved.  Planar
+    tiles and other bit depths return None (header metadata stays
+    real via ``_decode_tiff``).  Same return shape as
+    ``decode_png_pixels``; never raises."""
     if not payload:
         return None
     meta = _decode_tiff(payload)
@@ -1441,11 +1446,21 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         return None
     if photometric == 2 and spp != 3:
         return None
-    if bps is None or len(bps) != spp or any(b != 8 for b in bps):
+    if (bps is None or len(bps) != spp or len(set(bps)) != 1
+            or bps[0] not in (8, 16)):
         return None
-    if scalar(284, 1) != 1:  # planar (separate sample planes): rare
-        return None
+    bits = bps[0]
+    bsz = bits // 8
+    mask = (1 << bits) - 1
+    planar = scalar(284, 1)
     tiled = 322 in tags and 324 in tags
+    if planar not in (1, 2) or (planar == 2 and tiled):
+        return None
+    # adversarial-dimension guard: the tiled/planar paths preallocate
+    # w*h*spp, so claimed dims must be bounded BEFORE any allocation
+    # (same contract as _JPEG_MAX_PIXELS; crawl payloads are hostile)
+    if meta["width"] * meta["height"] > _JPEG_MAX_PIXELS:
+        return None
     offs = counts = None
     if not tiled:
         offs, counts = values(273), values(279)
@@ -1455,27 +1470,41 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
     w, h = meta["width"], meta["height"]
     n = len(payload)
 
-    def decomp(chunk: bytes) -> bytes | None:
+    def decomp(chunk: bytes) -> list[int] | None:
+        """Decompress one strip/tile and return its SAMPLE values
+        (16-bit samples read in the file's byte order)."""
         if comp in (8, 32946):  # Deflate: each chunk its own stream
             import zlib
 
             try:
-                return zlib.decompress(chunk)
+                chunk = zlib.decompress(chunk)
             except zlib.error:
                 return None
-        if comp == 32773:
-            return _packbits(chunk)
-        if comp == 5:  # LZW: each chunk its own stream (TIFF6 §13)
-            return _tiff_lzw(chunk)
-        return chunk
+        elif comp == 32773:
+            chunk = _packbits(chunk)
+            if chunk is None:
+                return None
+        elif comp == 5:  # LZW: each chunk its own stream (TIFF6 §13)
+            chunk = _tiff_lzw(chunk)
+            if chunk is None:
+                return None
+        if bsz == 1:
+            return list(chunk)
+        if len(chunk) % 2:
+            return None
+        return [
+            int.from_bytes(chunk[k:k + 2], endian)
+            for k in range(0, len(chunk), 2)
+        ]
 
-    def undo_predictor(buf: bytearray, stride: int, rows: int) -> None:
+    def undo_predictor(buf, stride: int, rows: int, step: int) -> None:
+        # horizontal differencing runs at the SAMPLE width (TIFF §14)
         for y in range(rows):
             base = y * stride
-            for x in range(spp, stride):
+            for x in range(step, stride):
                 buf[base + x] = (
-                    buf[base + x] + buf[base + x - spp]
-                ) & 0xFF
+                    buf[base + x] + buf[base + x - step]
+                ) & mask
 
     if tiled:
         # tiles: a 2D grid of tw x tl blocks, each compressed
@@ -1490,16 +1519,15 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         down = -(-h // tl_)
         if len(t_offs) != across * down:
             return None
-        data = bytearray(w * h * spp)
+        data = [0] * (w * h * spp)
         for ti, (o, c) in enumerate(zip(t_offs, t_counts)):
             if o + c > n:
                 return None
             tile = decomp(bytes(payload[o:o + c]))
             if tile is None or len(tile) != tw_ * tl_ * spp:
                 return None
-            tile = bytearray(tile)
             if predictor == 2:
-                undo_predictor(tile, tw_ * spp, tl_)
+                undo_predictor(tile, tw_ * spp, tl_, spp)
             x0 = (ti % across) * tw_
             y0 = (ti // across) * tl_
             ncopy = min(tw_, w - x0) * spp
@@ -1507,8 +1535,36 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
                 src = ry * tw_ * spp
                 dst = ((y0 + ry) * w + x0) * spp
                 data[dst:dst + ncopy] = tile[src:src + ncopy]
+    elif planar == 2:
+        # separate sample planes (PlanarConfiguration 2): the strip
+        # list covers plane 0's rows, then plane 1's, ... (TIFF §8);
+        # predictor differences within a plane, step 1
+        per_plane = -(-h // (scalar(278, h) or h))
+        if len(offs) != spp * per_plane:
+            return None
+        planes = []
+        for p in range(spp):
+            plane: list[int] = []
+            for o, c in zip(
+                offs[p * per_plane:(p + 1) * per_plane],
+                counts[p * per_plane:(p + 1) * per_plane],
+            ):
+                if o + c > n:
+                    return None
+                part = decomp(bytes(payload[o:o + c]))
+                if part is None:
+                    return None
+                plane.extend(part)
+            if len(plane) != w * h:
+                return None
+            if predictor == 2:
+                undo_predictor(plane, w, h, 1)
+            planes.append(plane)
+        data = [0] * (w * h * spp)
+        for p, plane in enumerate(planes):
+            data[p::spp] = plane
     else:
-        data = bytearray()
+        data = []
         for o, c in zip(offs, counts):
             if o + c > n:
                 return None
@@ -1519,9 +1575,11 @@ def decode_tiff_pixels(payload: bytes | None) -> dict | None:
         if len(data) != w * h * spp:
             return None
         if predictor == 2:  # strips slice whole rows: undo per row
-            undo_predictor(data, w * spp, h)
-    if photometric == 0:  # WhiteIsZero: invert to BlackIsZero scale
-        data = bytearray(255 - v for v in data)
+            undo_predictor(data, w * spp, h, spp)
+    if photometric == 0:  # WhiteIsZero: invert at full sample width
+        data = [mask - v for v in data]
+    if bits == 16:  # reduce by the high byte (the PNG-spec rescale)
+        data = [v >> 8 for v in data]
     return {
         "width": w,
         "height": h,
@@ -1606,6 +1664,10 @@ def decode_bmp_pixels(payload: bytes | None) -> dict | None:
     elif compression == 2 and bpp == 4 and h_raw > 0:
         rle = 4  # BI_RLE4
     elif compression != 0 or bpp == 16:  # bitfields / 16-bit: no
+        return None
+    if w * h > _JPEG_MAX_PIXELS:
+        # RLE data is variable-length, so claimed dims are unbounded
+        # by the payload size — cap them before _bmp_rle preallocates
         return None
     offset = int.from_bytes(payload[10:14], "little")
     row_bytes = ((w * bpp + 31) // 32) * 4

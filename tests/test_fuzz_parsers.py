@@ -167,13 +167,22 @@ def test_media_decoders_never_raise():
 
     # tiled-TIFF seed: mutations hit the tile-grid geometry, per-tile
     # decompression, and placement-crop paths
-    from test_multimodal import _tiff_tiled
+    from test_multimodal import _tiff_ext, _tiff_tiled
 
     tiled_tiff = _tiff_tiled(
         11, 10,
         bytes((x + y) % 256
               for y in range(10) for x in range(11) for _ in range(3)),
         4, 4, compression=5, predictor=2,
+    )
+
+    # 16-bit planar TIFF seed: mutations hit the sample-width
+    # predictor, plane re-interleave, and high-byte reduction
+    deep_tiff = _tiff_ext(
+        5, 4,
+        [(x * 997 + y * 313 + c) % 65536
+         for y in range(4) for x in range(5) for c in range(3)],
+        spp=3, planar=2, predictor=2,
     )
 
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
@@ -211,7 +220,7 @@ def test_media_decoders_never_raise():
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
         jpeg_tiff, pixel_bmp, rle_bmp, sample_flac, table_mp4,
-        tiled_tiff, pixel_jpeg,
+        tiled_tiff, deep_tiff, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (

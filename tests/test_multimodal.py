@@ -2886,7 +2886,154 @@ def _tiff_tiled(w, h, pixels, tw, tl, endian="little", spp=3,
             + b"".join(tiles))
 
 
-def test_decode_tiff_tiled():
+def _tiff_ext(w, h, samples, spp=1, bits=16, planar=1,
+              endian="little", compression=1, predictor=1,
+              photometric=None, n_strips=2):
+    """Extended TIFF fixture: 16-bit samples (serialized in the
+    file's byte order, forward-differenced at sample width when
+    ``predictor=2``) and/or PlanarConfiguration 2 (plane 0's strips,
+    then plane 1's, ...).  ``samples`` is a flat chunky-order list of
+    sample values."""
+    import struct
+    import zlib
+
+    bo = "<" if endian == "little" else ">"
+    magic = b"II*\x00" if endian == "little" else b"MM\x00*"
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    mask = (1 << bits) - 1
+    rps = max(1, (h + n_strips - 1) // n_strips)
+
+    def ser(vals):
+        if bits == 8:
+            return bytes(vals)
+        return b"".join(struct.pack(bo + "H", v) for v in vals)
+
+    def diff(vals, stride, step):
+        out = list(vals)
+        rows = len(vals) // stride
+        for y in range(rows):
+            base = y * stride
+            for x in range(stride - 1, step - 1, -1):
+                out[base + x] = (
+                    out[base + x] - vals[base + x - step]
+                ) & mask
+        return out
+
+    strips = []
+    if planar == 2:
+        for p in range(spp):
+            plane = samples[p::spp]
+            if predictor == 2:
+                plane = diff(plane, w, 1)
+            for r in range(0, h, rps):
+                strips.append(
+                    ser(plane[r * w:min(r + rps, h) * w])
+                )
+    else:
+        vals = (diff(samples, w * spp, spp)
+                if predictor == 2 else samples)
+        for r in range(0, h, rps):
+            strips.append(
+                ser(vals[r * w * spp:min(r + rps, h) * w * spp])
+            )
+    if compression == 8:
+        strips = [zlib.compress(s) for s in strips]
+    elif compression == 5:
+        strips = [_tiff_lzw_enc(s) for s in strips]
+    k = len(strips)
+    ntags = 10 + (1 if predictor != 1 else 0)
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * ntags + 4
+
+    def build(strip_offsets):
+        ext = bytearray()
+
+        def entry(tag, typ, count, vals):
+            fmt = "H" if typ == 3 else "I"
+            raw = b"".join(struct.pack(bo + fmt, v) for v in vals)
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(bo + "I", ext_off + len(ext))
+                ext.extend(raw)
+            return struct.pack(bo + "HHI", tag, typ, count) + field
+
+        entries = [
+            entry(256, 3, 1, [w]),
+            entry(257, 3, 1, [h]),
+            entry(258, 3, spp, [bits] * spp),
+            entry(259, 3, 1, [compression]),
+            entry(262, 3, 1, [photometric]),
+            entry(273, 4, k, strip_offsets),
+            entry(277, 3, 1, [spp]),
+            entry(278, 3, 1, [rps]),
+            entry(279, 4, k, [len(s) for s in strips]),
+            entry(284, 3, 1, [planar]),
+        ]
+        if predictor != 1:
+            entries.append(entry(317, 3, 1, [predictor]))
+        entries.sort(key=lambda e: int.from_bytes(e[:2], endian))
+        ifd = (struct.pack(bo + "H", ntags) + b"".join(entries)
+               + struct.pack(bo + "I", 0))
+        return ifd, bytes(ext)
+
+    _, ext0 = build([0] * k)
+    data_off = ext_off + len(ext0)
+    offsets, pos = [], data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd, ext = build(offsets)
+    return (magic + struct.pack(bo + "I", ifd_off) + ifd + ext
+            + b"".join(strips))
+
+
+def test_decode_tiff_16bit_and_planar():
+    """16-bit TIFFs reduce to the high byte after full-width
+    predictor undo and WhiteIsZero inversion (both byte orders), and
+    PlanarConfiguration 2 re-interleaves the per-sample planes;
+    truncated 16-bit data, mixed bit depths, and planar tiles return
+    None."""
+    from arachne_spark.operators.multimodal import decode_tiff_pixels
+
+    s16 = [(x * 1031 + y * 517) % 65536
+           for y in range(6) for x in range(5)]
+    want = bytes(v >> 8 for v in s16)
+    for endian in ("little", "big"):
+        got = decode_tiff_pixels(_tiff_ext(5, 6, s16, endian=endian))
+        assert got == {"width": 5, "height": 6, "channels": 1,
+                       "pixels": want}, endian
+    # WhiteIsZero inverts at the full 16-bit width before reduction
+    inv = decode_tiff_pixels(_tiff_ext(5, 6, s16, photometric=0))
+    assert inv["pixels"] == bytes((65535 - v) >> 8 for v in s16)
+    # 16-bit RGB + LZW + predictor (sample-width differencing)
+    rgb16 = [(x * 997 + y * 313 + c * 11) % 65536
+             for y in range(4) for x in range(5) for c in range(3)]
+    got = decode_tiff_pixels(_tiff_ext(
+        5, 4, rgb16, spp=3, compression=5, predictor=2
+    ))
+    assert got is not None
+    assert got["pixels"] == bytes(v >> 8 for v in rgb16)
+    # planar 8-bit RGB with predictor and multiple strips per plane
+    rgb8 = [(x * 7 + y * 11 + c) % 256
+            for y in range(6) for x in range(5) for c in range(3)]
+    got = decode_tiff_pixels(_tiff_ext(
+        5, 6, rgb8, spp=3, bits=8, planar=2, predictor=2,
+        n_strips=3,
+    ))
+    assert got is not None and got["pixels"] == bytes(rgb8)
+    # planar 16-bit + deflate
+    got = decode_tiff_pixels(_tiff_ext(
+        5, 4, rgb16, spp=3, planar=2, compression=8
+    ))
+    assert got is not None
+    assert got["pixels"] == bytes(v >> 8 for v in rgb16)
+    # failures: truncated payload, header-only fixture
+    assert decode_tiff_pixels(
+        _tiff_ext(5, 6, s16, n_strips=1)[:-1]
+    ) is None
+    assert decode_tiff_pixels(_tiff(5, 3)) is None
     """Tiled TIFFs (TIFF6 §15) pixel-decode: full-size edge tiles are
     cropped on placement, each tile decompresses independently
     (uncompressed / LZW / Deflate), Predictor 2 is undone per TILE
