@@ -216,6 +216,11 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
     elif bit_depth not in (8, 16):
         return None
     w, h = meta["width"], meta["height"]
+    if w * h > _JPEG_MAX_PIXELS:
+        # adversarial-dimension guard: a CRC-valid IHDR can still
+        # claim huge dims over a tiny (or zip-bomb) IDAT; bound the
+        # pixel grid before any allocation, like _JPEG_MAX_PIXELS
+        return None
     i, n, idat, plte = 33, len(payload), [], None
     while i + 8 <= n:  # chunk table already validated by _decode_png
         clen = int.from_bytes(payload[i:i + 4], "big")
@@ -228,7 +233,15 @@ def decode_png_pixels(payload: bytes | None) -> dict | None:
             plte = bytes(payload[i + 8:i + 8 + clen])
         i += 12 + clen
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # cap the inflate at the largest legal filtered-stream size
+        # (≤ 8 bytes/pixel + one filter byte per scanline, interlace
+        # adds at most one short row per pass) so a zip-bomb IDAT
+        # cannot expand past the declared image
+        max_raw = (w * 8 + 2) * h + 4096
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), max_raw)
+        if d.unconsumed_tail:
+            return None
     except zlib.error:
         return None
     # packed formats (palette at any depth, sub-byte grayscale) carry
@@ -458,6 +471,10 @@ def decode_gif_pixels(payload: bytes | None) -> dict | None:
                 j += size
             if pal is None or iw <= 0 or ih <= 0:
                 return None
+            if iw * ih > _JPEG_MAX_PIXELS:
+                return None  # bound the LZW output target (hostile
+                # dims would otherwise let a small stream of max-length
+                # dictionary entries expand ~4096x the payload)
             min_code = payload[j]
             j += 1
             # concatenate the LZW sub-blocks

@@ -2989,6 +2989,34 @@ def _tiff_ext(w, h, samples, spp=1, bits=16, planar=1,
             + b"".join(strips))
 
 
+def test_adversarial_dimension_guards():
+    """Decoders must reject dimension claims past the pixel cap
+    BEFORE allocating — a structurally-valid header over a tiny (or
+    bomb) body must not let hostile crawl payloads force gigabyte
+    buffers (found by the fuzz run: a mutated tile/RLE header froze
+    the suite for minutes)."""
+    import time
+
+    from arachne_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_tiff_pixels,
+    )
+
+    t0 = time.monotonic()
+    assert decode_tiff_pixels(_tiff(30000, 30000)) is None  # 9e8 px
+    hdr = bytearray(64)
+    hdr[0:2] = b"BM"
+    hdr[10:14] = (54).to_bytes(4, "little")
+    hdr[14:18] = (40).to_bytes(4, "little")
+    hdr[18:22] = (30000).to_bytes(4, "little")
+    hdr[22:26] = (30000).to_bytes(4, "little")
+    hdr[26:28] = (1).to_bytes(2, "little")
+    hdr[28:30] = (8).to_bytes(2, "little")
+    hdr[30:34] = (1).to_bytes(4, "little")  # BI_RLE8: size-unbounded
+    assert decode_bmp_pixels(bytes(hdr)) is None
+    assert time.monotonic() - t0 < 2.0  # rejected, not attempted
+
+
 def test_decode_tiff_16bit_and_planar():
     """16-bit TIFFs reduce to the high byte after full-width
     predictor undo and WhiteIsZero inversion (both byte orders), and
