@@ -2756,6 +2756,97 @@ def _avi_video_frames(payload: bytes | None) -> list[bytes] | None:
     return scanned[1] if scanned else None
 
 
+def _gif_video_frames(payload: bytes | None) -> list[bytes] | None:
+    """Ordered REAL frames of an ANIMATED GIF (≥ 2 image
+    descriptors), each re-wrapped as a standalone single-frame GIF89a
+    — the original LZW sub-blocks verbatim, the local-else-global
+    palette promoted to the new frame's global table, the interlace
+    flag preserved — so every emitted frame decodes through
+    ``decode_gif_pixels`` downstream, exactly like AVI's MJPEG chunks
+    decode through ``decode_jpeg_pixels``.  Frames are the raw
+    per-descriptor images (no disposal/coalescing — composition is a
+    downstream choice, like codec decode for MP4 samples).
+    Single-image GIFs return None and stay on the still-image path;
+    never raises."""
+    if not payload or len(payload) < 14:
+        return None
+    data = bytes(payload)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        flags = data[10]
+        i = 13
+        gct = None
+        gct_bits = 0
+        if flags & 0x80:
+            gct_bits = flags & 7
+            size = 3 * (2 << gct_bits)
+            gct = data[13:13 + size]
+            if len(gct) != size:
+                return None
+            i = 13 + size
+        frames = []
+        n = len(data)
+        while i < n:
+            b = data[i]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: skip (GCE timing not needed)
+                j = _skip_subblocks(data, i + 2)
+                if j is None:
+                    return None
+                i = j
+                continue
+            if b != 0x2C:
+                return None
+            if i + 10 > n:
+                return None
+            iw = int.from_bytes(data[i + 5:i + 7], "little")
+            ih = int.from_bytes(data[i + 7:i + 9], "little")
+            lflags = data[i + 9]
+            j = i + 10
+            pal, bits = gct, gct_bits
+            if lflags & 0x80:  # local color table
+                bits = lflags & 7
+                size = 3 * (2 << bits)
+                pal = data[j:j + size]
+                if len(pal) != size:
+                    return None
+                j += size
+            if pal is None or not iw or not ih:
+                return None
+            body_start = j  # LZW min-code byte + sub-blocks
+            if j >= n:
+                return None
+            j += 1
+            while True:  # walk the data sub-blocks to the 0 sentinel
+                if j >= n:
+                    return None
+                sz = data[j]
+                j += 1
+                if sz == 0:
+                    break
+                j += sz
+                if j > n:
+                    return None
+            frames.append(
+                b"GIF89a"
+                + iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+                + bytes([0x80 | bits, 0, 0]) + pal
+                + b"\x2c" + bytes(4)
+                + iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+                + bytes([lflags & 0x40])  # keep interlace only
+                + data[body_start:j]
+                + b"\x3b"
+            )
+            i = j
+        if len(frames) < 2:
+            return None  # a still image, not an animation
+        return frames
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
 def _mp4_video_frames(payload: bytes | None) -> list[bytes] | None:
     """Ordered REAL video samples of an MP4 payload via the sample
     tables — ISO 14496-12 ``stbl`` is plain structure, no codec:
@@ -3130,15 +3221,17 @@ def frame_sample(
     payload (one input row → many output rows).  REAL for AVI
     containers (the actual ``movi`` video chunks from the RIFF walk,
     ``_avi_video_frames`` — for MJPEG AVIs each one is a baseline
-    JPEG that ``decode_jpeg_pixels`` then decodes to pixels) AND for
+    JPEG that ``decode_jpeg_pixels`` then decodes to pixels), for
     MP4 containers (the actual video-trak samples reconstructed from
     the ``stsz``/``stsc``/``stco`` sample tables,
-    ``_mp4_video_frames``) — so video → frames runs end-to-end with
-    no codec library for both container families.  Other payloads
-    keep the labeled deterministic byte-slicing stub (fixed
-    ``stride`` chunks); a deployment swaps that for ffmpeg keyframe
-    extraction — schema, batch iterator, and row fan-out are
-    identical."""
+    ``_mp4_video_frames``), AND for animated GIFs (each image
+    descriptor re-wrapped as a standalone GIF that
+    ``decode_gif_pixels`` decodes, ``_gif_video_frames``) — so
+    video → frames runs end-to-end with no codec library for all
+    three container families.  Other payloads keep the labeled
+    deterministic byte-slicing stub (fixed ``stride`` chunks); a
+    deployment swaps that for ffmpeg keyframe extraction — schema,
+    batch iterator, and row fan-out are identical."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -3159,6 +3252,8 @@ def frame_sample(
                 real = _avi_video_frames(payload)
                 if real is None:
                     real = _mp4_video_frames(payload)
+                if real is None:
+                    real = _gif_video_frames(payload)
                 if real is not None:  # REAL container frames
                     for f in range(0, len(real), every_n):
                         ids.append(i)

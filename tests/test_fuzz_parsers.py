@@ -185,6 +185,18 @@ def test_media_decoders_never_raise():
         spp=3, planar=2, predictor=2,
     )
 
+    # animated-GIF seed: mutations hit the descriptor walk, local
+    # palette promotion, and frame re-wrap of _gif_video_frames
+    from test_multimodal import _gif_anim
+
+    anim_gif = _gif_anim(
+        [(6, 5, [(x + y) % 4 for y in range(5) for x in range(6)],
+          None, False),
+         (4, 4, [(x * y) % 2 for y in range(4) for x in range(4)],
+          [(10, 20, 30), (200, 100, 50)], True)],
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)],
+    )
+
     # real-scan JPEG seed: mutations hit the Huffman/bit-reader and
     # MCU walk of decode_jpeg_pixels, not just the marker walk
     pixel_jpeg = _jpeg_enc(
@@ -220,7 +232,7 @@ def test_media_decoders_never_raise():
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
         jpeg_tiff, pixel_bmp, rle_bmp, sample_flac, table_mp4,
-        tiled_tiff, deep_tiff, pixel_jpeg,
+        tiled_tiff, deep_tiff, anim_gif, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
     ]
     decoders = (
@@ -230,10 +242,13 @@ def test_media_decoders_never_raise():
     )
     from arachne_spark.operators.multimodal import (
         _avi_video_frames,
+        _gif_video_frames,
         _mp4_video_frames,
     )
 
-    extractors = (_avi_video_frames, _mp4_video_frames)
+    extractors = (
+        _avi_video_frames, _mp4_video_frames, _gif_video_frames,
+    )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):
             for fn in decoders:

@@ -1766,6 +1766,99 @@ def _gif_px(w, h, indices, palette, interlace=False):
     )
 
 
+def _gif_anim(frames, g_palette, loop_ext=True):
+    """Animated-GIF fixture: global color table from ``g_palette``,
+    then per frame an optional graphic-control extension, an image
+    descriptor at (left, top) with an optional LOCAL palette,
+    LZW-encoded indices (optionally interlaced).  ``frames`` entries:
+    (w, h, indices, local_palette_or_None, interlace)."""
+    import struct
+
+    def pal_block(palette):
+        n_pal = max(2, 1 << max(1, (len(palette) - 1).bit_length()))
+        raw = bytes(
+            v for i in range(n_pal)
+            for v in (palette[i] if i < len(palette) else (0, 0, 0))
+        )
+        return raw, n_pal.bit_length() - 2, n_pal
+
+    g_raw, g_bits, _ = pal_block(g_palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", max(f[0] for f in frames),
+                       max(f[1] for f in frames))
+    out += bytes([0x80 | g_bits, 0, 0]) + g_raw
+    if loop_ext:  # NETSCAPE looping application extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for k, (w, h, indices, lpal, interlace) in enumerate(frames):
+        out += b"\x21\xf9\x04\x00\x05\x00\x00\x00"  # GCE: 5cs delay
+        out += b"\x2c" + struct.pack("<HHHH", k, 0, w, h)
+        if lpal is not None:
+            l_raw, l_bits, n_pal = pal_block(lpal)
+            out += bytes([0x80 | (0x40 if interlace else 0) | l_bits])
+            out += l_raw
+            use = lpal
+        else:
+            out += bytes([0x40 if interlace else 0x00])
+            use = g_palette
+            n_pal = max(2, 1 << max(1, (len(use) - 1).bit_length()))
+        if interlace:
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            indices = [indices[r * w + c] for r in order
+                       for c in range(w)]
+        min_code = max(2, (n_pal - 1).bit_length())
+        lzw = _lzw_encode(indices, min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return bytes(out) + b"\x3b"
+
+
+def test_gif_video_frames():
+    """Animated-GIF frame extraction: every image descriptor
+    re-wraps as a standalone GIF whose decode equals the frame's own
+    indices — local palettes promoted, interlace preserved,
+    extensions skipped; single-image GIFs return None (they stay on
+    the still-image path)."""
+    from arachne_spark.operators.multimodal import (
+        _gif_video_frames,
+        decode_gif_pixels,
+    )
+
+    g_pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    l_pal = [(10, 20, 30), (200, 100, 50)]
+    f1 = [(x + y) % 4 for y in range(5) for x in range(6)]
+    f2 = [(x * y) % 2 for y in range(4) for x in range(4)]
+    f3 = [(x + 2 * y) % 4 for y in range(6) for x in range(5)]
+    anim = _gif_anim(
+        [(6, 5, f1, None, False),
+         (4, 4, f2, l_pal, False),
+         (5, 6, f3, None, True)],
+        g_pal,
+    )
+    frames = _gif_video_frames(anim)
+    assert frames is not None and len(frames) == 3
+    for frame, (w, h, idx, pal) in zip(frames, [
+        (6, 5, f1, g_pal), (4, 4, f2, l_pal), (5, 6, f3, g_pal),
+    ]):
+        dec = decode_gif_pixels(frame)
+        assert dec is not None
+        assert (dec["width"], dec["height"]) == (w, h)
+        assert dec["pixels"] == bytes(
+            v for k in idx for v in pal[k]
+        )
+    # single-image GIFs are stills, not animations
+    assert _gif_video_frames(_gif_px(5, 6, f1[:30], g_pal)) is None
+    assert _gif_video_frames(_gif(1, 1)) is None
+    # malformed: truncation inside a frame's sub-blocks → None
+    assert _gif_video_frames(anim[:-20]) is None
+    assert _gif_video_frames(anim[: len(anim) // 2]) is None
+    assert _gif_video_frames(b"GIF89a" + bytes(30)) is None
+    assert _gif_video_frames(None) is None
+
+
 def test_decode_gif_pixels():
     """REAL GIF pixel decode: pure-Python LZW + palette mapping.  A
     checkerboard round-trips exactly, interlaced row order is undone,
