@@ -864,6 +864,107 @@ def _mp4_fixture() -> list[tuple[int, bytes, list[bytes]]]:
     return out
 
 
+def _gif_anim_fixture() -> list[tuple[int, bytes, list[bytes]]]:
+    """Deterministic animated-GIF payloads: (id, anim_bytes,
+    expected_frames) where each expected frame is the standalone
+    single-frame GIF the spec implies (header + promoted palette +
+    origin-anchored descriptor + the SAME LZW blocks) — assembled
+    here from the spec values, never by parsing the animation; the
+    Spark side recovers identical bytes through the REAL descriptor
+    walk (``multimodal._gif_video_frames``).  4 animations, 5-8
+    frames each, ids 8_000_000+i."""
+
+    def lzw_enc(indices: list[int], min_code: int) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        out = bytearray()
+        acc = [0, 0]
+
+        def emit(code):
+            acc[0] |= code << acc[1]
+            acc[1] += width
+            while acc[1] >= 8:
+                out.append(acc[0] & 0xFF)
+                acc[0] >>= 8
+                acc[1] -= 8
+
+        emit(clear)
+        table = {(i,): i for i in range(clear)}
+        nxt = end + 1
+        w: tuple = ()
+        for v in indices:
+            wc = w + (v,)
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            if nxt < 4096:
+                table[wc] = nxt
+                nxt += 1
+                if nxt == (1 << width) + 1 and width < 12:
+                    width += 1
+            w = (v,)
+        if w:
+            emit(table[w])
+        emit(end)
+        if acc[1]:
+            out.append(acc[0] & 0xFF)
+        return bytes(out)
+
+    out = []
+    for i in range(4):
+        palette = [
+            ((c * 41 + i * 13) % 256, (c * 89 + i * 7) % 256,
+             (c * 23 + i * 29) % 256)
+            for c in range(4)
+        ]
+        pal_raw = b"".join(bytes(p) for p in palette)
+        n_frames = 5 + i
+        anim = bytearray(b"GIF89a")
+        anim += (12).to_bytes(2, "little") + (9).to_bytes(2, "little")
+        anim += bytes([0x81, 0, 0]) + pal_raw  # GCT: 4 entries
+        frames = []
+        for k in range(n_frames):
+            w, h = (k % 5) + 3, (k % 4) + 3
+            idx = [(x + y * 2 + k + i) % 4
+                   for y in range(h) for x in range(w)]
+            lzw = lzw_enc(idx, 2)
+            blocks = bytearray()
+            for j in range(0, len(lzw), 255):
+                chunk = lzw[j:j + 255]
+                blocks += bytes([len(chunk)]) + chunk
+            body = bytes([2]) + bytes(blocks) + b"\x00"
+            anim += b"\x21\xf9\x04\x00\x05\x00\x00\x00"  # GCE
+            anim += (b"\x2c" + k.to_bytes(2, "little") + bytes(2)
+                     + w.to_bytes(2, "little")
+                     + h.to_bytes(2, "little") + b"\x00" + body)
+            frames.append(
+                b"GIF89a"
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + bytes([0x81, 0, 0]) + pal_raw
+                + b"\x2c" + bytes(4)
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + b"\x00" + body + b"\x3b"
+            )
+        anim += b"\x3b"
+        out.append((8_000_000 + i, bytes(anim), frames))
+    return out
+
+
+def _gif_oracle_rows() -> str:
+    """SQL VALUES literals for the animated-GIF section of q42's
+    oracle: the md5 of every 4th expected standalone frame, hashed
+    from the fixture spec — the oracle never walks the animation."""
+    import hashlib
+
+    rows = []
+    for vid_id, _, frames in _gif_anim_fixture():
+        for f in range(0, len(frames), 4):
+            fh = hashlib.md5(frames[f]).hexdigest()
+            rows.append(f"({vid_id}, {f}, '{fh}')")
+    return ", ".join(rows)
+
+
 def _mp4_oracle_rows() -> str:
     """SQL VALUES literals for the MP4 section of q42's oracle: the
     md5 of every 4th sample, hashed from the fixture spec's sample
@@ -881,14 +982,16 @@ def _mp4_oracle_rows() -> str:
 def q42_frame_sample(spark, sf_dir):
     """Multimodal fan-out plumbing: every-4th frame of a binary
     payload via mapInPandas (one input row -> many output rows),
-    hash-verified byte-for-byte.  Three regimes in one driver row:
+    hash-verified byte-for-byte.  Four regimes in one driver row:
     the ASCII corpus exercises the labeled stride-slicing stub (the
     DuckDB oracle's varchar slicing hashes the identical bytes), the
     ``_avi_fixture`` payloads exercise the REAL RIFF-AVI frame
-    extraction, and the ``_mp4_fixture`` payloads the REAL ISO-BMFF
-    sample-table walk — frame_sample returns the actual frame/sample
-    bytes, which the oracle carries as spec-derived literal hashes
-    (the q45/q46 spec-oracle pattern)."""
+    extraction, the ``_mp4_fixture`` payloads the REAL ISO-BMFF
+    sample-table walk, and the ``_gif_anim_fixture`` payloads the
+    REAL animated-GIF descriptor walk + standalone-frame re-wrap —
+    frame_sample returns the actual frame/sample bytes, which the
+    oracle carries as spec-derived literal hashes (the q45/q46
+    spec-oracle pattern)."""
     from arachne_spark.operators.multimodal import frame_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -903,8 +1006,13 @@ def q42_frame_sample(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _ in _mp4_fixture()],
         "doc_id long, payload binary",
     )
+    gifs = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in _gif_anim_fixture()],
+        "doc_id long, payload binary",
+    )
     frames = frame_sample(
-        payload.unionByName(avis).unionByName(mp4s),
+        payload.unionByName(avis).unionByName(mp4s)
+        .unionByName(gifs),
         id_col="doc_id", every_n=4,
     )
     return frames.select(
@@ -2905,8 +3013,15 @@ def oracle_sql() -> dict[str, str]:
           select cast(doc_id as bigint), cast(frame_idx as bigint),
                  frame_hash
           from (values {mp4_rows}) m(doc_id, frame_idx, frame_hash)
+          union all
+          -- the animated-GIF fixture's re-wrapped frames, assembled
+          -- from the spec (the oracle never walks the animation)
+          select cast(doc_id as bigint), cast(frame_idx as bigint),
+                 frame_hash
+          from (values {gif_rows}) g(doc_id, frame_idx, frame_hash)
         """.format(avi_rows=_avi_oracle_rows(),
-                   mp4_rows=_mp4_oracle_rows()),
+                   mp4_rows=_mp4_oracle_rows(),
+                   gif_rows=_gif_oracle_rows()),
         "q43_claims_flatten": """
           with e as (
             select 'Q' || (n_nationkey + 10000) as subj,
