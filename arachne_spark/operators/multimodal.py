@@ -3,17 +3,23 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with
 typed metadata, following the mediainfo (M-entity) capability of the
 reference (commons endpoint selection, /root/reference/src/
-pheidippides.cpp:36-39).  The codec steps are clearly-marked STUBs
-(image/audio libraries are not in this container); everything
-Spark-side — schema, Arrow batch shape, ``mapInPandas`` iterator
+pheidippides.cpp:36-39).  Everything that is pure structure or
+lossless coding decodes FOR REAL from the public specs — no codec
+library in this container, none needed; only the perceptual entropy
+coders (MP3/AAC/OGG samples, non-MJPEG video pixels) keep
+clearly-labeled stubs.  Every decoder bounds allocations by the
+declared pixel cap and never raises on adversarial bytes.  The
+Spark side — schema, Arrow batch shape, ``mapInPandas`` iterator
 signature, fan-out row production, binary output columns, partition
-preservation — is real and tested:
+preservation — is real and tested throughout:
 
 * ``binary_meta``       — per-payload typed metadata (1 row / input);
 * ``frame_sample``      — every-nth frame extraction (N rows / input
   — the fan-out shape of real video sampling), hash-checked against
-  a byte-level DuckDB oracle (q42); REAL movi-chunk frames for AVI
-  containers, fixed-stride slicing stub otherwise;
+  a byte-level DuckDB oracle (q42); REAL frames for AVI (movi
+  chunks), MP4 (sample-table byte ranges) and animated GIF
+  (re-wrapped standalone frames), fixed-stride slicing stub
+  otherwise;
 * ``resize_meta``       — decode → target-dimension computation with
   aspect preserved; thumbnail bytes are REAL nearest-neighbor
   resampled pixels for every pixel-decodable format (every legal
