@@ -358,6 +358,124 @@ def run_semdedup(cpus: int) -> dict:
     }
 
 
+def run_media(cpus: int) -> dict:
+    """Decode throughput for the multimodal family — the one operator
+    group with no bench presence before round 5: REAL pixel decode +
+    thumbnail (resize_meta over replicated q45-spec PNG/JPEG/BMP/
+    TIFF-LZW payloads), REAL container frame extraction (frame_sample
+    over AVI/MP4/animated-GIF fixtures), and REAL sample decode +
+    signal stats (audio_features over generated PCM WAVs).  Work is
+    forced with byte-length aggregates (count() would let the
+    optimizer prune the decode).  Guarded like the other auxiliary
+    sections: a failure never sinks the artifact."""
+    import struct
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from arachne_spark.operators.multimodal import (
+        audio_features,
+        frame_sample,
+        resize_meta,
+    )
+    from arachne_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-media", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    images = (
+        [b for _, b, _, _ in entry._png_fixture()]
+        + [b for _, b, _, _ in entry._jpeg_fixture()]
+        + [b for _, b, _, _ in entry._bmp_fixture()]
+        + [b for _, b, _, _ in entry._tiff_lzw_fixture()]
+    )
+    n_rep = 20  # ~2k images; decode work is identical per copy
+    img_rows = [
+        (k * len(images) + j, bytearray(b))
+        for k in range(n_rep)
+        for j, b in enumerate(images)
+    ]
+    img_df = spark.createDataFrame(
+        img_rows, "img_id long, payload binary"
+    ).repartition(2 * cpus).persist()
+    img_df.count()
+
+    def measure(fn):
+        t0 = _t.time()
+        out = fn()
+        return out, _t.time() - t0
+
+    # warm once (python workers + codegen), then measure
+    force_img = lambda: resize_meta(  # noqa: E731
+        img_df, id_col="img_id", max_side=16
+    ).agg(F.sum(F.length("thumb"))).collect()[0][0]
+    force_img()
+    thumb_bytes, img_sec = measure(force_img)
+
+    videos = (
+        [b for _, b, _ in entry._avi_fixture()]
+        + [b for _, b, _ in entry._mp4_fixture()]
+        + [b for _, b, _ in entry._gif_anim_fixture()]
+    )
+    vid_rows = [
+        (k * len(videos) + j, bytearray(b))
+        for k in range(n_rep)
+        for j, b in enumerate(videos)
+    ]
+    vid_df = spark.createDataFrame(
+        vid_rows, "vid_id long, payload binary"
+    ).repartition(2 * cpus).persist()
+    vid_df.count()
+    force_vid = lambda: frame_sample(  # noqa: E731
+        vid_df, id_col="vid_id", every_n=1
+    ).agg(
+        F.count(F.lit(1)), F.sum(F.length("frame_bytes"))
+    ).collect()[0]
+    force_vid()
+    (n_frames, frame_bytes), vid_sec = measure(force_vid)
+
+    def wav(i: int) -> bytes:
+        n_s = 2000
+        data = b"".join(
+            struct.pack("<h", (k * 997 + i * 131) % 8000 - 4000)
+            for k in range(n_s)
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(data).to_bytes(4, "little") + data)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    aud_rows = [(i, bytearray(wav(i))) for i in range(500)]
+    aud_df = spark.createDataFrame(
+        aud_rows, "clip_id long, payload binary"
+    ).repartition(2 * cpus).persist()
+    aud_df.count()
+    force_aud = lambda: audio_features(  # noqa: E731
+        aud_df, id_col="clip_id"
+    ).agg(F.sum("n_frames")).collect()[0][0]
+    force_aud()
+    aud_frames, aud_sec = measure(force_aud)
+
+    for df in (img_df, vid_df, aud_df):
+        df.unpersist()
+    spark.stop()
+    return {
+        "images": len(img_rows),
+        "image_decode_sec": round(img_sec, 3),
+        "images_per_sec": round(len(img_rows) / img_sec, 1),
+        "thumb_bytes": int(thumb_bytes),
+        "videos": len(vid_rows),
+        "frames_emitted": int(n_frames),
+        "frame_extract_sec": round(vid_sec, 3),
+        "frames_per_sec": round(int(n_frames) / vid_sec, 1),
+        "audio_clips": len(aud_rows),
+        "audio_decode_sec": round(aud_sec, 3),
+        "audio_samples_decoded": int(aud_frames),
+    }
+
+
 def kg_core_run(cores: int, n_pages: int) -> tuple[float, int]:
     """Wall seconds + triple count for the warmed pipeline core."""
     from pyspark.sql import SparkSession
@@ -556,6 +674,10 @@ def main() -> None:
         semdedup = run_semdedup(cpus)
     except Exception as e:  # pragma: no cover - defensive
         semdedup = {"error": str(e)[:200]}
+    try:
+        media = run_media(cpus)
+    except Exception as e:  # pragma: no cover - defensive
+        media = {"error": str(e)[:200]}
 
     result = {
         "metric": "headline queries total + KG triples/sec scaling",
@@ -567,6 +689,7 @@ def main() -> None:
         "curation": curation,
         "graph": graph,
         "semdedup": semdedup,
+        "media": media,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg": {
             "pages": KG_PAGES,
