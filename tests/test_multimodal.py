@@ -1491,6 +1491,43 @@ def test_decode_jpeg_progressive():
     assert decode_jpeg_pixels(bytes(huge)) is None
 
 
+def test_gif_anim_fixture_decodes_pixel_exact():
+    """q42's animated-GIF fixture is only byte-hashed by the driver
+    (the re-wrap is verbatim), so its REAL dictionary-LZW encoder must
+    be pinned here: every extracted frame must decode through
+    decode_gif_pixels to exactly the spec's palette-mapped indices —
+    proving the encoder's width-growth rule stays in sync with the
+    product decoder."""
+    from __spark_entry__ import _gif_anim_fixture
+
+    from arachne_spark.operators.multimodal import (
+        _gif_video_frames,
+        decode_gif_pixels,
+    )
+
+    checked = 0
+    for vid_id, anim, expected in _gif_anim_fixture():
+        frames = _gif_video_frames(anim)
+        assert frames == expected, vid_id
+        i = vid_id - 8_000_000
+        palette = [
+            ((c * 41 + i * 13) % 256, (c * 89 + i * 7) % 256,
+             (c * 23 + i * 29) % 256)
+            for c in range(4)
+        ]
+        for k, frame in enumerate(frames):
+            dec = decode_gif_pixels(frame)
+            assert dec is not None, (vid_id, k)
+            w, h = (k % 5) + 3, (k % 4) + 3
+            idx = [(x + y * 2 + k + i) % 4
+                   for y in range(h) for x in range(w)]
+            assert dec["pixels"] == bytes(
+                v for j in idx for v in palette[j]
+            ), (vid_id, k)
+            checked += 1
+    assert checked >= 26
+
+
 def test_jpeg_fixture_decodes_bit_exact():
     """The q45 JPEG fixture's block-constant payloads decode to the
     block spec EXACTLY (DC-only blocks; float IDCT of a DC-only block
