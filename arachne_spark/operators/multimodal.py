@@ -2457,7 +2457,10 @@ def decode_flac_samples(payload: bytes | None) -> dict | None:
                 break
         out: list[list[int]] = [[] for _ in range(channels)]
         done = 0
-        while done < total and i + 5 <= n:
+        # STREAMINFO total_samples == 0 means UNKNOWN length (RFC
+        # 9639): decode every frame present instead of expecting none
+        unknown = total == 0
+        while (unknown or done < total) and i + 5 <= n:
             hdr_start = i
             if data[i] != 0xFF or data[i + 1] & 0xFC != 0xF8:
                 return None
@@ -2523,12 +2526,18 @@ def decode_flac_samples(payload: bytes | None) -> dict | None:
             if reader.byte_pos() + 2 > n:
                 return None
             reader.bits(16)  # frame CRC-16 (presence-checked)
-            take = min(blocksize, total - done)
+            take = blocksize if unknown else min(
+                blocksize, total - done
+            )
             for c in range(channels):
                 out[c].extend(chans[c][:take])
             done += take
             i = reader.byte_pos()
-        if done != total:
+        if unknown:
+            if done == 0:
+                return None  # unknown length but no frames at all
+            total = done
+        elif done != total:
             return None
         half = 1 << (stream_bps - 1)
         samples = [

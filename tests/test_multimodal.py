@@ -2496,6 +2496,13 @@ def test_decode_flac_samples():
     b24 = [[(i * 9973) % 400000 - 200000 for i in range(96)]]
     assert decode_flac_samples(
         _flac_enc(b24, bps=24))["samples"] == expect(b24, 24)
+    # STREAMINFO total_samples == 0 means UNKNOWN length (RFC 9639):
+    # every frame present must decode, not zero of them
+    enc = bytearray(_flac_enc(mono, blocksize=64))
+    packed = int.from_bytes(enc[18:26], "big")
+    enc[18:26] = (packed & ~((1 << 36) - 1)).to_bytes(8, "big")
+    got = decode_flac_samples(bytes(enc))
+    assert got is not None and got["samples"] == expect(mono, 16)
     # failures: corrupt header CRC-8, truncation, junk — None
     enc = _flac_enc(mono)
     bad = bytearray(enc)
