@@ -2069,9 +2069,12 @@ def decode_audio(payload: bytes | None) -> dict | None:
     header — ``_decode_ogg``).  Returns ``{"format", "channels",
     "sample_rate", "bits_per_sample", "n_samples", "duration_ms"}``
     or None (``bits_per_sample`` is None for the entropy-coded
-    formats).  SAMPLE decode for the compressed formats stays a
-    labeled stub — no codec libraries in this container — but the
-    container structure, codec parameters and duration are real."""
+    formats).  WAV accepts PCM/IEEE-float plus the codec-free
+    compressed tags (G.711 mu-law/A-law, IMA/MS ADPCM — sized from
+    the block layout and the `fact` frame count); SAMPLE decode for
+    the entropy-coded formats (MP3/OGG) stays a labeled stub — no
+    codec libraries in this container — but their container
+    structure, codec parameters and duration are real."""
     if not payload or len(payload) < 42:
         return None
     if bytes(payload[:4]) == b"fLaC":
@@ -2086,7 +2089,7 @@ def decode_audio(payload: bytes | None) -> dict | None:
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
         return None
     n = len(payload)
-    i, fmt, data_size = 12, None, None
+    i, fmt, data_size, fact = 12, None, None, None
     while i + 8 <= n:
         cid = bytes(payload[i:i + 4])
         csize = int.from_bytes(payload[i + 4:i + 8], "little")
@@ -2094,14 +2097,24 @@ def decode_audio(payload: bytes | None) -> dict | None:
             tag = int.from_bytes(payload[i + 8:i + 10], "little")
             channels = int.from_bytes(payload[i + 10:i + 12], "little")
             rate = int.from_bytes(payload[i + 12:i + 16], "little")
+            balign = int.from_bytes(payload[i + 20:i + 22], "little")
             bits = int.from_bytes(payload[i + 22:i + 24], "little")
             tag = _wav_resolve_tag(payload, i, csize, tag)
-            # 1 = PCM, 3 = IEEE float; anything else needs a codec
-            if tag not in (1, 3):
+            # 1 = PCM, 3 = IEEE float, 6/7 = G.711 A-law/mu-law,
+            # 2/0x11 = MS/IMA ADPCM; anything else needs a codec
+            if tag not in (1, 2, 3, 6, 7, 0x11):
                 return None
-            if channels == 0 or rate == 0 or bits not in (8, 16, 24, 32, 64):
+            if channels == 0 or rate == 0:
                 return None
-            fmt = (channels, rate, bits)
+            if tag in (1, 3) and bits not in (8, 16, 24, 32, 64):
+                return None
+            if tag in (6, 7) and bits != 8:
+                return None
+            if tag in (2, 0x11) and bits != 4:
+                return None
+            fmt = (tag, channels, rate, bits, balign)
+        elif cid == b"fact" and csize >= 4 and i + 12 <= n:
+            fact = int.from_bytes(payload[i + 8:i + 12], "little")
         elif cid == b"data":
             # the data chunk's declared size must actually be present
             # (truncated payloads fail), up to one RIFF pad byte
@@ -2111,11 +2124,32 @@ def decode_audio(payload: bytes | None) -> dict | None:
         i += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         return None
-    channels, rate, bits = fmt
-    frame_bytes = channels * (bits // 8)
-    if frame_bytes == 0 or data_size % frame_bytes != 0:
-        return None
-    n_samples = data_size // frame_bytes
+    tag, channels, rate, bits, balign = fmt
+    if tag in (1, 3):
+        frame_bytes = channels * (bits // 8)
+        if frame_bytes == 0 or data_size % frame_bytes != 0:
+            return None
+        n_samples = data_size // frame_bytes
+    elif tag in (6, 7):  # G.711: one byte per sample per channel
+        if data_size % channels != 0:
+            return None
+        n_samples = data_size // channels
+    else:  # block-structured ADPCM: capacity from the block layout
+        hdr = 4 * channels if tag == 0x11 else 7 * channels
+        if balign <= hdr or data_size % balign != 0:
+            return None
+        if tag == 0x11:
+            # IMA data groups are 4 bytes per channel (8 nibbles)
+            if (balign - hdr) % (4 * channels) != 0:
+                return None
+            spb = 1 + (balign - hdr) * 2 // channels
+        else:
+            spb = 2 + (balign - hdr) * 2 // channels
+        n_samples = (data_size // balign) * spb
+        # compressed WAV carries the true frame count in `fact`; the
+        # last block may be logically short of its capacity
+        if fact is not None and 0 < fact <= n_samples:
+            n_samples = fact
     return {
         "format": "wav",
         "channels": channels,
@@ -2194,18 +2228,181 @@ def audio_meta(
     return df.mapInPandas(decode_batches, schema)
 
 
+def _g711_tables() -> tuple[tuple, tuple]:
+    """Expand the ITU-T G.711 mu-law and A-law code→linear tables
+    (16-bit domain, Sun g711.c-compatible: mu-law max ±32124, A-law
+    max ±32256).  Both laws decode per-byte; computing the 256-entry
+    tables once keeps the per-sample path a list index."""
+    ulaw, alaw = [], []
+    for c in range(256):
+        u = ~c & 0xFF  # mu-law bytes are transmitted complemented
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        ulaw.append(0x84 - t if u & 0x80 else t - 0x84)
+        a = c ^ 0x55  # A-law bytes are transmitted with even bits flipped
+        seg, m = (a >> 4) & 7, a & 0x0F
+        if seg == 0:
+            v = (m << 4) + 8
+        elif seg == 1:
+            v = (m << 4) + 0x108
+        else:
+            v = ((m << 4) + 0x108) << (seg - 1)
+        alaw.append(v if a & 0x80 else -v)
+    return tuple(ulaw), tuple(alaw)
+
+
+_ULAW_LINEAR, _ALAW_LINEAR = _g711_tables()
+
+# IMA/DVI ADPCM quantizer step table (89 entries) + index adjustment,
+# per the IMA Digital Audio Pack recommended practice
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+# MS ADPCM predictor coefficient pairs (x256) + idelta adaptation
+# table, per the WAVE_FORMAT_ADPCM spec (Microsoft multimedia
+# standards update / mmreg.h)
+_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _ima_adpcm_samples(
+    data: bytes, ch: int, balign: int, n_samples: int
+) -> list | None:
+    """Decode IMA/DVI ADPCM (WAV format tag 0x11) blocks to normalized
+    interleaved floats.  Each block carries a per-channel header
+    (int16 predictor = the block's first output sample, uint8 step
+    index, reserved byte) followed by 4-byte-per-channel groups of
+    8 nibbles; low nibble first within each byte.  Truncates to
+    ``n_samples`` frames (the `fact` count).  Returns None on a
+    header step index past the table."""
+    out: list = []
+    remaining = n_samples
+    for b in range(len(data) // balign):
+        blk = data[b * balign:(b + 1) * balign]
+        pred, idx = [], []
+        for c in range(ch):
+            pred.append(
+                int.from_bytes(blk[c * 4:c * 4 + 2], "little", signed=True)
+            )
+            ix = blk[c * 4 + 2]
+            if ix >= len(_IMA_STEPS):
+                return None
+            idx.append(ix)
+        chan = [[p] for p in pred]  # header predictor = first sample
+        pos = 4 * ch
+        while pos + 4 * ch <= balign:
+            for c in range(ch):
+                for byte in blk[pos + 4 * c:pos + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEPS[idx[c]]
+                        diff = step >> 3
+                        if nib & 4:
+                            diff += step
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 1:
+                            diff += step >> 2
+                        p = pred[c] - diff if nib & 8 else pred[c] + diff
+                        p = max(-32768, min(32767, p))
+                        pred[c] = p
+                        idx[c] = max(
+                            0,
+                            min(
+                                len(_IMA_STEPS) - 1,
+                                idx[c] + _IMA_INDEX[nib & 7],
+                            ),
+                        )
+                        chan[c].append(p)
+            pos += 4 * ch
+        take = min(len(chan[0]), remaining)
+        for j in range(take):
+            for c in range(ch):
+                out.append(chan[c][j] / 32768.0)
+        remaining -= take
+    return out
+
+
+def _ms_adpcm_samples(
+    data: bytes, ch: int, balign: int, n_samples: int
+) -> list | None:
+    """Decode MS ADPCM (WAV format tag 2) blocks to normalized
+    interleaved floats.  Block header per channel: predictor
+    coefficient index (1 byte), then int16 idelta, sample1, sample2
+    per channel; output starts sample2, sample1, then one 4-bit code
+    per sample round-robin across channels, high nibble first.
+    Predictor division is C-style truncation toward zero (FFmpeg/
+    spec-pseudocode behavior).  Returns None on a coefficient index
+    past the table."""
+    out: list = []
+    remaining = n_samples
+    hdr = 7 * ch
+    for b in range(len(data) // balign):
+        blk = data[b * balign:(b + 1) * balign]
+        coef = []
+        for c in range(ch):
+            pi = blk[c]
+            if pi >= len(_MS_COEFS):
+                return None
+            coef.append(_MS_COEFS[pi])
+        delta, s1, s2 = [], [], []
+        for c in range(ch):
+            delta.append(int.from_bytes(
+                blk[ch + 2 * c:ch + 2 * c + 2], "little", signed=True))
+            s1.append(int.from_bytes(
+                blk[3 * ch + 2 * c:3 * ch + 2 * c + 2],
+                "little", signed=True))
+            s2.append(int.from_bytes(
+                blk[5 * ch + 2 * c:5 * ch + 2 * c + 2],
+                "little", signed=True))
+        chan = [[s2[c], s1[c]] for c in range(ch)]
+        c = 0
+        for byte in blk[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c1, c2 = coef[c]
+                s = chan[c][-1] * c1 + chan[c][-2] * c2
+                predv = -((-s) >> 8) if s < 0 else s >> 8
+                snib = nib - 16 if nib >= 8 else nib
+                v = max(-32768, min(32767, predv + delta[c] * snib))
+                chan[c].append(v)
+                delta[c] = max((_MS_ADAPT[nib] * delta[c]) >> 8, 16)
+                c = (c + 1) % ch
+        take = min(len(chan[0]), remaining)
+        for j in range(take):
+            for cc in range(ch):
+                out.append(chan[cc][j] / 32768.0)
+        remaining -= take
+    return out
+
+
 def decode_wav_samples(payload: bytes | None) -> dict | None:
-    """REAL WAV sample decode — PCM needs no codec: normalize the data
-    chunk to floats in [-1, 1] (8-bit unsigned → (v-128)/128, 16/24/32
-    signed → v / 2^(bits-1), IEEE float tags pass through), interleaved
-    as written.  Structural validation is ``decode_audio``'s RIFF walk;
-    returns ``{"channels", "sample_rate", "samples": list[float]}`` or
-    None (compressed audio keeps the labeled stub).  Never raises."""
+    """REAL WAV sample decode: integer PCM normalized to floats in
+    [-1, 1] (8-bit unsigned → (v-128)/128, 16/24/32 signed →
+    v / 2^(bits-1)), IEEE float pass-through, G.711 mu-law/A-law table
+    expansion (tags 7/6), and IMA/MS ADPCM block decode (tags 0x11/2,
+    truncated to the `fact` frame count) — all codec-free per spec;
+    interleaved as written.  Structural validation is
+    ``decode_audio``'s RIFF walk; returns ``{"channels",
+    "sample_rate", "samples": list[float]}`` or None (entropy-coded
+    formats — MP3/OGG — keep the labeled stub).  Never raises."""
     meta = decode_audio(payload)
     if meta is None or meta["format"] != "wav":
         return None
     n = len(payload)
-    i, tag, bits, data = 12, None, None, None
+    i, tag, bits, balign, data = 12, None, None, None, None
     while i + 8 <= n:
         cid = bytes(payload[i:i + 4])
         csize = int.from_bytes(payload[i + 4:i + 8], "little")
@@ -2216,6 +2413,7 @@ def decode_wav_samples(payload: bytes | None) -> dict | None:
         # length turns struct.unpack into a raise
         if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= n:
             tag = int.from_bytes(payload[i + 8:i + 10], "little")
+            balign = int.from_bytes(payload[i + 20:i + 22], "little")
             bits = int.from_bytes(payload[i + 22:i + 24], "little")
             tag = _wav_resolve_tag(payload, i, csize, tag)
         elif cid == b"data":
@@ -2223,7 +2421,19 @@ def decode_wav_samples(payload: bytes | None) -> dict | None:
         i += 8 + csize + (csize & 1)
     if tag is None or data is None:
         return None
-    if tag == 1:  # integer PCM
+    ch, n_target = meta["channels"], meta["n_samples"]
+    if tag in (6, 7):  # G.711 mu-law / A-law: table decode per byte
+        table = _ULAW_LINEAR if tag == 7 else _ALAW_LINEAR
+        samples = [table[b] / 32768.0 for b in data]
+    elif tag == 0x11:  # IMA ADPCM
+        samples = _ima_adpcm_samples(data, ch, balign, n_target)
+        if samples is None:
+            return None
+    elif tag == 2:  # MS ADPCM
+        samples = _ms_adpcm_samples(data, ch, balign, n_target)
+        if samples is None:
+            return None
+    elif tag == 1:  # integer PCM
         if bits == 8:
             samples = [(b - 128) / 128.0 for b in data]
         elif bits in (16, 24, 32):

@@ -227,6 +227,37 @@ def test_media_decoders_never_raise():
         w=8, h=8, rec_group=True,
     )
 
+    # compressed-WAV seeds: mutations hit the G.711 table path and
+    # the IMA/MS ADPCM block walks (header indices, fact truncation)
+    from test_multimodal import (
+        _ima_enc_block,
+        _ms_enc_block,
+        _ulaw_enc,
+        _wav_coded,
+    )
+
+    ulaw_wav = _wav_coded(
+        7, 1, 8000, 8,
+        1, bytes(_ulaw_enc(v * 600 - 9000) for v in range(30)),
+        fact=30,
+    )
+    ima_wav = _wav_coded(
+        0x11, 2, 8000, 4, 24,
+        _ima_enc_block(
+            [[(k * 700 + c) % 4000 - 2000 for k in range(17)]
+             for c in range(2)], 2, 24, (3, 40),
+        )[0],
+        fact=17,
+    )
+    ms_wav = _wav_coded(
+        2, 1, 11025, 4, 15,
+        _ms_enc_block(
+            [[(k * 450) % 3000 - 1500 for k in range(18)]],
+            1, 15, 0, 64,
+        )[0],
+        fact=18,
+    )
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
@@ -234,6 +265,7 @@ def test_media_decoders_never_raise():
         jpeg_tiff, pixel_bmp, rle_bmp, sample_flac, table_mp4,
         tiled_tiff, deep_tiff, anim_gif, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
+        ulaw_wav, ima_wav, ms_wav,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

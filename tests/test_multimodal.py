@@ -1730,6 +1730,335 @@ def test_decode_wav_samples_and_features(spark):
     assert "BatchEvalPython" not in plan
 
 
+# --- compressed-WAV twins (independent encoders, written from the
+# specs: Sun g711.c-style G.711 companders, IMA Digital Audio Pack
+# quantizer, MS ADPCM block pseudocode) ---------------------------
+
+_TEST_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_TEST_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ulaw_enc(x):
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x, 32635) + 0x84
+    e, mask = 7, 0x4000
+    while e > 0 and not (x & mask):
+        e -= 1
+        mask >>= 1
+    return ~(sign | (e << 4) | ((x >> (e + 3)) & 0x0F)) & 0xFF
+
+
+def _alaw_enc(x):
+    mask = 0xD5 if x >= 0 else 0x55
+    x >>= 3  # 16-bit → 13-bit domain
+    if mask == 0x55:
+        x = -x - 1
+    ends = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+    seg = 0
+    while seg < 8 and x > ends[seg]:
+        seg += 1
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (x >> 1) & 0x0F if seg < 2 else (x >> seg) & 0x0F
+    return aval ^ mask
+
+
+def _wav_coded(tag, ch, rate, bits, balign, data, fact=None):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * balign,
+                      balign, bits)
+    body = b"WAVE"
+    body += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if fact is not None:
+        body += (b"fact" + (4).to_bytes(4, "little")
+                 + fact.to_bytes(4, "little"))
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _ima_enc_block(samples, ch, balign, init_idx):
+    """Encode one IMA ADPCM block (samples = per-channel int16 lists,
+    all length spb) and return (block_bytes, per-channel reconstructed
+    samples) — the reconstruction tracks the quantizer exactly, so the
+    product decoder must reproduce it bit-for-bit."""
+    blk = bytearray()
+    pred = [s[0] for s in samples]
+    idx = list(init_idx)
+    recon = [[s[0]] for s in samples]
+    for c in range(ch):
+        blk += pred[c].to_bytes(2, "little", signed=True)
+        blk += bytes([idx[c], 0])
+    nibbles = [[] for _ in range(ch)]
+    for j in range(1, len(samples[0])):
+        for c in range(ch):
+            step = _TEST_IMA_STEPS[idx[c]]
+            diff = samples[c][j] - pred[c]
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            d = step >> 3
+            if nib & 4:
+                d += step
+            if nib & 2:
+                d += step >> 1
+            if nib & 1:
+                d += step >> 2
+            p = pred[c] - d if nib & 8 else pred[c] + d
+            p = max(-32768, min(32767, p))
+            pred[c] = p
+            idx[c] = max(0, min(88, idx[c] + _TEST_IMA_INDEX[nib & 7]))
+            recon[c].append(p)
+            nibbles[c].append(nib)
+    gi = 0
+    while gi < len(nibbles[0]):
+        for c in range(ch):
+            grp = nibbles[c][gi:gi + 8]
+            for k in range(0, 8, 2):
+                blk.append(grp[k] | (grp[k + 1] << 4))
+        gi += 8
+    assert len(blk) == balign
+    return bytes(blk), recon
+
+
+def _ms_enc_block(samples, ch, balign, ipred, idelta0):
+    """Encode one MS ADPCM block; returns (block_bytes, per-channel
+    reconstruction).  Predictor division truncates toward zero like
+    the spec's C pseudocode."""
+    from arachne_spark.operators.multimodal import _MS_ADAPT, _MS_COEFS
+
+    c1, c2 = _MS_COEFS[ipred]
+    blk = bytearray(bytes([ipred] * ch))
+    delta = [idelta0] * ch
+    for c in range(ch):
+        blk += delta[c].to_bytes(2, "little", signed=True)
+    for c in range(ch):
+        blk += samples[c][1].to_bytes(2, "little", signed=True)
+    for c in range(ch):
+        blk += samples[c][0].to_bytes(2, "little", signed=True)
+    chan = [[samples[c][0], samples[c][1]] for c in range(ch)]
+    nibs = []
+    for j in range(2, len(samples[0])):
+        for c in range(ch):
+            s = chan[c][-1] * c1 + chan[c][-2] * c2
+            predv = -((-s) >> 8) if s < 0 else s >> 8
+            snib = max(-8, min(7, round((samples[c][j] - predv)
+                                        / delta[c])))
+            v = max(-32768, min(32767, predv + delta[c] * snib))
+            chan[c].append(v)
+            nib = snib & 0x0F
+            nibs.append(nib)
+            delta[c] = max((_MS_ADAPT[nib] * delta[c]) >> 8, 16)
+    for k in range(0, len(nibs), 2):
+        blk.append((nibs[k] << 4) | nibs[k + 1])
+    assert len(blk) == balign
+    return bytes(blk), chan
+
+
+def test_g711_tables_match_spec():
+    """The product's 256-entry G.711 expansion tables roundtrip
+    through independently-written Sun-style companders: every code
+    maps back to itself (mu-law's negative zero 0x7F re-encodes as
+    positive zero 0xFF — the one lawful exception), and the spec's
+    landmark values hold."""
+    from arachne_spark.operators.multimodal import (
+        _ALAW_LINEAR,
+        _ULAW_LINEAR,
+    )
+
+    assert _ULAW_LINEAR[0xFF] == 0 and _ULAW_LINEAR[0x7F] == 0
+    assert _ULAW_LINEAR[0x80] == 32124 and _ULAW_LINEAR[0x00] == -32124
+    assert _ALAW_LINEAR[0xD5] == 8 and _ALAW_LINEAR[0x55] == -8
+    assert _ALAW_LINEAR[0xAA] == 32256 and _ALAW_LINEAR[0x2A] == -32256
+    for code in range(256):
+        assert _alaw_enc(_ALAW_LINEAR[code]) == code
+        expect = 0xFF if code == 0x7F else code
+        assert _ulaw_enc(_ULAW_LINEAR[code]) == expect
+
+
+def test_decode_wav_g711(spark):
+    """G.711 mu-law/A-law WAVs decode to the exact table expansion,
+    meta sizes them per-byte, and the features path accepts them."""
+    from arachne_spark.operators.multimodal import (
+        _ALAW_LINEAR,
+        _ULAW_LINEAR,
+        audio_features,
+        decode_audio,
+        decode_wav_samples,
+    )
+
+    ramp = [(-32768 + 257 * k) for k in range(0, 256, 3)]
+    mu_data = bytes(_ulaw_enc(v) for v in ramp)
+    mu = _wav_coded(7, 1, 8000, 8, 1, mu_data, fact=len(mu_data))
+    meta = decode_audio(mu)
+    assert meta["n_samples"] == len(mu_data)
+    assert meta["bits_per_sample"] == 8
+    dec = decode_wav_samples(mu)
+    assert dec["samples"] == [
+        _ULAW_LINEAR[b] / 32768.0 for b in mu_data
+    ]
+
+    al_data = bytes(_alaw_enc(v) for v in ramp) * 2  # stereo pairs
+    al = _wav_coded(6, 2, 16000, 8, 2, al_data)
+    meta = decode_audio(al)
+    assert meta["channels"] == 2
+    assert meta["n_samples"] == len(al_data) // 2
+    assert decode_wav_samples(al)["samples"] == [
+        _ALAW_LINEAR[b] / 32768.0 for b in al_data
+    ]
+
+    # G.711 must be 8-bit; odd data length can't split across channels
+    assert decode_audio(_wav_coded(7, 1, 8000, 16, 2, mu_data)) is None
+    assert decode_audio(_wav_coded(6, 2, 8000, 8, 2, b"\x00" * 5)) \
+        is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mu))], "doc_id bigint, payload binary"
+    )
+    row = audio_features(df, id_col="doc_id").collect()[0]
+    assert row["is_decodable"] and row["n_frames"] == len(mu_data)
+
+
+def test_decode_wav_ima_adpcm(spark):
+    """IMA ADPCM: a stereo two-block stream decodes bit-exactly to
+    the test encoder's tracked reconstruction, truncated to the
+    `fact` frame count on the last block."""
+    import math
+
+    from arachne_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        audio_features,
+        audio_meta,
+        decode_audio,
+        decode_wav_samples,
+    )
+
+    # transcription pin: product tables must equal the spec literals
+    assert _IMA_STEPS == _TEST_IMA_STEPS
+    assert _IMA_INDEX == _TEST_IMA_INDEX
+
+    ch, balign = 2, 24            # 4*ch header + 2 groups → spb 17
+    spb = 1 + (balign - 4 * ch) * 2 // ch
+    assert spb == 17
+    wave = [
+        [int(12000 * math.sin(k / 3 + c)) for k in range(2 * spb)]
+        for c in range(ch)
+    ]
+    blk0, rec0 = _ima_enc_block(
+        [w[:spb] for w in wave], ch, balign, (0, 0)
+    )
+    blk1, rec1 = _ima_enc_block(
+        [w[spb:] for w in wave], ch, balign, (24, 30)
+    )
+    fact = spb + 9                # last block logically short
+    wav = _wav_coded(0x11, ch, 8000, 4, balign, blk0 + blk1, fact=fact)
+    meta = decode_audio(wav)
+    assert meta["n_samples"] == fact and meta["bits_per_sample"] == 4
+    expect = []
+    for j in range(spb):
+        for c in range(ch):
+            expect.append(rec0[c][j] / 32768.0)
+    for j in range(9):
+        for c in range(ch):
+            expect.append(rec1[c][j] / 32768.0)
+    assert decode_wav_samples(wav)["samples"] == expect
+
+    # a header step index past the table is rejected at sample time
+    bad = bytearray(blk0)
+    bad[2] = 99
+    assert decode_wav_samples(
+        _wav_coded(0x11, ch, 8000, 4, balign, bytes(bad), fact=spb)
+    ) is None
+    # block sizing must divide the data chunk
+    assert decode_audio(
+        _wav_coded(0x11, ch, 8000, 4, balign, blk0[:-4])
+    ) is None
+    # without `fact`, capacity sizing applies
+    assert decode_audio(
+        _wav_coded(0x11, ch, 8000, 4, balign, blk0 + blk1)
+    )["n_samples"] == 2 * spb
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id bigint, payload binary"
+    )
+    mrow = audio_meta(df, id_col="doc_id").collect()[0]
+    assert mrow["is_decodable"] and mrow["n_samples"] == fact
+    frow = audio_features(df, id_col="doc_id").collect()[0]
+    assert frow["is_decodable"] and frow["n_frames"] == fact
+
+
+def test_decode_wav_ms_adpcm():
+    """MS ADPCM: mono and stereo blocks decode bit-exactly to the
+    test encoder's reconstruction across two predictor choices and
+    a multi-block stream."""
+    import math
+
+    from arachne_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav_samples,
+    )
+
+    # mono: balign 15 → spb 18, two blocks, second predictor pair
+    balign, ch = 15, 1
+    spb = 2 + (balign - 7 * ch) * 2 // ch
+    assert spb == 18
+    sig = [int(9000 * math.sin(k / 2.5)) for k in range(2 * spb)]
+    b0, r0 = _ms_enc_block([sig[:spb]], ch, balign, 0, 64)
+    b1, r1 = _ms_enc_block([sig[spb:]], ch, balign, 1, 200)
+    wav = _wav_coded(2, ch, 11025, 4, balign, b0 + b1, fact=2 * spb)
+    assert decode_audio(wav)["n_samples"] == 2 * spb
+    assert decode_wav_samples(wav)["samples"] == [
+        v / 32768.0 for v in r0[0] + r1[0]
+    ]
+
+    # stereo with truncating fact
+    balign, ch = 22, 2
+    spb = 2 + (balign - 7 * ch) * 2 // ch
+    assert spb == 10
+    wave = [
+        [int(7000 * math.cos(k / 2 + c)) for k in range(spb)]
+        for c in range(ch)
+    ]
+    blk, rec = _ms_enc_block(wave, ch, balign, 4, 100)
+    fact = spb - 3
+    wav2 = _wav_coded(2, ch, 22050, 4, balign, blk, fact=fact)
+    assert decode_audio(wav2)["n_samples"] == fact
+    expect = []
+    for j in range(fact):
+        for c in range(ch):
+            expect.append(rec[c][j] / 32768.0)
+    assert decode_wav_samples(wav2)["samples"] == expect
+
+    # coefficient index past the table → None at sample time
+    bad = bytearray(blk)
+    bad[0] = 7
+    assert decode_wav_samples(
+        _wav_coded(2, ch, 22050, 4, balign, bytes(bad), fact=fact)
+    ) is None
+
+
 def _lzw_encode(indices, min_code):
     """Literal-codes-only GIF LZW encoder (test side): CLEAR, then
     every pixel as its literal code, END — tracking the decoder's
