@@ -576,18 +576,77 @@ def q29_event_window(spark, sf_dir):
 
 
 def q30_multimodal_meta(spark, sf_dir):
-    from arachne_spark.operators.multimodal import binary_meta
+    """Multimodal binary metadata over two tagged sections: (a) the
+    documents table's text payloads through ``binary_meta`` (byte
+    stats; correctly not image-decodable — the real image-decode
+    surface is q45), and (b) constructed WAV payloads (ids 9M+,
+    ``_wav_fixture``: PCM 8/16/24-bit + extensible, float32, G.711
+    mu-law/A-law, IMA/MS ADPCM) through ``audio_meta`` +
+    ``audio_samples`` — format parameters plus an EXACT decoded-
+    waveform hash (md5 over round(sample*32768), the int16
+    reconstruction, which divides exactly in float32).  The oracle
+    recomputes section (a) in SQL and carries section (b) as
+    spec-derived literal rows (q45's spec-oracle pattern)."""
+    from arachne_spark.operators.multimodal import (
+        audio_meta,
+        audio_samples,
+        binary_meta,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    # project the byte-stat columns: text payloads are (correctly) not
-    # decodable as images, so format/width/height are all-null here —
-    # the real-decode surface is q45 over constructed PPM payloads
-    return binary_meta(
+    text_sec = binary_meta(
         payload, id_col="doc_id", payload_col="payload"
-    ).select("doc_id", "n_bytes", "first_byte", "is_decodable")
+    ).select(
+        "doc_id", "n_bytes", "first_byte", "is_decodable",
+        F.lit(None).cast("string").alias("format"),
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("bits_per_sample"),
+        F.lit(None).cast("bigint").alias("n_samples"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.lit(None).cast("string").alias("sample_hash"),
+    )
+    wavs = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in _wav_fixture()],
+        "doc_id long, payload binary",
+    )
+    meta = audio_meta(wavs, id_col="doc_id")
+    smp = audio_samples(wavs, id_col="doc_id").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "samples",
+                    lambda s: F.round(s * 32768)
+                    .cast("int").cast("string"),
+                ),
+            )
+        ).alias("sample_hash"),
+    )
+    wav_sec = (
+        wavs.select(
+            "doc_id",
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.expr(
+                "ascii(decode(substring(payload, 1, 1), 'UTF-8'))"
+            ).cast("int").alias("first_byte"),
+        )
+        .join(
+            meta.select(
+                "doc_id", "is_decodable", "format", "channels",
+                "sample_rate", "bits_per_sample", "n_samples",
+                "duration_ms",
+            ),
+            "doc_id",
+        )
+        .join(smp, "doc_id")
+        .select(*text_sec.columns)
+    )
+    return text_sec.unionByName(wav_sec)
 
 
 def q31_lsh_fuzzy_link(spark, sf_dir):
@@ -1581,6 +1640,302 @@ def _spec_thumb_rows(count, id_base, dims, pixel) -> str:
         th = hashlib.md5(thumb).hexdigest()
         rows.append(
             f"({id_base + i}, {w}, {h}, {ow}, {oh}, '{th}')"
+        )
+    return ", ".join(rows)
+
+
+def _wav_fixture() -> list[tuple[int, bytes, tuple, list[int]]]:
+    """Deterministic valid-WAV payloads spanning every codec-free
+    format tag the engine decodes — integer PCM (8/16/24-bit,
+    incl. a WAVE_FORMAT_EXTENSIBLE header), IEEE float32, G.711
+    mu-law/A-law, and IMA/MS ADPCM blocks with `fact` truncation.
+    Returns (id, wav_bytes, (channels, rate, bits, n_samples,
+    duration_ms), expected_int16_interleaved): the expectation is
+    assembled here from the specs (ITU-T G.711 companding formulas;
+    IMA/MS quantizers whose encoders track their own reconstruction)
+    — the oracle twin never runs the product decoder.  Every
+    expected sample value v satisfies decode == v/32768 exactly
+    (powers of two divide exactly in float32), so q30's driver hash
+    pins the decoded waveforms bit-for-bit.  Ids 9_000_000+."""
+    import struct
+
+    guid_tail = (
+        b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+
+    def container(tag, ch, rate, bits, balign, data, fact=None,
+                  extensible=False):
+        if extensible:
+            fmt = struct.pack(
+                "<HHIIHH", 0xFFFE, ch, rate, rate * balign, balign,
+                bits,
+            )
+            fmt += struct.pack("<HHI", 22, bits, 0)
+            fmt += tag.to_bytes(2, "little") + guid_tail
+        else:
+            fmt = struct.pack(
+                "<HHIIHH", tag, ch, rate, rate * balign, balign, bits
+            )
+        body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        if fact is not None:
+            body += (b"fact" + (4).to_bytes(4, "little")
+                     + fact.to_bytes(4, "little"))
+        body += b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def ulaw_enc(x):
+        sign = 0x80 if x < 0 else 0
+        x = min(abs(x), 32635) + 0x84
+        e, mask = 7, 0x4000
+        while e > 0 and not (x & mask):
+            e -= 1
+            mask >>= 1
+        return ~(sign | (e << 4) | ((x >> (e + 3)) & 0x0F)) & 0xFF
+
+    def ulaw_lin(c):
+        u = ~c & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        return 0x84 - t if u & 0x80 else t - 0x84
+
+    def alaw_enc(x):
+        mask = 0xD5 if x >= 0 else 0x55
+        x >>= 3
+        if mask == 0x55:
+            x = -x - 1
+        ends = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+        seg = 0
+        while seg < 8 and x > ends[seg]:
+            seg += 1
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (x >> 1) & 0x0F if seg < 2 else (x >> seg) & 0x0F
+        return aval ^ mask
+
+    def alaw_lin(c):
+        a = c ^ 0x55
+        seg, m = (a >> 4) & 7, a & 0x0F
+        if seg == 0:
+            v = (m << 4) + 8
+        elif seg == 1:
+            v = (m << 4) + 0x108
+        else:
+            v = ((m << 4) + 0x108) << (seg - 1)
+        return v if a & 0x80 else -v
+
+    ima_steps = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060,
+        1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749,
+        3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+        7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+        18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    )
+    ima_index = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+    def ima_block(samples, ch, balign, init_idx):
+        blk = bytearray()
+        pred = [s[0] for s in samples]
+        idx = list(init_idx)
+        recon = [[s[0]] for s in samples]
+        for c in range(ch):
+            blk += pred[c].to_bytes(2, "little", signed=True)
+            blk += bytes([idx[c], 0])
+        nibbles = [[] for _ in range(ch)]
+        for j in range(1, len(samples[0])):
+            for c in range(ch):
+                step = ima_steps[idx[c]]
+                diff = samples[c][j] - pred[c]
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                d = step >> 3
+                if nib & 4:
+                    d += step
+                if nib & 2:
+                    d += step >> 1
+                if nib & 1:
+                    d += step >> 2
+                p = pred[c] - d if nib & 8 else pred[c] + d
+                p = max(-32768, min(32767, p))
+                pred[c] = p
+                idx[c] = max(0, min(88, idx[c] + ima_index[nib & 7]))
+                recon[c].append(p)
+                nibbles[c].append(nib)
+        gi = 0
+        while gi < len(nibbles[0]):
+            for c in range(ch):
+                grp = nibbles[c][gi:gi + 8]
+                for k in range(0, 8, 2):
+                    blk.append(grp[k] | (grp[k + 1] << 4))
+            gi += 8
+        return bytes(blk), recon
+
+    ms_coefs = (
+        (256, 0), (512, -256), (0, 0), (192, 64),
+        (240, 0), (460, -208), (392, -232),
+    )
+    ms_adapt = (
+        230, 230, 230, 230, 307, 409, 512, 614,
+        768, 614, 512, 409, 307, 230, 230, 230,
+    )
+
+    def ms_block(samples, ch, balign, ipred, idelta0):
+        c1, c2 = ms_coefs[ipred]
+        blk = bytearray(bytes([ipred] * ch))
+        delta = [idelta0] * ch
+        for c in range(ch):
+            blk += delta[c].to_bytes(2, "little", signed=True)
+        for c in range(ch):
+            blk += samples[c][1].to_bytes(2, "little", signed=True)
+        for c in range(ch):
+            blk += samples[c][0].to_bytes(2, "little", signed=True)
+        chan = [[samples[c][0], samples[c][1]] for c in range(ch)]
+        nibs = []
+        for j in range(2, len(samples[0])):
+            for c in range(ch):
+                s = chan[c][-1] * c1 + chan[c][-2] * c2
+                predv = -((-s) >> 8) if s < 0 else s >> 8
+                snib = max(-8, min(7, round((samples[c][j] - predv)
+                                            / delta[c])))
+                v = max(-32768, min(32767, predv + delta[c] * snib))
+                chan[c].append(v)
+                nib = snib & 0x0F
+                nibs.append(nib)
+                delta[c] = max((ms_adapt[nib] * delta[c]) >> 8, 16)
+        for k in range(0, len(nibs), 2):
+            blk.append((nibs[k] << 4) | nibs[k + 1])
+        return bytes(blk), chan
+
+    def interleave(chans, n):
+        out = []
+        for j in range(n):
+            for c in chans:
+                out.append(c[j])
+        return out
+
+    out = []
+    # 9000000: 16-bit PCM stereo
+    pcm16 = [((k * 2477) % 65536) - 32768 for k in range(120)]
+    out.append((
+        9_000_000,
+        container(1, 2, 16000, 16, 4,
+                  struct.pack("<120h", *pcm16)),
+        (2, 16000, 16, 60, 3), pcm16,
+    ))
+    # 9000001: 8-bit unsigned PCM mono → (b-128)*256 in int16 terms
+    pcm8 = bytes((k * 37) % 256 for k in range(80))
+    out.append((
+        9_000_001, container(1, 1, 8000, 8, 1, pcm8),
+        (1, 8000, 8, 80, 10), [(b - 128) * 256 for b in pcm8],
+    ))
+    # 9000002: 24-bit PCM mono, values multiples of 256 so v/256 is
+    # the exact int16-scaled expectation
+    v24 = [(((k * 9973) % 60000) - 30000) * 256 for k in range(40)]
+    out.append((
+        9_000_002,
+        container(
+            1, 1, 24000, 24,
+            3, b"".join(v.to_bytes(3, "little", signed=True)
+                        for v in v24),
+        ),
+        (1, 24000, 24, 40, 1), [v // 256 for v in v24],
+    ))
+    # 9000003: float32 mono, values k/32768 (exact in float32)
+    fints = [((k * 331) % 65536) - 32768 for k in range(64)]
+    out.append((
+        9_000_003,
+        container(3, 1, 32000, 32, 4,
+                  struct.pack("<64f", *[v / 32768.0 for v in fints])),
+        (1, 32000, 32, 64, 2), fints,
+    ))
+    # 9000004: G.711 mu-law mono ramp
+    mu_codes = bytes(ulaw_enc(v) for v in range(-32000, 32000, 997))
+    out.append((
+        9_000_004, container(7, 1, 8000, 8, 1, mu_codes,
+                             fact=len(mu_codes)),
+        (1, 8000, 8, len(mu_codes), len(mu_codes) * 1000 // 8000),
+        [ulaw_lin(c) for c in mu_codes],
+    ))
+    # 9000005: G.711 A-law stereo
+    al_codes = bytes(alaw_enc(((k * 1741) % 64000) - 32000)
+                     for k in range(90))
+    out.append((
+        9_000_005, container(6, 2, 16000, 8, 2, al_codes),
+        (2, 16000, 8, 45, 2), [alaw_lin(c) for c in al_codes],
+    ))
+    # 9000006: IMA ADPCM stereo, two blocks, fact-truncated
+    spb = 17  # balign 24, ch 2
+    wave = [[(((k * 911 + c * 517) % 24000) - 12000)
+             for k in range(2 * spb)] for c in range(2)]
+    b0, r0 = ima_block([w[:spb] for w in wave], 2, 24, (0, 5))
+    b1, r1 = ima_block([w[spb:] for w in wave], 2, 24, (31, 12))
+    fact = spb + 11
+    out.append((
+        9_000_006, container(0x11, 2, 11025, 4, 24, b0 + b1,
+                             fact=fact),
+        (2, 11025, 4, fact, fact * 1000 // 11025),
+        interleave([r0[0] + r1[0], r0[1] + r1[1]], fact),
+    ))
+    # 9000007: MS ADPCM mono, two blocks, two predictor pairs
+    spb = 18  # balign 15, ch 1
+    sig = [(((k * 643) % 16000) - 8000) for k in range(2 * spb)]
+    mb0, mr0 = ms_block([sig[:spb]], 1, 15, 0, 64)
+    mb1, mr1 = ms_block([sig[spb:]], 1, 15, 1, 190)
+    out.append((
+        9_000_007, container(2, 1, 22050, 4, 15, mb0 + mb1,
+                             fact=2 * spb),
+        (1, 22050, 4, 2 * spb, 2 * spb * 1000 // 22050),
+        mr0[0] + mr1[0],
+    ))
+    # 9000008: MS ADPCM stereo, fact-truncated single block
+    spb = 10  # balign 22, ch 2
+    wave = [[(((k * 457 + c * 83) % 12000) - 6000) for k in range(spb)]
+            for c in range(2)]
+    sb, sr = ms_block(wave, 2, 22, 4, 120)
+    out.append((
+        9_000_008, container(2, 2, 44100, 4, 22, sb, fact=spb - 3),
+        (2, 44100, 4, spb - 3, (spb - 3) * 1000 // 44100),
+        interleave(sr, spb - 3),
+    ))
+    # 9000009: WAVE_FORMAT_EXTENSIBLE wrapping 16-bit PCM
+    pcm16b = [((k * 5119) % 65536) - 32768 for k in range(50)]
+    out.append((
+        9_000_009,
+        container(1, 1, 48000, 16, 2, struct.pack("<50h", *pcm16b),
+                  extensible=True),
+        (1, 48000, 16, 50, 1), pcm16b,
+    ))
+    return out
+
+
+def _wav_oracle_values() -> str:
+    """Assemble the q30 WAV section's expected rows as SQL VALUES —
+    meta from the fixture spec, sample_hash = md5 over the
+    comma-joined exact int16 reconstruction (the same integers the
+    Spark side recovers via round(sample*32768))."""
+    import hashlib
+
+    rows = []
+    for fid, payload, meta, ints in _wav_fixture():
+        ch, rate, bits, n_samples, duration_ms = meta
+        h = hashlib.md5(
+            ",".join(str(v) for v in ints).encode()
+        ).hexdigest()
+        rows.append(
+            f"({fid}, {len(payload)}, 82, true, 'wav', {ch}, {rate},"
+            f" {bits}, {n_samples}, {duration_ms}, '{h}')"
         )
     return ", ".join(rows)
 
@@ -2774,15 +3129,37 @@ def oracle_sql() -> dict[str, str]:
                        as double), 2) as sum_value
           from events group by 1, 2
         """,
-        "q30_multimodal_meta": """
+        "q30_multimodal_meta": f"""
           select doc_id,
                  cast(octet_length(cast(text as blob)) as bigint)
                    as n_bytes,
                  ascii(substr(text, 1, 1)) as first_byte,
                  -- real decoder semantics: text bytes are not a valid
                  -- netpbm/BMP image
-                 false as is_decodable
+                 false as is_decodable,
+                 cast(null as varchar) as format,
+                 cast(null as integer) as channels,
+                 cast(null as integer) as sample_rate,
+                 cast(null as integer) as bits_per_sample,
+                 cast(null as bigint) as n_samples,
+                 cast(null as bigint) as duration_ms,
+                 cast(null as varchar) as sample_hash
           from documents
+          union all
+          -- WAV fixture section: spec-derived literal expectations
+          -- (meta + exact int16-reconstruction hash), q45's
+          -- spec-oracle pattern
+          select cast(doc_id as bigint), cast(n_bytes as bigint),
+                 cast(first_byte as integer), is_decodable, format,
+                 cast(channels as integer),
+                 cast(sample_rate as integer),
+                 cast(bits_per_sample as integer),
+                 cast(n_samples as bigint),
+                 cast(duration_ms as bigint), sample_hash
+          from (values {_wav_oracle_values()})
+            v(doc_id, n_bytes, first_byte, is_decodable, format,
+              channels, sample_rate, bits_per_sample, n_samples,
+              duration_ms, sample_hash)
         """,
         "q31_lsh_fuzzy_link": f"""
           with toks as (

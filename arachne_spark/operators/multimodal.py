@@ -2836,6 +2836,69 @@ def audio_features(
     return df.mapInPandas(feature_batches, schema)
 
 
+def audio_samples(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, is_decodable, channels, sample_rate, n_frames, samples):
+    the REAL decoded waveform as an interleaved ``array<float>``
+    column — the decode step before feature extraction / resampling
+    in a multimodal training pipeline.  WAV (PCM, IEEE float, G.711
+    mu-law/A-law, IMA/MS ADPCM) via ``decode_wav_samples``, lossless
+    FLAC via ``decode_flac_samples``; entropy-coded payloads come
+    back is_decodable=false with NULL samples.  Every sample is
+    v/2^15 of an integer reconstruction, so ``round(s*32768)``
+    recovers the exact int16 stream (float32 holds 16-bit integers
+    exactly) — the property q30's driver-hash oracle relies on.
+    Arrow ``mapInPandas``, like every decoder here."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("is_decodable", BooleanType()),
+            StructField("channels", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("samples", ArrayType(FloatType())),
+        ]
+    )
+
+    def decode(payload) -> tuple:
+        dec = decode_wav_samples(payload) or decode_flac_samples(
+            payload
+        )
+        if dec is None:
+            return (False, None, None, None, None)
+        ch = dec["channels"]
+        return (
+            True, ch, dec["sample_rate"],
+            len(dec["samples"]) // ch, dec["samples"],
+        )
+
+    def sample_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "is_decodable": [r[0] for r in rows],
+                    "channels": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                    "samples": [r[4] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(sample_batches, schema)
+
+
 def _mp4_boxes(payload: bytes, start: int, end: int):
     """Yield (box_type, body_start, body_end) for the ISO-BMFF box
     table in payload[start:end]; raises ValueError on a malformed

@@ -2009,6 +2009,48 @@ def test_decode_wav_ima_adpcm(spark):
     assert frow["is_decodable"] and frow["n_frames"] == fact
 
 
+def test_audio_samples_operator(spark):
+    """audio_samples surfaces the decoded waveform as an
+    array<float> column: PCM and mu-law payloads come back with the
+    exact int16-scaled values (round(s*32768) recovers the integers
+    — the invariant q30's driver oracle hashes), undecodable
+    payloads come back NULL, and the plan stays Arrow-only."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from arachne_spark.operators.multimodal import (
+        _ULAW_LINEAR,
+        audio_samples,
+    )
+
+    frames = [(k * 1999) % 65536 - 32768 for k in range(40)]
+    pcm = _wav(1, 8000, 16, 40,
+               data=struct.pack("<40h", *frames))
+    mu_data = bytes(_ulaw_enc(v * 700 - 9000) for v in range(26))
+    mu = _wav_coded(7, 2, 16000, 8, 2, mu_data)
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm)), (2, bytearray(mu)), (3, b"junk"),
+         (4, None)],
+        "doc_id bigint, payload binary",
+    )
+    out = audio_samples(df, id_col="doc_id")
+    ints = out.select(
+        "doc_id", "is_decodable", "channels", "n_frames",
+        F.transform(
+            "samples", lambda s: F.round(s * 32768).cast("int")
+        ).alias("ints"),
+    )
+    rows = {r["doc_id"]: r.asDict() for r in ints.collect()}
+    assert rows[1]["ints"] == frames and rows[1]["n_frames"] == 40
+    assert rows[2]["channels"] == 2 and rows[2]["n_frames"] == 13
+    assert rows[2]["ints"] == [_ULAW_LINEAR[b] for b in mu_data]
+    assert not rows[3]["is_decodable"] and rows[3]["ints"] is None
+    assert not rows[4]["is_decodable"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
 def test_decode_wav_ms_adpcm():
     """MS ADPCM: mono and stereo blocks decode bit-exactly to the
     test encoder's reconstruction across two predictor choices and
