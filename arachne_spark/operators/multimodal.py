@@ -1660,16 +1660,167 @@ def _bmp_rle(data, w: int, h: int, bpp: int) -> list | None:
     return rows  # tolerated: bitmap without the 0,1 trailer
 
 
+# MS Video 1 stream fourccs, as the little-endian biCompression u32
+# they appear as in an AVI strf / re-wrapped BMP info header
+_MSV1_FOURCCS = frozenset(
+    int.from_bytes(f, "little") for f in (b"CRAM", b"MSVC", b"WHAM")
+)
+
+
+def _msvideo1_pixels(
+    data, w: int, h: int, bpp: int, palette: list | None
+) -> bytes | None:
+    """REAL MS Video 1 (CRAM/MSVC/WHAM) frame decode — a plain 4x4
+    block vector-quantization codec, no entropy coder (public codec
+    description: multimedia.cx wiki + MSDN; reference analog: the
+    frame payloads `src/pheidippides.cpp` routes to media handling).
+    Blocks run left→right in BOTTOM-UP block rows, and rows inside a
+    block are emitted bottom-up too.  Per block, the leading LE word
+    (a=low, b=high byte) selects: skip run ((b&0xFC)==0x84, count
+    includes the current block — skipped blocks keep the canvas,
+    which this single-frame decode initializes to black; inter-frame
+    persistence is sequence composition, a downstream choice exactly
+    like GIF frame disposal), 2-color (b<0x80: 16 LSB-first flag
+    bits, set bit = first color), 8-color (8-bit mode b>=0x90;
+    16-bit mode signaled by bit 15 of the first color word; colors
+    pair up per 2x2 quadrant), else 1-color.  8-bit colors index the
+    DIB palette; 16-bit colors are RGB555 expanded with the
+    endpoint-exact (v<<3)|(v>>2) replication.  Returns RGB bytes
+    top-down, or None on malformed/truncated streams; never raises
+    (callers rely on the never-raise contract)."""
+    if w <= 0 or h <= 0 or w % 4 or h % 4:
+        return None
+    if bpp == 8:
+        if palette is None:
+            return None
+        black = palette[0] if palette else b"\x00\x00\x00"
+    elif bpp != 16:
+        return None
+    else:
+        black = b"\x00\x00\x00"
+
+    def rgb555(v: int) -> bytes:
+        return bytes(
+            (c << 3) | (c >> 2)
+            for c in ((v >> 10) & 31, (v >> 5) & 31, v & 31)
+        )
+
+    rows = [bytearray(black * w) for _ in range(h)]
+
+    def put(y: int, x: int, rgb: bytes) -> None:
+        rows[y][3 * x:3 * x + 3] = rgb
+
+    data = bytes(data)
+    n = len(data)
+    i = 0
+    skip = 0
+    try:
+        for by in range(h // 4 - 1, -1, -1):
+            top = by * 4
+            for bx in range(w // 4):
+                if skip:
+                    skip -= 1
+                    continue
+                if i + 2 > n:
+                    return None  # truncated: every non-skipped
+                    # block needs its code word
+                a, b = data[i], data[i + 1]
+                i += 2
+                if (b & 0xFC) == 0x84:  # skip run, self-inclusive
+                    skip = (((b - 0x84) << 8) | a) - 1
+                    continue
+                x0 = bx * 4
+                if bpp == 8:
+                    if b < 0x80:  # 2-color
+                        flags = (b << 8) | a
+                        if i + 2 > n:
+                            return None
+                        cols = (palette[data[i]], palette[data[i + 1]])
+                        i += 2
+                        for ry in range(4):
+                            y = top + 3 - ry
+                            for rx in range(4):
+                                put(y, x0 + rx,
+                                    cols[(flags & 1) ^ 1])
+                                flags >>= 1
+                    elif b >= 0x90:  # 8-color, 2 per 2x2 quadrant
+                        flags = (b << 8) | a
+                        if i + 8 > n:
+                            return None
+                        cols = [palette[c] for c in data[i:i + 8]]
+                        i += 8
+                        for ry in range(4):
+                            y = top + 3 - ry
+                            for rx in range(4):
+                                q = ((ry & 2) << 1) + (rx & 2)
+                                put(y, x0 + rx,
+                                    cols[q + ((flags & 1) ^ 1)])
+                                flags >>= 1
+                    else:  # 1-color: the low byte indexes the palette
+                        rgb = palette[a]
+                        for ry in range(4):
+                            for rx in range(4):
+                                put(top + ry, x0 + rx, rgb)
+                else:  # 16-bit RGB555
+                    if b < 0x80:
+                        flags = (b << 8) | a
+                        if i + 4 > n:
+                            return None
+                        c0 = int.from_bytes(data[i:i + 2], "little")
+                        c1 = int.from_bytes(
+                            data[i + 2:i + 4], "little"
+                        )
+                        i += 4
+                        if c0 & 0x8000:  # 8-color variant
+                            if i + 12 > n:
+                                return None
+                            words = [c0, c1] + [
+                                int.from_bytes(
+                                    data[i + 2 * k:i + 2 * k + 2],
+                                    "little",
+                                )
+                                for k in range(6)
+                            ]
+                            i += 12
+                            cols = [rgb555(v) for v in words]
+                            for ry in range(4):
+                                y = top + 3 - ry
+                                for rx in range(4):
+                                    q = ((ry & 2) << 1) + (rx & 2)
+                                    put(y, x0 + rx,
+                                        cols[q + ((flags & 1) ^ 1)])
+                                    flags >>= 1
+                        else:  # 2-color
+                            cols = (rgb555(c0), rgb555(c1))
+                            for ry in range(4):
+                                y = top + 3 - ry
+                                for rx in range(4):
+                                    put(y, x0 + rx,
+                                        cols[(flags & 1) ^ 1])
+                                    flags >>= 1
+                    else:  # 1-color: the word IS the RGB555 color
+                        rgb = rgb555(((b << 8) | a) & 0x7FFF)
+                        for ry in range(4):
+                            for rx in range(4):
+                                put(top + ry, x0 + rx, rgb)
+    except (IndexError, ValueError):
+        return None
+    return b"".join(bytes(r) for r in rows)
+
+
 def decode_bmp_pixels(payload: bytes | None) -> dict | None:
     """REAL BMP pixel decode — BMP needs no entropy codec:
     BITMAPINFOHEADER (or larger); BI_RGB raw rows at bit depths 1/4/8
     (palettized — BGRA quads after the info header, MSB-first
     sub-byte indices) and 24/32 (BGR(A) triples), rows 4-byte aligned
-    and stored bottom-up (top-down when the height is negative); and
-    BI_RLE8/BI_RLE4 run-length rows (``_bmp_rle``).  Emits RGB.
-    Bitfield compressions and 16-bit return None (header metadata
-    stays real).  Same return shape as ``decode_png_pixels``; never
-    raises."""
+    and stored bottom-up (top-down when the height is negative);
+    BI_RLE8/BI_RLE4 run-length rows (``_bmp_rle``); and MS Video 1
+    frames at 8/16 bpp when biCompression carries the CRAM/MSVC/WHAM
+    fourcc (``_msvideo1_pixels`` — the form ``_avi_video_frames``
+    re-wraps AVI video chunks into, so video frames pixel-decode
+    standalone).  Emits RGB.  Bitfield compressions and 16-bit
+    BI_RGB return None (header metadata stays real).  Same return
+    shape as ``decode_png_pixels``; never raises."""
     if not payload or len(payload) < 54 or bytes(payload[:2]) != b"BM":
         return None
     meta = _decode_bmp(payload)
@@ -1682,10 +1833,14 @@ def decode_bmp_pixels(payload: bytes | None) -> dict | None:
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
     rle = None
+    msv1 = False
     if compression == 1 and bpp == 8 and h_raw > 0:
         rle = 8  # BI_RLE8 (RLE bitmaps are always bottom-up)
     elif compression == 2 and bpp == 4 and h_raw > 0:
         rle = 4  # BI_RLE4
+    elif (compression in _MSV1_FOURCCS and bpp in (8, 16)
+          and h_raw > 0):
+        msv1 = True  # MS Video 1 frame re-wrapped as a DIB
     elif compression != 0 or bpp == 16:  # bitfields / 16-bit: no
         return None
     if w * h > _JPEG_MAX_PIXELS:
@@ -1708,6 +1863,14 @@ def decode_bmp_pixels(payload: bytes | None) -> dict | None:
                    payload[pal_at + 4 * i]))
             for i in range(n_colors)
         ]
+    if msv1:
+        pixels = _msvideo1_pixels(
+            payload[offset:], w, h, bpp, palette
+        )
+        if pixels is None:
+            return None
+        return {"width": w, "height": h, "channels": 3,
+                "pixels": pixels}
     if rle:
         idx_rows = _bmp_rle(
             bytes(payload[offset:]), w, h, rle
@@ -1846,7 +2009,8 @@ def _decode_bmp(payload: bytes) -> dict | None:
         return None
     if not 54 <= offset <= len(payload):
         return None
-    if compression in (1, 2):  # RLE: data is variable-length, just
+    if compression in (1, 2) or compression in _MSV1_FOURCCS:
+        # RLE / MS Video 1: data is variable-length, just
         if offset >= len(payload):  # require SOME pixel bytes
             return None
     else:
@@ -2971,7 +3135,7 @@ def _avi_scan(payload: bytes) -> tuple[dict, list[bytes]] | None:
     end = min(n, 8 + riff_size)
     meta = {
         "us_per_frame": None, "total_frames": None, "n_streams": None,
-        "width": None, "height": None, "handler": None,
+        "width": None, "height": None, "handler": None, "strf": None,
     }
     frames: list[bytes] = []
 
@@ -3002,17 +3166,28 @@ def _avi_scan(payload: bytes) -> tuple[dict, list[bytes]] | None:
                 elif cf == b"LIST" and ce - cb >= 4 and bytes(
                     payload[cb:cb + 4]
                 ) == b"strl":
+                    in_vids = False
                     for sf, sb, se in _riff_chunks(
                         payload, cb + 4, ce
                     ):
-                        if sf == b"strh" and se - sb >= 8 and bytes(
-                            payload[sb:sb + 4]
-                        ) == b"vids":
-                            raw = bytes(payload[sb + 4:sb + 8])
-                            if raw.isascii():
-                                meta["handler"] = (
-                                    raw.decode("ascii").strip() or None
-                                )
+                        if sf == b"strh" and se - sb >= 8:
+                            in_vids = bytes(
+                                payload[sb:sb + 4]
+                            ) == b"vids"
+                            if in_vids:
+                                raw = bytes(payload[sb + 4:sb + 8])
+                                if raw.isascii():
+                                    meta["handler"] = (
+                                        raw.decode("ascii").strip()
+                                        or None
+                                    )
+                        elif sf == b"strf" and in_vids and (
+                            se - sb >= 40
+                        ):
+                            # the video stream's BITMAPINFOHEADER
+                            # (+palette) — lets DIB/RLE/CRAM frames
+                            # re-wrap as standalone BMPs downstream
+                            meta["strf"] = bytes(payload[sb:se])
         elif ltype == b"movi":
             for cf, cb, ce in _riff_chunks(payload, body + 4, bend):
                 if is_video_frame(cf):
@@ -3034,14 +3209,41 @@ def _avi_scan(payload: bytes) -> tuple[dict, list[bytes]] | None:
 
 def _avi_video_frames(payload: bytes | None) -> list[bytes] | None:
     """Ordered real video-frame chunks of an AVI payload, or None for
-    non-AVI/malformed payloads; never raises."""
+    non-AVI/malformed payloads; never raises.  MJPEG (and other
+    self-contained codec) chunks pass through verbatim — each is a
+    complete JPEG stream.  When the video ``strf`` declares an
+    uncompressed DIB (BI_RGB), RLE (BI_RLE8/4), or MS Video 1
+    (CRAM/MSVC/WHAM fourcc) stream, each chunk is instead re-wrapped
+    as a standalone BMP — ``BM`` file header + the strf
+    BITMAPINFOHEADER+palette verbatim + the chunk verbatim — so the
+    frames pixel-decode through ``decode_bmp_pixels`` downstream,
+    exactly like ``_gif_video_frames`` re-wraps animated-GIF
+    descriptors (composition across skip blocks is a sequence-level
+    concern, same stance as GIF disposal)."""
     if not payload:
         return None
     try:
         scanned = _avi_scan(bytes(payload))
     except (ValueError, IndexError, struct.error):
         return None
-    return scanned[1] if scanned else None
+    if not scanned:
+        return None
+    meta, frames = scanned
+    strf = meta.get("strf")
+    if strf is not None:
+        comp = int.from_bytes(strf[16:20], "little")
+        if comp in (0, 1, 2) or comp in _MSV1_FOURCCS:
+            off = 14 + len(strf)
+            frames = [
+                b"BM"
+                + (off + len(f)).to_bytes(4, "little")
+                + bytes(4)
+                + off.to_bytes(4, "little")
+                + strf
+                + f
+                for f in frames
+            ]
+    return frames
 
 
 def _gif_video_frames(payload: bytes | None) -> list[bytes] | None:

@@ -258,6 +258,26 @@ def test_media_decoders_never_raise():
         fact=18,
     )
 
+    # MS Video 1 seeds: mutations hit the block-mode dispatch, skip
+    # runs, palette bounds and the DIB/CRAM re-wrap path of
+    # _avi_video_frames (strf capture + BM header assembly)
+    from test_multimodal import _bih, _wrap_bmp
+
+    msv1_pal = bytes((i * 5) % 256 for i in range(64))
+    msv1_stream = bytes(
+        [3, 0x80, 0xC3, 0x5A, 1, 2]
+        + [0x35, 0x9F, 4, 5, 6, 7, 8, 9, 10, 11, 1, 0x84]
+    )
+    cram_bmp = _wrap_bmp(_bih(8, 8, 8, b"CRAM", msv1_pal),
+                         msv1_stream)
+    cram_avi = _avi([msv1_stream, bytes([2, 0x84])], w=8, h=8,
+                    handler=b"CRAM",
+                    strf=_bih(8, 8, 8, b"CRAM", msv1_pal))
+    msv1_16 = _wrap_bmp(
+        _bih(4, 8, 16, b"MSVC"),
+        bytes([0x0F, 0x0F, 0x34, 0x12, 0xFF, 0x7F, 0x55, 0xA5]),
+    )
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
@@ -265,7 +285,7 @@ def test_media_decoders_never_raise():
         jpeg_tiff, pixel_bmp, rle_bmp, sample_flac, table_mp4,
         tiled_tiff, deep_tiff, anim_gif, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
-        ulaw_wav, ima_wav, ms_wav,
+        ulaw_wav, ima_wav, ms_wav, cram_bmp, cram_avi, msv1_16,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

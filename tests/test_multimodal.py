@@ -2542,10 +2542,11 @@ def _riff(fourcc: bytes, body: bytes) -> bytes:
 
 
 def _avi(frames, w=16, h=12, us_per_frame=40000, handler=b"MJPG",
-         rec_group=False, n_streams=1):
+         rec_group=False, n_streams=1, strf=None):
     """Minimal valid RIFF-AVI: hdrl LIST (avih MainAVIHeader + strl
-    with a 'vids' strh) + movi LIST holding one '00dc' chunk per
-    frame (optionally the tail frames inside a 'rec ' group)."""
+    with a 'vids' strh and optionally its strf format blob) + movi
+    LIST holding one '00dc' chunk per frame (optionally the tail
+    frames inside a 'rec ' group)."""
     avih = (
         us_per_frame.to_bytes(4, "little") + bytes(12)
         + len(frames).to_bytes(4, "little") + bytes(4)
@@ -2553,10 +2554,13 @@ def _avi(frames, w=16, h=12, us_per_frame=40000, handler=b"MJPG",
         + w.to_bytes(4, "little") + h.to_bytes(4, "little") + bytes(16)
     )
     strh = b"vids" + handler + bytes(48)
+    strl = _riff(b"strh", strh)
+    if strf is not None:
+        strl += _riff(b"strf", strf)
     hdrl = _riff(
         b"LIST",
         b"hdrl" + _riff(b"avih", avih)
-        + _riff(b"LIST", b"strl" + _riff(b"strh", strh)),
+        + _riff(b"LIST", b"strl" + strl),
     )
     chunks = [_riff(b"00dc", bytes(f)) for f in frames]
     if rec_group and len(chunks) > 1:
@@ -2623,6 +2627,187 @@ def test_frame_sample_avi_real_frames(spark):
     stub = [r for r in rows if r["vid_id"] == 2]
     assert sorted(r["frame_idx"] for r in stub) == [0, 2]
     assert all(bytes(r["frame_bytes"]) == b"k" * 16 for r in stub)
+
+
+def _bih(w, h, bpp, compression, palette=b"", size_image=0):
+    """BITMAPINFOHEADER (+palette) blob — the strf body of an AVI
+    video stream and the info header of a re-wrapped BMP."""
+    return (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + (compression if isinstance(compression, int)
+           else int.from_bytes(compression, "little"))
+        .to_bytes(4, "little")
+        + size_image.to_bytes(4, "little")
+        + bytes(8)
+        + (len(palette) // 4).to_bytes(4, "little")
+        + bytes(4)
+        + palette
+    )
+
+
+def _wrap_bmp(bih_palette: bytes, data: bytes) -> bytes:
+    """BM file header + info-header blob + frame data — the exact
+    re-wrap _avi_video_frames performs."""
+    off = 14 + len(bih_palette)
+    return (b"BM" + (off + len(data)).to_bytes(4, "little")
+            + bytes(4) + off.to_bytes(4, "little")
+            + bih_palette + data)
+
+
+def _msv1_expect(w, h, blocks, palette=None, default=(0, 0, 0)):
+    """Independent MS Video 1 expectation: per-pixel coordinate math
+    over a {(block_row, block_col): spec} table, no cursor walk.  A
+    spec is ('one', color), ('two', flags, c0, c1), ('eight', flags,
+    [8 colors]) or ('skip',); colors are palette indices (8-bit) or
+    RGB555 words (16-bit).  Flag bit for pixel (x, y) in the block
+    with top row t, left col l is bit (t+3-y)*4 + (x-l); quadrant
+    pair index is ((t+3-y)&2)<<1 | (x-l)&2; set bit = FIRST color."""
+    def rgb(c):
+        if palette is not None:
+            return palette[c]
+        return tuple(((v << 3) | (v >> 2))
+                     for v in ((c >> 10) & 31, (c >> 5) & 31, c & 31))
+
+    out = [[default] * w for _ in range(h)]
+    for (by, bx), spec in blocks.items():
+        t, l = by * 4, bx * 4
+        for y in range(t, t + 4):
+            for x in range(l, l + 4):
+                if spec[0] == "skip":
+                    continue
+                if spec[0] == "one":
+                    out[y][x] = rgb(spec[1])
+                    continue
+                bit = (spec[1] >> ((t + 3 - y) * 4 + (x - l))) & 1
+                if spec[0] == "two":
+                    out[y][x] = rgb(spec[2] if bit else spec[3])
+                else:
+                    q = (((t + 3 - y) & 2) << 1) | ((x - l) & 2)
+                    out[y][x] = rgb(spec[2][q] if bit
+                                    else spec[2][q + 1])
+    return bytes(v for row in out for px in row for v in px)
+
+
+def test_msvideo1_8bit_all_modes():
+    """MS Video 1 8-bit decode: 1-color, 2-color, 8-color and skip
+    blocks in one 8x8 frame, wrapped as a CRAM BMP, against an
+    independent per-pixel coordinate-math expectation; skipped blocks
+    keep the black (palette[0]) canvas."""
+    from arachne_spark.operators.multimodal import decode_bmp_pixels
+
+    pal_rgb = [((i * 16) % 256, (i * 7 + 3) % 256, (255 - i * 11) % 256)
+               for i in range(16)]
+    palette = b"".join(bytes((b, g, r, 0)) for r, g, b in pal_rgb)
+    stream = bytes(
+        [3, 0x80]                                   # (1,0) 1-color
+        + [0xC3, 0x5A, 1, 2]                        # (1,1) 2-color
+        + [0x35, 0x9F, 4, 5, 6, 7, 8, 9, 10, 11]    # (0,0) 8-color
+        + [1, 0x84]                                 # (0,1) skip 1
+    )
+    bmp = _wrap_bmp(_bih(8, 8, 8, b"CRAM", palette), stream)
+    dec = decode_bmp_pixels(bmp)
+    assert dec["width"] == 8 and dec["height"] == 8
+    expected = _msv1_expect(
+        8, 8,
+        {(1, 0): ("one", 3), (1, 1): ("two", 0x5AC3, 1, 2),
+         (0, 0): ("eight", 0x9F35, list(range(4, 12))),
+         (0, 1): ("skip",)},
+        palette=pal_rgb, default=pal_rgb[0],
+    )
+    assert dec["pixels"] == expected
+    # palette index past biClrUsed / truncated color bytes: None
+    assert decode_bmp_pixels(
+        _wrap_bmp(_bih(8, 8, 8, b"CRAM", palette[:8]), stream)
+    ) is None
+    assert decode_bmp_pixels(
+        _wrap_bmp(_bih(8, 8, 8, b"CRAM", palette), stream[:3])
+    ) is None
+    # dimensions must be multiples of 4
+    assert decode_bmp_pixels(
+        _wrap_bmp(_bih(6, 8, 8, b"CRAM", palette), stream)
+    ) is None
+
+
+def test_msvideo1_16bit_all_modes():
+    """MS Video 1 16-bit decode: the 8-color variant is signaled by
+    bit 15 of the first color word, 1-color blocks use the code word
+    itself as the RGB555 color, and RGB555 expands with the
+    endpoint-exact (v<<3)|(v>>2) replication."""
+    from arachne_spark.operators.multimodal import decode_bmp_pixels
+
+    words8 = [0x8000 | (i * 0x0421) for i in range(8)]
+    stream = (
+        bytes([0x0F, 0x0F])                          # (1,0) 2-color
+        + (0x1234).to_bytes(2, "little")
+        + (0x7FFF).to_bytes(2, "little")
+        + bytes([0x81, 0x7E])                        # (0,0) 8-color
+        + b"".join(w.to_bytes(2, "little") for w in words8)
+    )
+    bmp = _wrap_bmp(_bih(4, 8, 16, b"MSVC"), stream)
+    dec = decode_bmp_pixels(bmp)
+    expected = _msv1_expect(
+        4, 8,
+        {(1, 0): ("two", 0x0F0F, 0x1234, 0x7FFF),
+         (0, 0): ("eight", 0x7E81, [w & 0x7FFF for w in words8])},
+    )
+    assert dec["pixels"] == expected
+    # 1-color: b >= 0x80 outside the skip range
+    one = _wrap_bmp(_bih(4, 4, 16, b"WHAM"), bytes([0x55, 0xA5]))
+    dec1 = decode_bmp_pixels(one)
+    assert dec1["pixels"] == _msv1_expect(
+        4, 4, {(0, 0): ("one", 0x2555)}
+    )
+
+
+def test_avi_frames_rewrap_as_bmp():
+    """AVI video chunks whose strf declares DIB/RLE/CRAM re-wrap as
+    standalone BMPs (BM header + strf verbatim + chunk verbatim) that
+    decode_bmp_pixels decodes to the true frame pixels; MJPEG strf
+    streams keep the raw chunks (each already a complete JPEG)."""
+    from arachne_spark.operators.multimodal import (
+        _avi_video_frames,
+        decode_bmp_pixels,
+    )
+
+    # 4x4 24-bit DIB frames: raw bottom-up BGR rows (row_bytes = 12)
+    rgb = bytes((3 * i, 3 * i + 1, 3 * i + 2) [k]
+                for i in range(16) for k in range(3))
+    dib = b"".join(
+        bytes(
+            v
+            for x in range(4)
+            for v in (rgb[3 * (y * 4 + x) + 2],
+                      rgb[3 * (y * 4 + x) + 1],
+                      rgb[3 * (y * 4 + x)])
+        )
+        for y in (3, 2, 1, 0)
+    )
+    strf = _bih(4, 4, 24, 0)
+    avi = _avi([dib, dib], w=4, h=4, handler=b"DIB ", strf=strf)
+    frames = _avi_video_frames(avi)
+    assert len(frames) == 2
+    assert frames[0] == _wrap_bmp(strf, dib)
+    assert decode_bmp_pixels(frames[0])["pixels"] == rgb
+    # CRAM stream: one 1-color block per frame
+    pal = bytes(range(64))  # 16 BGRA quads
+    cram_strf = _bih(4, 4, 8, b"CRAM", pal)
+    cram_avi = _avi([bytes([5, 0x80])], w=4, h=4, handler=b"CRAM",
+                    strf=cram_strf)
+    (cf,) = _avi_video_frames(cram_avi)
+    cdec = decode_bmp_pixels(cf)
+    assert cdec["pixels"] == bytes(
+        (pal[4 * 5 + 2], pal[4 * 5 + 1], pal[4 * 5])
+    ) * 16
+    # MJPEG strf: chunks stay verbatim
+    mj_strf = _bih(4, 4, 24, b"MJPG")
+    mj = _avi([b"\xff\xd8jpegdata"], w=4, h=4, strf=mj_strf)
+    assert _avi_video_frames(mj) == [b"\xff\xd8jpegdata"]
+    # no strf at all (the pre-existing fixtures): verbatim
+    assert _avi_video_frames(_avi([b"zz"], w=4, h=4)) == [b"zz"]
 
 
 def _flac(rate=44100, channels=2, bits=16, total=44100, extra_block=True):
