@@ -1038,16 +1038,119 @@ def _mp4_oracle_rows() -> str:
     return ", ".join(rows)
 
 
+def _cram_avi_fixture() -> list[tuple[int, bytes, list[bytes]]]:
+    """Deterministic RIFF-AVI payloads carrying MS Video 1 (CRAM)
+    streams: (id, avi_bytes, expected_frames) where each expected
+    frame is the standalone BMP the strf re-wrap implies (BM file
+    header + the strf BITMAPINFOHEADER+palette verbatim + the frame
+    chunk verbatim) — assembled here from the spec values, never by
+    walking the container; the Spark side recovers identical bytes
+    through the REAL RIFF walk + DIB re-wrap
+    (``multimodal._avi_video_frames``).  The MSV1 block streams mix
+    all four block modes (1-color / 2-color / 8-color / skip) so the
+    frames also pixel-decode for real through
+    ``decode_bmp_pixels`` (pinned independently in
+    tests/test_multimodal.py).  4 videos, 5-8 frames each, ids
+    9_000_000+i."""
+
+    def riff(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    out = []
+    for i in range(4):
+        w, h = 8 + 4 * (i % 2), 8
+        n_blocks = (w // 4) * (h // 4)
+        palette = b"".join(
+            bytes(((c * 53 + i * 11) % 256, (c * 29 + 7) % 256,
+                   (c * 17 + i * 3) % 256, 0))
+            for c in range(16)
+        )
+        strf = (
+            (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"CRAM" + bytes(12)
+            + (16).to_bytes(4, "little") + bytes(4)
+            + palette
+        )
+        n_frames = 5 + i
+        chunks = []
+        for k in range(n_frames):
+            data = bytearray()
+            for j in range(n_blocks):
+                mode = (j + k + i) % 4
+                if mode == 0:    # 1-color
+                    data += bytes([(j + k) % 16, 0x80])
+                elif mode == 1:  # 2-color (b < 0x80)
+                    flags = (j * 5003 + k * 257 + i) % 0x8000
+                    data += flags.to_bytes(2, "little")
+                    data += bytes([(j + 1) % 16, (j + 2) % 16])
+                elif mode == 2:  # 8-color (b >= 0x90)
+                    flags = ((0x90 + (j + k) % 0x70) << 8) | (
+                        (j * 13 + k * 7) % 256
+                    )
+                    data += flags.to_bytes(2, "little")
+                    data += bytes((j * 3 + k + t) % 16
+                                  for t in range(8))
+                else:            # skip this one block (black canvas)
+                    data += bytes([1, 0x84])
+            chunks.append(bytes(data))
+        avih = (
+            (40000 + i).to_bytes(4, "little") + bytes(12)
+            + n_frames.to_bytes(4, "little") + bytes(4)
+            + (1).to_bytes(4, "little") + bytes(4)
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + bytes(16)
+        )
+        hdrl = riff(
+            b"LIST",
+            b"hdrl" + riff(b"avih", avih)
+            + riff(b"LIST",
+                   b"strl" + riff(b"strh", b"vidsCRAM" + bytes(48))
+                   + riff(b"strf", strf)),
+        )
+        movi = riff(
+            b"LIST", b"movi" + b"".join(riff(b"00dc", c) for c in chunks)
+        )
+        body = b"AVI " + hdrl + movi
+        avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+        off = 14 + len(strf)
+        frames = [
+            b"BM" + (off + len(c)).to_bytes(4, "little")
+            + bytes(4) + off.to_bytes(4, "little") + strf + c
+            for c in chunks
+        ]
+        out.append((9_000_000 + i, avi, frames))
+    return out
+
+
+def _cram_oracle_rows() -> str:
+    """SQL VALUES literals for the CRAM-AVI section of q42's oracle:
+    the md5 of every 4th expected re-wrapped BMP frame, assembled
+    from the fixture spec — the oracle never walks RIFF."""
+    import hashlib
+
+    rows = []
+    for vid_id, _, frames in _cram_avi_fixture():
+        for f in range(0, len(frames), 4):
+            fh = hashlib.md5(frames[f]).hexdigest()
+            rows.append(f"({vid_id}, {f}, '{fh}')")
+    return ", ".join(rows)
+
+
 def q42_frame_sample(spark, sf_dir):
     """Multimodal fan-out plumbing: every-4th frame of a binary
     payload via mapInPandas (one input row -> many output rows),
-    hash-verified byte-for-byte.  Four regimes in one driver row:
+    hash-verified byte-for-byte.  Five regimes in one driver row:
     the ASCII corpus exercises the labeled stride-slicing stub (the
     DuckDB oracle's varchar slicing hashes the identical bytes), the
     ``_avi_fixture`` payloads exercise the REAL RIFF-AVI frame
     extraction, the ``_mp4_fixture`` payloads the REAL ISO-BMFF
-    sample-table walk, and the ``_gif_anim_fixture`` payloads the
-    REAL animated-GIF descriptor walk + standalone-frame re-wrap —
+    sample-table walk, the ``_gif_anim_fixture`` payloads the
+    REAL animated-GIF descriptor walk + standalone-frame re-wrap,
+    and the ``_cram_avi_fixture`` payloads the REAL MS Video 1
+    strf-driven BMP re-wrap (each emitted frame pixel-decodes) —
     frame_sample returns the actual frame/sample bytes, which the
     oracle carries as spec-derived literal hashes (the q45/q46
     spec-oracle pattern)."""
@@ -1069,9 +1172,13 @@ def q42_frame_sample(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _ in _gif_anim_fixture()],
         "doc_id long, payload binary",
     )
+    crams = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in _cram_avi_fixture()],
+        "doc_id long, payload binary",
+    )
     frames = frame_sample(
         payload.unionByName(avis).unionByName(mp4s)
-        .unionByName(gifs),
+        .unionByName(gifs).unionByName(crams),
         id_col="doc_id", every_n=4,
     )
     return frames.select(
@@ -3396,9 +3503,16 @@ def oracle_sql() -> dict[str, str]:
           select cast(doc_id as bigint), cast(frame_idx as bigint),
                  frame_hash
           from (values {gif_rows}) g(doc_id, frame_idx, frame_hash)
+          union all
+          -- the CRAM-AVI fixture's re-wrapped BMP frames, assembled
+          -- from the MSV1 spec (the oracle never walks RIFF)
+          select cast(doc_id as bigint), cast(frame_idx as bigint),
+                 frame_hash
+          from (values {cram_rows}) c(doc_id, frame_idx, frame_hash)
         """.format(avi_rows=_avi_oracle_rows(),
                    mp4_rows=_mp4_oracle_rows(),
-                   gif_rows=_gif_oracle_rows()),
+                   gif_rows=_gif_oracle_rows(),
+                   cram_rows=_cram_oracle_rows()),
         "q43_claims_flatten": """
           with e as (
             select 'Q' || (n_nationkey + 10000) as subj,

@@ -2763,6 +2763,56 @@ def test_msvideo1_16bit_all_modes():
     )
 
 
+def test_cram_avi_fixture_frames_pixel_decode():
+    """Pin q42's CRAM-AVI fixture against the product decoder: the
+    driver hash only checks the re-wrapped BMP BYTES, so the fixture's
+    MSV1 encoder needs its own decode pin (the q42-GIF lesson).  The
+    RIFF walk must recover exactly the spec-assembled frames, and
+    every frame must pixel-decode to the pixels an independent
+    per-pixel coordinate-math expectation (``_msv1_expect``) derives
+    from the same block spec."""
+    from __spark_entry__ import _cram_avi_fixture
+    from arachne_spark.operators.multimodal import (
+        _avi_video_frames,
+        decode_bmp_pixels,
+    )
+
+    fixture = _cram_avi_fixture()
+    assert len(fixture) == 4
+    for i, (vid_id, avi, frames) in enumerate(fixture):
+        assert _avi_video_frames(avi) == frames
+        w, h = 8 + 4 * (i % 2), 8
+        pal_rgb = [((c * 17 + i * 3) % 256, (c * 29 + 7) % 256,
+                    (c * 53 + i * 11) % 256) for c in range(16)]
+        cols, rows_b = w // 4, h // 4
+        for k, frame in enumerate(frames):
+            dec = decode_bmp_pixels(frame)
+            assert dec is not None and dec["width"] == w
+            assert dec["height"] == h and dec["channels"] == 3
+            # blocks run bottom-up in the stream; j is stream order
+            blocks = {}
+            for j in range(cols * rows_b):
+                by = rows_b - 1 - (j // cols)
+                bx = j % cols
+                mode = (j + k + i) % 4
+                if mode == 0:
+                    blocks[(by, bx)] = ("one", (j + k) % 16)
+                elif mode == 1:
+                    flags = (j * 5003 + k * 257 + i) % 0x8000
+                    blocks[(by, bx)] = (
+                        "two", flags, (j + 1) % 16, (j + 2) % 16)
+                elif mode == 2:
+                    flags = ((0x90 + (j + k) % 0x70) << 8) | (
+                        (j * 13 + k * 7) % 256)
+                    blocks[(by, bx)] = (
+                        "eight", flags,
+                        [(j * 3 + k + t) % 16 for t in range(8)])
+                else:
+                    blocks[(by, bx)] = ("skip",)
+            assert dec["pixels"] == _msv1_expect(
+                w, h, blocks, palette=pal_rgb, default=pal_rgb[0])
+
+
 def test_avi_frames_rewrap_as_bmp():
     """AVI video chunks whose strf declares DIB/RLE/CRAM re-wrap as
     standalone BMPs (BM header + strf verbatim + chunk verbatim) that
