@@ -52,6 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     FloatType,
     IntegerType,
@@ -1668,7 +1669,8 @@ _MSV1_FOURCCS = frozenset(
 
 
 def _msvideo1_pixels(
-    data, w: int, h: int, bpp: int, palette: list | None
+    data, w: int, h: int, bpp: int, palette: list | None,
+    canvas: bytes | None = None,
 ) -> bytes | None:
     """REAL MS Video 1 (CRAM/MSVC/WHAM) frame decode — a plain 4x4
     block vector-quantization codec, no entropy coder (public codec
@@ -1678,9 +1680,10 @@ def _msvideo1_pixels(
     block are emitted bottom-up too.  Per block, the leading LE word
     (a=low, b=high byte) selects: skip run ((b&0xFC)==0x84, count
     includes the current block — skipped blocks keep the canvas,
-    which this single-frame decode initializes to black; inter-frame
-    persistence is sequence composition, a downstream choice exactly
-    like GIF frame disposal), 2-color (b<0x80: 16 LSB-first flag
+    which the standalone decode initializes to black; passing the
+    previous frame's RGB bytes as ``canvas`` gives true inter-frame
+    persistence, which is how ``compose_video_pixels`` plays a CRAM
+    sequence), 2-color (b<0x80: 16 LSB-first flag
     bits, set bit = first color), 8-color (8-bit mode b>=0x90;
     16-bit mode signaled by bit 15 of the first color word; colors
     pair up per 2x2 quadrant), else 1-color.  8-bit colors index the
@@ -1705,7 +1708,13 @@ def _msvideo1_pixels(
             for c in ((v >> 10) & 31, (v >> 5) & 31, v & 31)
         )
 
-    rows = [bytearray(black * w) for _ in range(h)]
+    if canvas is not None and len(canvas) == 3 * w * h:
+        rows = [
+            bytearray(canvas[3 * w * y:3 * w * (y + 1)])
+            for y in range(h)
+        ]
+    else:
+        rows = [bytearray(black * w) for _ in range(h)]
 
     def put(y: int, x: int, rgb: bytes) -> None:
         rows[y][3 * x:3 * x + 3] = rgb
@@ -3464,6 +3473,227 @@ def _mp4_video_frames(payload: bytes | None) -> list[bytes] | None:
         return None
 
 
+_MAX_COMPOSED_FRAMES = 256  # bound total composed output (hostile
+# many-frame animations would otherwise emit frames × W*H*3 bytes)
+
+
+def _gif_compose(data: bytes) -> dict | None:
+    """Composited TRUE pixels for every frame of an animated GIF —
+    the sequence-level step ``_gif_video_frames`` leaves downstream:
+    frames draw at their (left, top) descriptor position onto the
+    logical-screen canvas, GCE transparency (packed bit 0 +
+    transparent index) leaves the underlying pixels, and GCE disposal
+    (packed bits 2-4) runs AFTER a frame is emitted — 2 restores the
+    frame's rectangle to the background color, 3 restores the
+    pre-draw canvas, 0/1 leave it.  The canvas starts as the
+    logical-screen background (GCT[background index], else black —
+    flattening, since the 3-channel pixel shape has no alpha).
+    Returns {width, height, channels, frames:[rgb,...]} with one
+    composited full-canvas RGB per frame, or None (malformed, a
+    still, or past the frame/pixel bounds); never raises."""
+    if len(data) < 14 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    if sw <= 0 or sh <= 0 or sw * sh > _JPEG_MAX_PIXELS:
+        return None
+    flags = data[10]
+    bg_index = data[11]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 7))
+        gct = bytes(data[13:13 + size])
+        if len(gct) != size:
+            return None
+        i = 13 + size
+    if gct is not None and 3 * bg_index + 2 < len(gct):
+        background = gct[3 * bg_index:3 * bg_index + 3]
+    else:
+        background = b"\x00\x00\x00"
+    canvas = bytearray(background * (sw * sh))
+    n = len(data)
+    frames: list[bytes] = []
+    disposal, transparent = 0, None
+    while i < n:
+        b = data[i]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            if data[i + 1:i + 2] == b"\xf9" and i + 7 < n and (
+                data[i + 2] == 4
+            ):
+                packed = data[i + 3]
+                disposal = (packed >> 2) & 7
+                transparent = data[i + 6] if packed & 1 else None
+            j = _skip_subblocks(data, i + 2)
+            if j is None:
+                return None
+            i = j
+            continue
+        if b != 0x2C or i + 10 > n:
+            return None
+        left = int.from_bytes(data[i + 1:i + 3], "little")
+        top = int.from_bytes(data[i + 3:i + 5], "little")
+        iw = int.from_bytes(data[i + 5:i + 7], "little")
+        ih = int.from_bytes(data[i + 7:i + 9], "little")
+        lflags = data[i + 9]
+        if not iw or not ih or left + iw > sw or top + ih > sh:
+            return None
+        j = i + 10
+        pal, _bits = gct, flags & 7
+        if lflags & 0x80:
+            size = 3 * (2 << (lflags & 7))
+            pal = bytes(data[j:j + size])
+            if len(pal) != size:
+                return None
+            j += size
+        if pal is None:
+            return None
+        if j >= n:
+            return None
+        min_code = data[j]
+        j += 1
+        lzw = bytearray()
+        while True:
+            if j >= n:
+                return None
+            sz = data[j]
+            j += 1
+            if sz == 0:
+                break
+            lzw += data[j:j + sz]
+            j += sz
+            if j > n:
+                return None
+        idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
+        if idx is None or max(idx) * 3 + 2 >= len(pal):
+            return None
+        if lflags & 0x40:  # interlaced rows arrive in 4 passes
+            rows = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+            order = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            deinter: list[bytes] = [b""] * ih
+            for src, dst in enumerate(order):
+                deinter[dst] = rows[src]
+            idx = b"".join(deinter)
+        saved = bytes(canvas) if disposal == 3 else None
+        for y in range(ih):
+            row = idx[y * iw:(y + 1) * iw]
+            base = ((top + y) * sw + left) * 3
+            for x, k in enumerate(row):
+                if k == transparent:
+                    continue
+                at = base + 3 * x
+                canvas[at:at + 3] = pal[3 * k:3 * k + 3]
+        frames.append(bytes(canvas))
+        if len(frames) > _MAX_COMPOSED_FRAMES:
+            return None
+        if disposal == 2:
+            for y in range(ih):
+                base = ((top + y) * sw + left) * 3
+                canvas[base:base + 3 * iw] = background * iw
+        elif disposal == 3 and saved is not None:
+            canvas = bytearray(saved)
+        disposal, transparent = 0, None
+        i = j
+    if len(frames) < 2:
+        return None  # a still image, not an animation
+    return {"width": sw, "height": sh, "channels": 3,
+            "frames": frames}
+
+
+def _avi_compose(data: bytes) -> dict | None:
+    """Composited TRUE pixels for every frame of an AVI whose video
+    stream is MS Video 1 (CRAM/MSVC/WHAM), uncompressed DIB, or RLE:
+    MSV1 frames decode with the previous frame's pixels as the
+    canvas, so skip-run blocks genuinely persist across frames (the
+    codec's inter-frame mechanism — ``_avi_video_frames``'s
+    standalone re-wrap necessarily renders them black); DIB/RLE
+    frames are full repaints and decode standalone.  Frame geometry
+    and palette come from the captured strf BITMAPINFOHEADER.
+    Returns the ``_gif_compose`` shape, or None (no video strf, a
+    codec this engine cannot pixel-decode, or any malformed frame);
+    never raises."""
+    scanned = _avi_scan(data)
+    if not scanned:
+        return None
+    meta, chunks = scanned
+    strf = meta.get("strf")
+    if strf is None or not chunks:
+        return None
+    if len(chunks) > _MAX_COMPOSED_FRAMES:
+        return None
+    w = int.from_bytes(strf[4:8], "little", signed=True)
+    h = int.from_bytes(strf[8:12], "little", signed=True)
+    bpp = int.from_bytes(strf[14:16], "little")
+    comp = int.from_bytes(strf[16:20], "little")
+    if comp in _MSV1_FOURCCS and bpp in (8, 16) and h > 0:
+        if w <= 0 or w * h > _JPEG_MAX_PIXELS:
+            return None
+        palette = None
+        if bpp == 8:
+            n_colors = int.from_bytes(strf[32:36], "little") or 256
+            if len(strf) < 40 + 4 * n_colors:
+                return None
+            palette = [
+                bytes((strf[40 + 4 * i + 2], strf[40 + 4 * i + 1],
+                       strf[40 + 4 * i]))
+                for i in range(n_colors)
+            ]
+        frames: list[bytes] = []
+        canvas: bytes | None = None
+        for c in chunks:
+            px = _msvideo1_pixels(c, w, h, bpp, palette, canvas)
+            if px is None:
+                return None
+            frames.append(px)
+            canvas = px
+        return {"width": w, "height": h, "channels": 3,
+                "frames": frames}
+    if comp in (0, 1, 2):  # DIB / RLE: every frame a full repaint
+        off = 14 + len(strf)
+        frames = []
+        for c in chunks:
+            bmp = (b"BM" + (off + len(c)).to_bytes(4, "little")
+                   + bytes(4) + off.to_bytes(4, "little") + strf + c)
+            dec = decode_bmp_pixels(bmp)
+            if dec is None:
+                return None
+            frames.append(dec["pixels"])
+        if not frames:
+            return None
+        return {"width": dec["width"], "height": dec["height"],
+                "channels": 3, "frames": frames}
+    return None  # entropy-coded codec: metadata/extraction only
+
+
+def compose_video_pixels(payload: bytes | None) -> dict | None:
+    """REAL sequence-level video decode: every frame of an animated
+    payload as composited full-canvas RGB pixels — the step after
+    ``frame_sample``'s byte extraction, closing the video → frames →
+    TRUE pixels path for the codec-free families (animated GIF with
+    disposal/transparency composition, AVI MS Video 1 with
+    inter-frame skip-block persistence, AVI DIB/RLE repaints).  MP4
+    samples and entropy-coded AVI codecs (the formats that genuinely
+    need codec libraries) return None, same stance as
+    ``decode_image``'s metadata path.  Returns {width, height,
+    channels, frames: [rgb, ...]} or None; never raises."""
+    if not payload:
+        return None
+    data = bytes(payload)
+    try:
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_compose(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            return _avi_compose(data)
+    except (ValueError, IndexError, struct.error, OverflowError):
+        return None
+    return None
+
+
 def decode_video(payload: bytes | None) -> dict | None:
     """REAL pure-Python video container decoder for MP4 (ISO base
     media file format): walk the top-level box table (every declared
@@ -3762,6 +3992,55 @@ def frame_sample(
             )
 
     return df.mapInPandas(sample_batches, schema)
+
+
+def video_pixel_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """(id, frame_idx, width, height, pixels): every ``every_n``-th
+    COMPOSITED frame of a video payload as full-canvas RGB bytes
+    (``compose_video_pixels`` — GIF disposal/transparency composition,
+    AVI MS Video 1 skip-block persistence, AVI DIB/RLE repaints).
+    Payloads the engine cannot pixel-decode emit no rows — pair with
+    ``frame_sample`` for the byte-level extraction that covers every
+    container.  Arrow-batched mapInPandas, one input row → many
+    output rows; partitioning by payload row is the unit of
+    parallelism, exactly like ``frame_sample``."""
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("frame_idx", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("pixels", BinaryType()),
+        ]
+    )
+
+    def compose_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, pxs = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = compose_video_pixels(payload)
+                if dec is None:
+                    continue
+                for f in range(0, len(dec["frames"]), every_n):
+                    ids.append(i)
+                    idxs.append(f)
+                    ws.append(dec["width"])
+                    hs.append(dec["height"])
+                    pxs.append(dec["frames"][f])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "width": ws,
+                 "height": hs, "pixels": pxs}
+            )
+
+    return df.mapInPandas(compose_batches, schema)
 
 
 def resize_meta(

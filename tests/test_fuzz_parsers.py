@@ -296,7 +296,10 @@ def test_media_decoders_never_raise():
         _avi_video_frames,
         _gif_video_frames,
         _mp4_video_frames,
+        compose_video_pixels,
     )
+
+    decoders = decoders + (compose_video_pixels,)
 
     extractors = (
         _avi_video_frames, _mp4_video_frames, _gif_video_frames,

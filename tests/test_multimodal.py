@@ -2224,6 +2224,191 @@ def _gif_anim(frames, g_palette, loop_ext=True):
     return bytes(out) + b"\x3b"
 
 
+def _gif_anim_ctl(screen, frames, g_palette, bg_index=0):
+    """Animated-GIF fixture with FULL graphic-control control, for
+    composition tests: fixed logical-screen size + background index,
+    per-frame placement, disposal and transparency.  ``frames``
+    entries: (left, top, w, h, indices, disposal, transparent_or_None)
+    — global palette only, no interlace (those axes are covered by
+    ``_gif_anim``)."""
+    import struct
+
+    n_pal = max(2, 1 << max(1, (len(g_palette) - 1).bit_length()))
+    g_raw = bytes(
+        v for i in range(n_pal)
+        for v in (g_palette[i] if i < len(g_palette) else (0, 0, 0))
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", *screen)
+    out += bytes([0x80 | (n_pal.bit_length() - 2), bg_index, 0])
+    out += g_raw
+    for left, top, w, h, indices, disposal, transparent in frames:
+        packed = (disposal & 7) << 2
+        if transparent is not None:
+            packed |= 1
+        out += bytes([0x21, 0xF9, 4, packed, 5, 0,
+                      transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+        out += b"\x00"
+        min_code = max(2, (n_pal - 1).bit_length())
+        lzw = _lzw_encode(indices, min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return bytes(out) + b"\x3b"
+
+
+def test_compose_gif_disposal_and_transparency():
+    """GIF sequence composition: frames paint at (left, top) onto the
+    logical-screen canvas; transparent indices leave the pixels
+    beneath; disposal 2 restores the frame rect to the background
+    color AFTER the frame is emitted; disposal 3 restores the
+    pre-draw canvas.  Expectation built by hand, pixel by pixel."""
+    from arachne_spark.operators.multimodal import compose_video_pixels
+
+    bg = (10, 10, 10)
+    red, green, blue = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    pal = [bg, red, green, blue]
+    anim = _gif_anim_ctl(
+        (4, 4),
+        [
+            (0, 0, 4, 4, [1] * 16, 1, None),        # full red, leave
+            (1, 1, 2, 2, [2] * 4, 2, None),         # green, restore-bg
+            (0, 0, 2, 2, [3, 0, 0, 3], 3, 0),       # blue diag,
+            # index 0 transparent, restore-previous after
+            (3, 3, 1, 1, [1], 0, None),             # red dot
+        ],
+        pal,
+    )
+    dec = compose_video_pixels(anim)
+    assert dec is not None and (dec["width"], dec["height"]) == (4, 4)
+    assert len(dec["frames"]) == 4
+
+    def grid(cells):
+        return bytes(v for row in cells for px in row for v in px)
+
+    f0 = [[red] * 4 for _ in range(4)]
+    assert dec["frames"][0] == grid(f0)
+    f1 = [row[:] for row in f0]
+    f1[1][1] = f1[1][2] = f1[2][1] = f1[2][2] = green
+    assert dec["frames"][1] == grid(f1)
+    # disposal 2 ran after frame 1: its rect is background now
+    base = [row[:] for row in f0]
+    base[1][1] = base[1][2] = base[2][1] = base[2][2] = bg
+    f2 = [row[:] for row in base]
+    f2[0][0] = blue          # (0,0) painted
+    # (0,1)/(1,0) transparent -> red shows through; (1,1) painted
+    f2[1][1] = blue
+    assert dec["frames"][2] == grid(f2)
+    # disposal 3 ran after frame 2: canvas reverted to `base`
+    f3 = [row[:] for row in base]
+    f3[3][3] = red
+    assert dec["frames"][3] == grid(f3)
+    # stills are not animations
+    still = _gif_anim_ctl((2, 2), [(0, 0, 2, 2, [1] * 4, 0, None)],
+                          pal)
+    assert compose_video_pixels(still) is None
+    # out-of-screen descriptors are malformed
+    oob = _gif_anim_ctl(
+        (2, 2),
+        [(0, 0, 2, 2, [1] * 4, 0, None),
+         (1, 1, 2, 2, [2] * 4, 0, None)],
+        pal,
+    )
+    assert compose_video_pixels(oob) is None
+
+
+def test_compose_msv1_skip_persistence():
+    """AVI MS Video 1 composition: a skip-run frame keeps the
+    previous frame's pixels (the codec's inter-frame mechanism), and
+    a partial repaint only touches its own blocks — unlike the
+    standalone re-wrap, where skipped blocks render black."""
+    from arachne_spark.operators.multimodal import (
+        _avi_video_frames,
+        compose_video_pixels,
+        decode_bmp_pixels,
+    )
+
+    pal_rgb = [(i * 16, i * 8, 255 - i * 16) for i in range(16)]
+    palette = b"".join(bytes((b, g, r, 0)) for r, g, b in pal_rgb)
+    strf = _bih(8, 4, 8, b"CRAM", palette)
+    # frame 0: paint both blocks (colors 3, 5); frame 1: skip both;
+    # frame 2: repaint only the SECOND block (color 7)
+    f0 = bytes([3, 0x80, 5, 0x80])
+    f1 = bytes([2, 0x84])
+    f2 = bytes([1, 0x84, 7, 0x80])
+    avi = _avi([f0, f1, f2], w=8, h=4, handler=b"CRAM", strf=strf)
+    dec = compose_video_pixels(avi)
+    assert dec is not None and (dec["width"], dec["height"]) == (8, 4)
+    assert len(dec["frames"]) == 3
+
+    def blocks(c_left, c_right):
+        row = bytes(pal_rgb[c_left]) * 4 + bytes(pal_rgb[c_right]) * 4
+        return row * 4
+
+    assert dec["frames"][0] == blocks(3, 5)
+    assert dec["frames"][1] == blocks(3, 5)      # full persistence
+    assert dec["frames"][2] == blocks(3, 7)      # partial repaint
+    # the standalone re-wrap instead renders skipped blocks black
+    rewrap = _avi_video_frames(avi)
+    standalone = decode_bmp_pixels(rewrap[1])
+    assert standalone["pixels"] == bytes(pal_rgb[0]) * 32
+    # DIB streams compose as full repaints
+    rgb = bytes(range(48))
+    dib = b"".join(
+        bytes(v for x in range(4)
+              for v in (rgb[3 * (y * 4 + x) + 2],
+                        rgb[3 * (y * 4 + x) + 1],
+                        rgb[3 * (y * 4 + x)]))
+        for y in (3, 2, 1, 0)
+    )
+    davi = _avi([dib, dib], w=4, h=4, handler=b"DIB ",
+                strf=_bih(4, 4, 24, 0))
+    ddec = compose_video_pixels(davi)
+    assert ddec is not None and ddec["frames"] == [rgb, rgb]
+    # MJPEG (entropy-coded) has no composed-pixel path
+    mj = _avi([b"\xff\xd8x"], w=4, h=4, strf=_bih(4, 4, 24, b"MJPG"))
+    assert compose_video_pixels(mj) is None
+
+
+def test_video_pixel_frames_spark(spark):
+    """video_pixel_frames fans a video payload out to composited
+    full-canvas pixel rows through Arrow-batched mapInPandas —
+    non-decodable payloads emit nothing, and the plan stays on the
+    ArrowEvalPython boundary (no row-at-a-time BatchEvalPython)."""
+    from arachne_spark.operators.multimodal import (
+        compose_video_pixels,
+        video_pixel_frames,
+    )
+
+    pal = [(0, 0, 0), (255, 0, 0)]
+    anim = _gif_anim_ctl(
+        (2, 2),
+        [(0, 0, 2, 2, [1, 0, 0, 1], 0, None),
+         (0, 0, 1, 1, [0], 0, None)],
+        pal,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(b"not a video")),
+         (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = video_pixel_frames(df, id_col="doc_id")
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    expected = compose_video_pixels(anim)
+    for k in range(2):
+        r = rows[(1, k)]
+        assert (r["width"], r["height"]) == (2, 2)
+        assert bytes(r["pixels"]) == expected["frames"][k]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan  # mapInPandas shows as
+    assert "BatchEvalPython" not in plan  # MapInPandas, never row-mode
+    assert "MapInPandas" in plan
+
+
 def test_gif_video_frames():
     """Animated-GIF frame extraction: every image descriptor
     re-wraps as a standalone GIF whose decode equals the frame's own
