@@ -3475,6 +3475,8 @@ def _mp4_video_frames(payload: bytes | None) -> list[bytes] | None:
 
 _MAX_COMPOSED_FRAMES = 256  # bound total composed output (hostile
 # many-frame animations would otherwise emit frames × W*H*3 bytes)
+_MAX_COMPOSED_PIXELS = 1 << 24  # …and bound frames × W*H too: 256
+# max-size frames would still compose to ~3 GB of RGB without this
 
 
 def _gif_compose(data: bytes) -> dict | None:
@@ -3589,7 +3591,8 @@ def _gif_compose(data: bytes) -> dict | None:
                 at = base + 3 * x
                 canvas[at:at + 3] = pal[3 * k:3 * k + 3]
         frames.append(bytes(canvas))
-        if len(frames) > _MAX_COMPOSED_FRAMES:
+        if (len(frames) > _MAX_COMPOSED_FRAMES
+                or len(frames) * sw * sh > _MAX_COMPOSED_PIXELS):
             return None
         if disposal == 2:
             for y in range(ih):
@@ -3605,15 +3608,49 @@ def _gif_compose(data: bytes) -> dict | None:
             "frames": frames}
 
 
+def _jpeg_sequence_compose(frames: list[bytes]) -> dict | None:
+    """Compose a Motion-JPEG sample sequence: the codec has no
+    inter-frame state, so every sample is an independent full repaint
+    and the sequence composes iff each one is a decodable JPEG
+    (``decode_jpeg_pixels`` — from-spec T.81 Huffman + IDCT) with one
+    consistent geometry.  None if any frame fails, geometries differ,
+    or the total composed output would exceed the frame/pixel
+    bounds."""
+    if not frames or len(frames) > _MAX_COMPOSED_FRAMES:
+        return None
+    out: list[bytes] = []
+    shape = None
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            return None
+        dec = decode_jpeg_pixels(f)
+        if dec is None:
+            return None
+        s = (dec["width"], dec["height"], dec["channels"])
+        if shape is None:
+            shape = s
+            if len(frames) * s[0] * s[1] > _MAX_COMPOSED_PIXELS:
+                return None
+        elif s != shape:
+            return None
+        out.append(dec["pixels"])
+    return {"width": shape[0], "height": shape[1],
+            "channels": shape[2], "frames": out}
+
+
+_MJPEG_FOURCCS = frozenset((b"MJPG", b"mjpg", b"dmb1"))
+
+
 def _avi_compose(data: bytes) -> dict | None:
     """Composited TRUE pixels for every frame of an AVI whose video
-    stream is MS Video 1 (CRAM/MSVC/WHAM), uncompressed DIB, or RLE:
-    MSV1 frames decode with the previous frame's pixels as the
-    canvas, so skip-run blocks genuinely persist across frames (the
-    codec's inter-frame mechanism — ``_avi_video_frames``'s
-    standalone re-wrap necessarily renders them black); DIB/RLE
-    frames are full repaints and decode standalone.  Frame geometry
-    and palette come from the captured strf BITMAPINFOHEADER.
+    stream is MS Video 1 (CRAM/MSVC/WHAM), uncompressed DIB, RLE, or
+    Motion-JPEG: MSV1 frames decode with the previous frame's pixels
+    as the canvas, so skip-run blocks genuinely persist across frames
+    (the codec's inter-frame mechanism — ``_avi_video_frames``'s
+    standalone re-wrap necessarily renders them black); DIB/RLE and
+    MJPEG frames are full repaints and decode standalone.  Frame
+    geometry and palette come from the captured strf
+    BITMAPINFOHEADER (MJPEG geometry from each frame's own SOF).
     Returns the ``_gif_compose`` shape, or None (no video strf, a
     codec this engine cannot pixel-decode, or any malformed frame);
     never raises."""
@@ -3632,6 +3669,8 @@ def _avi_compose(data: bytes) -> dict | None:
     comp = int.from_bytes(strf[16:20], "little")
     if comp in _MSV1_FOURCCS and bpp in (8, 16) and h > 0:
         if w <= 0 or w * h > _JPEG_MAX_PIXELS:
+            return None
+        if len(chunks) * w * h > _MAX_COMPOSED_PIXELS:
             return None
         palette = None
         if bpp == 8:
@@ -3662,25 +3701,46 @@ def _avi_compose(data: bytes) -> dict | None:
             dec = decode_bmp_pixels(bmp)
             if dec is None:
                 return None
+            if (len(chunks) * dec["width"] * dec["height"]
+                    > _MAX_COMPOSED_PIXELS):
+                return None
             frames.append(dec["pixels"])
         if not frames:
             return None
         return {"width": dec["width"], "height": dec["height"],
                 "channels": 3, "frames": frames}
-    return None  # entropy-coded codec: metadata/extraction only
+    if strf[16:20] in _MJPEG_FOURCCS:
+        return _jpeg_sequence_compose(chunks)
+    return None  # remaining entropy-coded codecs: metadata only
+
+
+def _mp4_compose(data: bytes) -> dict | None:
+    """Composited TRUE pixels for an MP4 whose video track carries
+    Motion-JPEG samples (sample-entry codecs 'jpeg'/'mjpa' write one
+    standalone JPEG per sample): the sample-table walk
+    (``_mp4_video_frames``) extracts the frames and each decodes on
+    its own.  Detection is by content — every sample must start with
+    the JPEG SOI marker and fully decode — so H.264/H.265/VP9 tracks
+    (the codecs that genuinely need codec libraries) return None from
+    the first sample's leading NAL bytes."""
+    frames = _mp4_video_frames(data)
+    if frames is None:
+        return None
+    return _jpeg_sequence_compose(frames)
 
 
 def compose_video_pixels(payload: bytes | None) -> dict | None:
     """REAL sequence-level video decode: every frame of an animated
     payload as composited full-canvas RGB pixels — the step after
     ``frame_sample``'s byte extraction, closing the video → frames →
-    TRUE pixels path for the codec-free families (animated GIF with
-    disposal/transparency composition, AVI MS Video 1 with
-    inter-frame skip-block persistence, AVI DIB/RLE repaints).  MP4
-    samples and entropy-coded AVI codecs (the formats that genuinely
-    need codec libraries) return None, same stance as
-    ``decode_image``'s metadata path.  Returns {width, height,
-    channels, frames: [rgb, ...]} or None; never raises."""
+    TRUE pixels path for the from-spec-decodable families (animated
+    GIF with disposal/transparency composition, AVI MS Video 1 with
+    inter-frame skip-block persistence, AVI DIB/RLE repaints, and
+    Motion-JPEG in AVI or MP4 via the T.81 decoder).  Inter-frame
+    predictive codecs — H.26x/VP9 samples, entropy-coded AVI streams
+    beyond MJPEG — return None, same stance as ``decode_image``'s
+    metadata path.  Returns {width, height, channels,
+    frames: [rgb, ...]} or None; never raises."""
     if not payload:
         return None
     data = bytes(payload)
@@ -3689,6 +3749,8 @@ def compose_video_pixels(payload: bytes | None) -> dict | None:
             return _gif_compose(data)
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             return _avi_compose(data)
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            return _mp4_compose(data)
     except (ValueError, IndexError, struct.error, OverflowError):
         return None
     return None
@@ -4003,7 +4065,8 @@ def video_pixel_frames(
     """(id, frame_idx, width, height, pixels): every ``every_n``-th
     COMPOSITED frame of a video payload as full-canvas RGB bytes
     (``compose_video_pixels`` — GIF disposal/transparency composition,
-    AVI MS Video 1 skip-block persistence, AVI DIB/RLE repaints).
+    AVI MS Video 1 skip-block persistence, AVI DIB/RLE repaints,
+    Motion-JPEG samples in AVI or MP4).
     Payloads the engine cannot pixel-decode emit no rows — pair with
     ``frame_sample`` for the byte-level extraction that covers every
     container.  Arrow-batched mapInPandas, one input row → many

@@ -278,6 +278,16 @@ def test_media_decoders_never_raise():
         bytes([0x0F, 0x0F, 0x34, 0x12, 0xFF, 0x7F, 0x55, 0xA5]),
     )
 
+    # MJPEG sample-table MP4 + strf-carrying MJPG AVI: mutations hit
+    # the composed-pixel path (_jpeg_sequence_compose) end to end
+    mjpeg_mp4 = _mp4_frames(
+        [_jpeg_enc(bytes([g] * 64), 8, 8, 1) for g in (10, 200)]
+    )
+    mjpeg_strf_avi = _avi(
+        [_jpeg_enc(bytes(range(64)), 8, 8, 1)] * 2,
+        w=8, h=8, strf=_bih(8, 8, 24, b"MJPG"),
+    )
+
     seeds = [
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
@@ -286,6 +296,7 @@ def test_media_decoders_never_raise():
         tiled_tiff, deep_tiff, anim_gif, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
         ulaw_wav, ima_wav, ms_wav, cram_bmp, cram_avi, msv1_16,
+        mjpeg_mp4, mjpeg_strf_avi,
     ]
     decoders = (
         decode_image, decode_audio, decode_video, decode_png_pixels,

@@ -2368,9 +2368,56 @@ def test_compose_msv1_skip_persistence():
                 strf=_bih(4, 4, 24, 0))
     ddec = compose_video_pixels(davi)
     assert ddec is not None and ddec["frames"] == [rgb, rgb]
-    # MJPEG (entropy-coded) has no composed-pixel path
+    # a malformed MJPEG frame fails the whole sequence
     mj = _avi([b"\xff\xd8x"], w=4, h=4, strf=_bih(4, 4, 24, b"MJPG"))
     assert compose_video_pixels(mj) is None
+
+
+def test_compose_mjpeg_avi_and_mp4():
+    """Motion-JPEG composition: every sample is an independent JPEG
+    full repaint, so an MJPG AVI and an MP4 whose sample table
+    carries JPEG samples both compose to each frame's own T.81
+    decode; a non-JPEG sample (an AVC-style NAL prefix) or mixed
+    frame geometry rejects the sequence."""
+    from arachne_spark.operators.multimodal import (
+        compose_video_pixels,
+        decode_jpeg_pixels,
+    )
+
+    def gradient(seed):
+        return bytes(
+            (x * 29 + y * 13 + c * 41 + seed * 57) % 256
+            for y in range(8) for x in range(8) for c in range(3)
+        )
+
+    jpegs = [_jpeg_enc(gradient(s), 8, 8, 3) for s in range(3)]
+    expected = [decode_jpeg_pixels(j)["pixels"] for j in jpegs]
+
+    avi = _avi(jpegs, w=8, h=8, handler=b"MJPG",
+               strf=_bih(8, 8, 24, b"MJPG"))
+    dec = compose_video_pixels(avi)
+    assert dec is not None and (dec["width"], dec["height"]) == (8, 8)
+    assert dec["channels"] == 3 and dec["frames"] == expected
+
+    mp4 = _mp4_frames(jpegs, chunks=[2, 1])
+    mdec = compose_video_pixels(mp4)
+    assert mdec is not None and mdec["frames"] == expected
+    # an AVC-style sample (length-prefixed NAL, no SOI) rejects
+    assert compose_video_pixels(
+        _mp4_frames([b"\x00\x00\x00\x04\x65\x88\x84\x00"])
+    ) is None
+    # mixed geometry rejects the sequence
+    small = _jpeg_enc(bytes(4 * 4 * 3), 4, 4, 3)
+    assert compose_video_pixels(
+        _mp4_frames([jpegs[0], small])) is None
+    # grayscale MJPEG composes with channels == 1
+    gray = [_jpeg_enc(bytes((i * 7 + s) % 256 for i in range(16)),
+                      4, 4, 1) for s in (0, 99)]
+    gdec = compose_video_pixels(_mp4_frames(gray))
+    assert gdec is not None and gdec["channels"] == 1
+    assert gdec["frames"] == [
+        decode_jpeg_pixels(g)["pixels"] for g in gray
+    ]
 
 
 def test_video_pixel_frames_spark(spark):
