@@ -923,6 +923,48 @@ def _mp4_fixture() -> list[tuple[int, bytes, list[bytes]]]:
     return out
 
 
+def _gif_lzw_enc(indices: list[int], min_code: int) -> bytes:
+    """GIF-variant LZW test encoder (LSB-first, widens one step LATE
+    at nxt == (1 << width) + 1 — the sync rule the product decoder's
+    decode of these bytes pins, test_gif_anim_fixture_decodes_pixel_
+    exact).  Shared by the q42 animation fixtures."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = [0, 0]
+
+    def emit(code):
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    emit(clear)
+    table = {(i,): i for i in range(clear)}
+    nxt = end + 1
+    w: tuple = ()
+    for v in indices:
+        wc = w + (v,)
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if nxt < 4096:
+            table[wc] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        w = (v,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+    return bytes(out)
+
+
 def _gif_anim_fixture() -> list[tuple[int, bytes, list[bytes]]]:
     """Deterministic animated-GIF payloads: (id, anim_bytes,
     expected_frames) where each expected frame is the standalone
@@ -932,44 +974,7 @@ def _gif_anim_fixture() -> list[tuple[int, bytes, list[bytes]]]:
     Spark side recovers identical bytes through the REAL descriptor
     walk (``multimodal._gif_video_frames``).  4 animations, 5-8
     frames each, ids 8_000_000+i."""
-
-    def lzw_enc(indices: list[int], min_code: int) -> bytes:
-        clear, end = 1 << min_code, (1 << min_code) + 1
-        width = min_code + 1
-        out = bytearray()
-        acc = [0, 0]
-
-        def emit(code):
-            acc[0] |= code << acc[1]
-            acc[1] += width
-            while acc[1] >= 8:
-                out.append(acc[0] & 0xFF)
-                acc[0] >>= 8
-                acc[1] -= 8
-
-        emit(clear)
-        table = {(i,): i for i in range(clear)}
-        nxt = end + 1
-        w: tuple = ()
-        for v in indices:
-            wc = w + (v,)
-            if wc in table:
-                w = wc
-                continue
-            emit(table[w])
-            if nxt < 4096:
-                table[wc] = nxt
-                nxt += 1
-                if nxt == (1 << width) + 1 and width < 12:
-                    width += 1
-            w = (v,)
-        if w:
-            emit(table[w])
-        emit(end)
-        if acc[1]:
-            out.append(acc[0] & 0xFF)
-        return bytes(out)
-
+    lzw_enc = _gif_lzw_enc
     out = []
     for i in range(4):
         palette = [
@@ -1139,6 +1144,233 @@ def _cram_oracle_rows() -> str:
     return ", ".join(rows)
 
 
+def _compose_fixture() -> list[tuple[int, bytes, list[bytes]]]:
+    """Deterministic video payloads for the COMPOSED-pixel section of
+    q42: (id, video_bytes, expected_composed_rgb_frames) where every
+    expected frame is the full-canvas pixel state the sequence spec
+    implies, computed here by painting the spec values directly —
+    never by parsing GIF/RIFF/ISO-BMFF or running any product
+    decoder.  Three families:
+
+    * ids 10_000_000+: animated GIFs exercising placement, GCE
+      transparency, and disposal modes 0-3 (the paint twin applies
+      the same keep/restore-background/restore-previous semantics to
+      the spec rectangles);
+    * ids 10_000_050+: CRAM AVIs built from 1-color and skip blocks
+      only, so the expected pixels are plain block-color bookkeeping
+      — skipped blocks persist the previous frame's color, the
+      codec's inter-frame mechanism (stream blocks emit bottom-up,
+      DIB order);
+    * ids 10_000_100+: MJPEG MP4s pairing the SEQUENTIAL and
+      PROGRESSIVE ``_jpeg_fixture`` payloads of one spec index (same
+      dims, same block-constant values), so the expected grayscale
+      frames come straight from ``_jpeg_block_val`` and the driver
+      hash additionally pins seq == prog through the composition
+      path.
+
+    The Spark side recovers the same frames through the REAL
+    composition (``multimodal.compose_video_pixels`` via
+    ``video_pixel_frames``)."""
+    out: list[tuple[int, bytes, list[bytes]]] = []
+
+    # --- animated GIFs with transparency + disposal -----------------
+    for i in range(2):
+        sw, sh = 9 + i, 7
+        palette = [
+            ((c * 41 + i * 13) % 256, (c * 89 + i * 7) % 256,
+             (c * 23 + i * 29) % 256)
+            for c in range(4)
+        ]
+        bg_index = 1
+        specs = []
+        for k in range(4 + i):
+            w, h = 4 + (k % 3), 3 + (k % 2)
+            specs.append((
+                k % 3, k % 2, w, h,
+                [(x * 3 + y * 5 + k + i) % 4
+                 for y in range(h) for x in range(w)],
+                (k + i) % 4,
+                0 if k % 3 == 1 else None,
+            ))
+        anim = bytearray(b"GIF89a")
+        anim += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+        anim += bytes([0x81, bg_index, 0])
+        anim += b"".join(bytes(p) for p in palette)
+        for left, top, w, h, idx, disposal, transparent in specs:
+            packed = (disposal & 7) << 2
+            if transparent is not None:
+                packed |= 1
+            anim += bytes([0x21, 0xF9, 4, packed, 5, 0,
+                           transparent or 0, 0])
+            lzw = _gif_lzw_enc(idx, 2)
+            anim += (b"\x2c" + left.to_bytes(2, "little")
+                     + top.to_bytes(2, "little")
+                     + w.to_bytes(2, "little")
+                     + h.to_bytes(2, "little") + b"\x00" + bytes([2]))
+            for j in range(0, len(lzw), 255):
+                chunk = lzw[j:j + 255]
+                anim += bytes([len(chunk)]) + chunk
+            anim += b"\x00"
+        anim += b"\x3b"
+        # paint twin: same keep/background/previous semantics applied
+        # to the spec values (no GIF parsing)
+        background = palette[bg_index]
+        canvas = [background] * (sw * sh)
+        frames = []
+        for left, top, w, h, idx, disposal, transparent in specs:
+            saved = list(canvas) if disposal == 3 else None
+            for y in range(h):
+                for x in range(w):
+                    k = idx[y * w + x]
+                    if k != transparent:
+                        canvas[(top + y) * sw + left + x] = palette[k]
+            frames.append(b"".join(bytes(p) for p in canvas))
+            if disposal == 2:
+                for y in range(h):
+                    for x in range(w):
+                        canvas[(top + y) * sw + left + x] = background
+            elif disposal == 3:
+                canvas = saved
+        out.append((10_000_000 + i, bytes(anim), frames))
+
+    # --- CRAM AVIs: 1-color repaints + persisting skips -------------
+    def riff(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    for i in range(2):
+        w, h = 8 + 4 * i, 8
+        n_bx, n_by = w // 4, h // 4
+        n_blocks = n_bx * n_by
+        pal_rgb = [
+            ((c * 53 + i * 11) % 256, (c * 29 + 7) % 256,
+             (c * 17 + i * 3) % 256)
+            for c in range(16)
+        ]
+        palette = b"".join(bytes((b_, g, r, 0)) for r, g, b_ in pal_rgb)
+        strf = (
+            (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"CRAM" + bytes(12)
+            + (16).to_bytes(4, "little") + bytes(4)
+            + palette
+        )
+        n_frames = 4 + i
+        # block-color spec: grid[j] indexed top-down (j = by*n_bx+bx)
+        grid = [(j * 3 + i) % 16 for j in range(n_blocks)]
+        chunks, frames = [], []
+        state = [None] * n_blocks  # force frame 0 full repaint
+        for k in range(n_frames):
+            paint = {}
+            for j in range(n_blocks):
+                if state[j] is None or (j + k) % 3 == 0:
+                    paint[j] = (grid[j] + 5 * k) % 16
+            data = bytearray()
+            for br in range(n_by):        # stream order: bottom-up
+                by = n_by - 1 - br
+                for bx in range(n_bx):
+                    j = by * n_bx + bx
+                    if j in paint:
+                        data += bytes([paint[j], 0x80])
+                        state[j] = paint[j]
+                    else:
+                        data += bytes([1, 0x84])   # skip: persist
+            chunks.append(bytes(data))
+            frames.append(b"".join(
+                bytes(pal_rgb[state[(y // 4) * n_bx + (x // 4)]])
+                for y in range(h) for x in range(w)
+            ))
+        avih = (
+            (40000 + i).to_bytes(4, "little") + bytes(12)
+            + n_frames.to_bytes(4, "little") + bytes(4)
+            + (1).to_bytes(4, "little") + bytes(4)
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + bytes(16)
+        )
+        hdrl = riff(
+            b"LIST",
+            b"hdrl" + riff(b"avih", avih)
+            + riff(b"LIST",
+                   b"strl" + riff(b"strh", b"vidsCRAM" + bytes(48))
+                   + riff(b"strf", strf)),
+        )
+        movi = riff(
+            b"LIST",
+            b"movi" + b"".join(riff(b"00dc", c) for c in chunks),
+        )
+        body = b"AVI " + hdrl + movi
+        avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+        out.append((10_000_050 + i, avi, frames))
+
+    # --- MJPEG MP4s: sequential + progressive of one spec index -----
+    jpegs = {vid_id: (b, w, h) for vid_id, b, w, h in _jpeg_fixture()}
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + fourcc + body
+
+    for j in range(3):
+        i = 4 * j + 1
+        seq, w, h = jpegs[2_000_000 + i]
+        prog, pw, ph = jpegs[4_000_000 + i]
+        assert (w, h) == (pw, ph)
+        samples = [seq, prog]
+        sizes = b"".join(len(s).to_bytes(4, "big") for s in samples)
+        stsz = bytes(8) + len(samples).to_bytes(4, "big") + sizes
+        stsc = (bytes(4) + (1).to_bytes(4, "big")
+                + (1).to_bytes(4, "big")
+                + len(samples).to_bytes(4, "big")
+                + (1).to_bytes(4, "big"))
+
+        def build(offset):
+            stco = (bytes(4) + (1).to_bytes(4, "big")
+                    + offset.to_bytes(4, "big"))
+            stbl = (box(b"stsz", stsz) + box(b"stsc", stsc)
+                    + box(b"stco", stco))
+            mdia = box(b"hdlr", bytes(8) + b"vide" + bytes(4)) + box(
+                b"minf", box(b"stbl", stbl)
+            )
+            tkhd = (bytes(4) + bytes(72)
+                    + (w << 16).to_bytes(4, "big")
+                    + (h << 16).to_bytes(4, "big"))
+            mvhd = (bytes(4) + bytes(8) + (600).to_bytes(4, "big")
+                    + (1200).to_bytes(4, "big"))
+            moov = box(b"mvhd", mvhd) + box(
+                b"trak", box(b"tkhd", tkhd) + box(b"mdia", mdia)
+            )
+            return box(b"ftyp", b"isom" + bytes(4)) + box(
+                b"moov", moov
+            )
+
+        head = build(0)
+        payload = build(len(head) + 8) + box(
+            b"mdat", b"".join(samples)
+        )
+        # expected grayscale pixels straight from the block spec —
+        # the analytic decode both payloads share (``_jpeg_fixture``)
+        grey = bytes(
+            _jpeg_block_val(i, x // 8, y // 8)
+            for y in range(h) for x in range(w)
+        )
+        out.append((10_000_100 + j, payload, [grey, grey]))
+    return out
+
+
+def _compose_oracle_rows() -> str:
+    """SQL VALUES literals for the composed-pixel section of q42's
+    oracle: the md5 of EVERY expected composited full-canvas frame,
+    hashed from the fixture spec's paint/bookkeeping twins — the
+    oracle never decodes a container or a codec."""
+    import hashlib
+
+    rows = []
+    for vid_id, _, frames in _compose_fixture():
+        for f, px in enumerate(frames):
+            fh = hashlib.md5(px).hexdigest()
+            rows.append(f"({vid_id}, {f}, '{fh}')")
+    return ", ".join(rows)
+
+
 def q42_frame_sample(spark, sf_dir):
     """Multimodal fan-out plumbing: every-4th frame of a binary
     payload via mapInPandas (one input row -> many output rows),
@@ -1153,8 +1385,16 @@ def q42_frame_sample(spark, sf_dir):
     strf-driven BMP re-wrap (each emitted frame pixel-decodes) —
     frame_sample returns the actual frame/sample bytes, which the
     oracle carries as spec-derived literal hashes (the q45/q46
-    spec-oracle pattern)."""
-    from arachne_spark.operators.multimodal import frame_sample
+    spec-oracle pattern).  A sixth regime hash-checks SEQUENCE
+    COMPOSITION: the ``_compose_fixture`` payloads (GIF
+    disposal/transparency, CRAM skip-block persistence, MJPEG
+    seq+prog MP4s) run through ``video_pixel_frames`` and every
+    composited full-canvas RGB frame must hash to the spec twin's
+    painted pixels."""
+    from arachne_spark.operators.multimodal import (
+        frame_sample,
+        video_pixel_frames,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     payload = docs.select(
@@ -1181,9 +1421,16 @@ def q42_frame_sample(spark, sf_dir):
         .unionByName(gifs).unionByName(crams),
         id_col="doc_id", every_n=4,
     )
+    composed = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in _compose_fixture()],
+        "doc_id long, payload binary",
+    )
+    comp_rows = video_pixel_frames(composed, id_col="doc_id").select(
+        "doc_id", "frame_idx", F.md5("pixels").alias("frame_hash")
+    )
     return frames.select(
         "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_hash")
-    )
+    ).unionByName(comp_rows)
 
 
 def q43_claims_flatten(spark, sf_dir):
@@ -3509,10 +3756,18 @@ def oracle_sql() -> dict[str, str]:
           select cast(doc_id as bigint), cast(frame_idx as bigint),
                  frame_hash
           from (values {cram_rows}) c(doc_id, frame_idx, frame_hash)
+          union all
+          -- the composition fixture's full-canvas COMPOSITED frames,
+          -- painted from the sequence spec (the oracle never decodes
+          -- a container or a codec)
+          select cast(doc_id as bigint), cast(frame_idx as bigint),
+                 frame_hash
+          from (values {compose_rows}) x(doc_id, frame_idx, frame_hash)
         """.format(avi_rows=_avi_oracle_rows(),
                    mp4_rows=_mp4_oracle_rows(),
                    gif_rows=_gif_oracle_rows(),
-                   cram_rows=_cram_oracle_rows()),
+                   cram_rows=_cram_oracle_rows(),
+                   compose_rows=_compose_oracle_rows()),
         "q43_claims_flatten": """
           with e as (
             select 'Q' || (n_nationkey + 10000) as subj,
