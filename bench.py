@@ -363,8 +363,11 @@ def run_media(cpus: int) -> dict:
     group with no bench presence before round 5: REAL pixel decode +
     thumbnail (resize_meta over replicated q45-spec PNG/JPEG/BMP/
     TIFF-LZW payloads), REAL container frame extraction (frame_sample
-    over AVI/MP4/animated-GIF fixtures), and REAL sample decode +
-    signal stats (audio_features over generated PCM WAVs).  Work is
+    over AVI/MP4/animated-GIF fixtures), REAL sequence COMPOSITION
+    (video_pixel_frames over the q42 composition fixtures — GIF
+    disposal, CRAM skip persistence, MJPEG repaints), and REAL sample
+    decode + signal stats (audio_features over generated PCM WAVs).
+    Work is
     forced with byte-length aggregates (count() would let the
     optimizer prune the decode).  Guarded like the other auxiliary
     sections: a failure never sinks the artifact."""
@@ -378,6 +381,7 @@ def run_media(cpus: int) -> dict:
         audio_features,
         frame_sample,
         resize_meta,
+        video_pixel_frames,
     )
     from arachne_spark.session import get_spark
 
@@ -436,6 +440,24 @@ def run_media(cpus: int) -> dict:
     force_vid()
     (n_frames, frame_bytes), vid_sec = measure(force_vid)
 
+    comps = [b for _, b, _ in entry._compose_fixture()]
+    comp_rows = [
+        (k * len(comps) + j, bytearray(b))
+        for k in range(n_rep)
+        for j, b in enumerate(comps)
+    ]
+    comp_df = spark.createDataFrame(
+        comp_rows, "vid_id long, payload binary"
+    ).repartition(2 * cpus).persist()
+    comp_df.count()
+    force_comp = lambda: video_pixel_frames(  # noqa: E731
+        comp_df, id_col="vid_id"
+    ).agg(
+        F.count(F.lit(1)), F.sum(F.length("pixels"))
+    ).collect()[0]
+    force_comp()
+    (n_comp, comp_bytes), comp_sec = measure(force_comp)
+
     def wav(i: int) -> bytes:
         n_s = 2000
         data = b"".join(
@@ -458,7 +480,7 @@ def run_media(cpus: int) -> dict:
     force_aud()
     aud_frames, aud_sec = measure(force_aud)
 
-    for df in (img_df, vid_df, aud_df):
+    for df in (img_df, vid_df, comp_df, aud_df):
         df.unpersist()
     spark.stop()
     return {
@@ -470,6 +492,11 @@ def run_media(cpus: int) -> dict:
         "frames_emitted": int(n_frames),
         "frame_extract_sec": round(vid_sec, 3),
         "frames_per_sec": round(int(n_frames) / vid_sec, 1),
+        "composed_videos": len(comp_rows),
+        "composed_frames": int(n_comp),
+        "compose_sec": round(comp_sec, 3),
+        "composed_frames_per_sec": round(int(n_comp) / comp_sec, 1),
+        "composed_pixel_bytes": int(comp_bytes),
         "audio_clips": len(aud_rows),
         "audio_decode_sec": round(aud_sec, 3),
         "audio_samples_decoded": int(aud_frames),
