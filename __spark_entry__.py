@@ -1998,6 +1998,101 @@ def _spec_thumb_rows(count, id_base, dims, pixel) -> str:
     return ", ".join(rows)
 
 
+def _webp_heif_fixture() -> list[tuple[int, bytes, int, int]]:
+    """Deterministic valid WebP and HEIF/AVIF payloads for q45 (ids
+    10_000_000+): 6 WebPs — simple-lossy ('VP8 ' keyframe with the
+    9D 01 2A start code + 14-bit LE dims), simple-lossless (VP8L
+    0x2F signature + packed dims, version 0) and extended (VP8X
+    minus-one 24-bit canvas), two of each — and 8 HEIF-family images
+    (avif/heic/mif1/msf1 brands; even indices resolve the primary
+    item's ispe through pitm→ipma past a DECOY ispe, so the driver
+    hash pins the association walk; odd indices take the first-ispe
+    fallback with no pitm).  Header decode is REAL
+    (``decode_image``); pixel decode sits behind the VP8/HEVC/AV1
+    entropy coders this container lacks, so ``resize_meta``'s
+    thumbnail is the labeled 32-byte-prefix stub — the oracle twin
+    carries md5(prefix) literals (``_header_stub_rows``)."""
+
+    def rchunk(fourcc: bytes, body: bytes) -> bytes:
+        c = fourcc + len(body).to_bytes(4, "little") + body
+        return c + (b"\x00" if len(body) % 2 else b"")
+
+    def webp(kind: int, w: int, h: int) -> bytes:
+        if kind == 0:  # simple lossy
+            body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                    + w.to_bytes(2, "little")
+                    + h.to_bytes(2, "little") + b"\x00\x00")
+            chunks = rchunk(b"VP8 ", body)
+        elif kind == 1:  # simple lossless
+            bits = (w - 1) | ((h - 1) << 14)
+            chunks = rchunk(
+                b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+        else:  # extended
+            chunks = rchunk(
+                b"VP8X", b"\x00\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        riff = b"WEBP" + chunks
+        return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    def bbox(t: bytes, body: bytes = b"") -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + t + body
+
+    def heif(brand: bytes, w: int, h: int, via_pitm: bool) -> bytes:
+        ispe_main = bbox(
+            b"ispe", b"\x00" * 4 + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big"))
+        if via_pitm:  # decoy first: ipma must pick property #2
+            ispes = bbox(
+                b"ispe", b"\x00" * 4 + (7).to_bytes(4, "big")
+                + (7).to_bytes(4, "big")) + ispe_main
+            idx = 2
+        else:
+            ispes, idx = ispe_main, 1
+        ipco = bbox(b"ipco", ispes)
+        entry = (1).to_bytes(2, "big") + bytes([1, 0x80 | idx])
+        ipma = bbox(
+            b"ipma", b"\x00" * 4 + (1).to_bytes(4, "big") + entry)
+        kids = b""
+        if via_pitm:
+            kids += bbox(b"pitm", b"\x00" * 4 + (1).to_bytes(2, "big"))
+        kids += bbox(b"iprp", ipco + ipma)
+        meta = bbox(b"meta", b"\x00" * 4 + kids)
+        return bbox(b"ftyp", brand + b"\x00" * 4 + brand) + meta
+
+    out = []
+    for i in range(6):
+        w, h = (i * 19 + 5) % 300 + 2, (i * 11 + 3) % 200 + 2
+        out.append((10_000_000 + i, webp(i % 3, w, h), w, h))
+    brands = (b"avif", b"heic", b"mif1", b"msf1")
+    for j in range(8):
+        w, h = j * 31 + 12, j * 17 + 9
+        out.append((
+            10_000_100 + j,
+            heif(brands[j % 4], w, h, via_pitm=j % 2 == 0), w, h,
+        ))
+    return out
+
+
+def _header_stub_rows(fixture) -> str:
+    """SQL VALUES literals for q45 sections whose HEADER decode is
+    real but whose pixels sit behind an entropy codec: expected dims
+    come from the fixture spec, and the expected thumbnail is
+    resize_meta's labeled stub — the payload's first 32 bytes — so
+    the md5 is computed here from the fixture bytes.  The driver-hash
+    signal for these rows is the real header decode (wrong dims ⇒
+    wrong resize targets ⇒ hash mismatch)."""
+    import hashlib
+
+    rows = []
+    for img_id, payload, w, h in fixture:
+        scale = min(1.0, 16.0 / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        th = hashlib.md5(bytes(payload[:32])).hexdigest()
+        rows.append(f"({img_id}, {w}, {h}, {ow}, {oh}, '{th}')")
+    return ", ".join(rows)
+
+
 def _wav_fixture() -> list[tuple[int, bytes, tuple, list[int]]]:
     """Deterministic valid-WAV payloads spanning every codec-free
     format tag the engine decodes — integer PCM (8/16/24-bit,
@@ -2301,9 +2396,12 @@ def q45_resize_ppm(spark, sf_dir):
     valid JPEG payloads — 24 sequential AND 12 progressive/SOF2, all
     with real Huffman scans — from ``_jpeg_fixture``, 15 BMPs
     (24/32-bit + 8/4/1-bit palettized, top-down included) from
-    ``_bmp_fixture``, and 12 LZW-compressed TIFFs from
-    ``_tiff_lzw_fixture``; ``resize_meta`` parses the actual bytes —
-    the decode step is real for all five formats, and the thumbnails
+    ``_bmp_fixture``, 12 LZW-compressed TIFFs from
+    ``_tiff_lzw_fixture``, and 14 WebP/HEIF/AVIF payloads from
+    ``_webp_heif_fixture`` (header decode real — VP8/VP8L/VP8X chunk
+    walk, pitm→ipma→ispe box walk — pixels behind entropy codecs);
+    ``resize_meta`` parses the actual bytes —
+    the decode step is real for all the formats, and the thumbnails
     are TRUE resampled pixels (PNG via zlib inflate + unfilter, JPEG
     via the T.81 Huffman + IDCT decoder, TIFF via the §13 LZW code
     walk, BMP via the padded-row walk).  The oracle rebuilds the PPM
@@ -2345,9 +2443,13 @@ def q45_resize_ppm(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _, _ in _tiff_lzw_fixture()],
         "img_id long, payload binary",
     )
+    webps = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in _webp_heif_fixture()],
+        "img_id long, payload binary",
+    )
     rm = resize_meta(
         payload.unionByName(pngs).unionByName(jpegs)
-        .unionByName(bmps).unionByName(tiffs),
+        .unionByName(bmps).unionByName(tiffs).unionByName(webps),
         id_col="img_id", max_side=16,
     )
     return rm.select(
@@ -3111,6 +3213,16 @@ def oracle_sql() -> dict[str, str]:
           from (values {tiff_rows})
                t(img_id, width, height, out_width, out_height,
                  thumb_hash)
+          union all
+          -- WebP + HEIF/AVIF: header decode is real, pixels sit
+          -- behind VP8/HEVC/AV1 — dims from the fixture spec, thumb
+          -- is the labeled 32-byte-prefix stub
+          select cast(img_id as bigint), cast(width as int),
+                 cast(height as int), cast(out_width as int),
+                 cast(out_height as int), thumb_hash
+          from (values {webp_rows})
+               wb(img_id, width, height, out_width, out_height,
+                  thumb_hash)
         """.format(png_rows=_png_oracle_rows(),
                    jpeg_rows=_jpeg_oracle_rows(),
                    bmp_rows=_spec_thumb_rows(
@@ -3119,7 +3231,8 @@ def oracle_sql() -> dict[str, str]:
                    tiff_rows=_spec_thumb_rows(
                        12, 6_000_000,
                        lambda i: (i % 9 + 2, i % 6 + 2),
-                       _tiff_lzw_pixel)),
+                       _tiff_lzw_pixel),
+                   webp_rows=_header_stub_rows(_webp_heif_fixture())),
         "q46_payload_features": """
           with m as (
             select doc_id,

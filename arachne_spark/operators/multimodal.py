@@ -1924,15 +1924,196 @@ def decode_bmp_pixels(payload: bytes | None) -> dict | None:
             "pixels": bytes(out)}
 
 
+def _decode_webp(payload: bytes) -> dict | None:
+    """REAL WebP container header decode (public RIFF-based spec):
+    the chunk walk must tile the declared RIFF size, and dimensions
+    come from whichever image-bearing chunk leads — VP8X (extended:
+    24-bit LE canvas width/height, minus-one coded), 'VP8 ' (lossy:
+    keyframe tag + the 9D 01 2A start code + 14-bit LE dims), or VP8L
+    (lossless: 0x2F signature + 14-bit packed dims, version bits must
+    be 0).  Metadata only — VP8 entropy decode needs a codec library;
+    the pixel stance matches JPEG-before-round-5.  None on anything
+    malformed; never raises."""
+    data = bytes(payload)
+    n = len(data)
+    if n < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    riff_size = int.from_bytes(data[4:8], "little")
+    # file = 8-byte RIFF header + declared body (+1 odd-size pad)
+    if 8 + riff_size not in (n, n - 1) or riff_size < 4:
+        return None
+    try:
+        # materialize first: the whole chunk table must tile the
+        # declared body even though only the leading chunk is read
+        for fourcc, b0, b1 in list(
+            _riff_chunks(data, 12, 8 + riff_size)
+        ):
+            if fourcc == b"VP8X":
+                if b1 - b0 < 10:
+                    return None
+                w = int.from_bytes(data[b0 + 4:b0 + 7], "little") + 1
+                h = int.from_bytes(data[b0 + 7:b0 + 10], "little") + 1
+                return {"format": "webp", "width": w, "height": h}
+            if fourcc == b"VP8 ":
+                if b1 - b0 < 10:
+                    return None
+                if data[b0] & 1:  # not a keyframe
+                    return None
+                if data[b0 + 3:b0 + 6] != b"\x9d\x01\x2a":
+                    return None
+                w = int.from_bytes(data[b0 + 6:b0 + 8],
+                                   "little") & 0x3FFF
+                h = int.from_bytes(data[b0 + 8:b0 + 10],
+                                   "little") & 0x3FFF
+                if not w or not h:
+                    return None
+                return {"format": "webp", "width": w, "height": h}
+            if fourcc == b"VP8L":
+                if b1 - b0 < 5 or data[b0] != 0x2F:
+                    return None
+                bits = int.from_bytes(data[b0 + 1:b0 + 5], "little")
+                if bits >> 29:  # version must be 0
+                    return None
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                return {"format": "webp", "width": w, "height": h}
+            return None  # first chunk must be image-bearing
+    except ValueError:
+        return None
+    return None
+
+
+_HEIF_BRANDS = {
+    b"avif": "avif", b"avis": "avif",
+    b"heic": "heic", b"heix": "heic",
+    b"mif1": "heif", b"msf1": "heif",
+}
+
+
+def _decode_heif(payload: bytes) -> dict | None:
+    """REAL HEIF/AVIF still-image header decode (public ISO-BMFF
+    structure, ISO 23008-12): the top-level box walk must tile the
+    payload, the ftyp major (or a compatible) brand must be a known
+    HEIF family, and dimensions come from the primary item's ispe
+    (image spatial extents) property — resolved through pitm (primary
+    item id) + ipma (item→property associations, 7- or 15-bit
+    indices into ipco's 1-based child list) when both are present,
+    else the first ispe.  Metadata only — HEVC/AV1 payload decode
+    needs a codec library.  None on anything malformed; never
+    raises."""
+    data = bytes(payload)
+    n = len(data)
+    if n < 16 or data[4:8] != b"ftyp":
+        return None
+    try:
+        fmt = None
+        meta = None
+        for btype, b0, b1 in _mp4_boxes(data, 0, n):
+            if btype == b"ftyp":
+                if b1 - b0 < 8:
+                    return None
+                brands = [data[b0:b0 + 4]] + [
+                    data[k:k + 4] for k in range(b0 + 8, b1 - 3, 4)
+                ]
+                for br in brands:
+                    if br in _HEIF_BRANDS:
+                        fmt = _HEIF_BRANDS[br]
+                        break
+                if fmt is None:
+                    return None
+            elif btype == b"meta":
+                meta = (b0, b1)
+        if fmt is None or meta is None:
+            return None
+        # meta is a FULL box: 4 version/flags bytes precede children
+        if meta[1] - meta[0] < 4:
+            return None
+        pitm_id = None
+        iprp = None
+        for btype, b0, b1 in _mp4_boxes(data, meta[0] + 4, meta[1]):
+            if btype == b"pitm":
+                if b1 - b0 < 6:
+                    return None
+                ver = data[b0]
+                if ver == 0:
+                    pitm_id = int.from_bytes(data[b0 + 4:b0 + 6],
+                                             "big")
+                elif b1 - b0 >= 8:
+                    pitm_id = int.from_bytes(data[b0 + 4:b0 + 8],
+                                             "big")
+            elif btype == b"iprp":
+                iprp = (b0, b1)
+        if iprp is None:
+            return None
+        props: list[tuple[bytes, int, int]] = []
+        ipma = None
+        for btype, b0, b1 in _mp4_boxes(data, *iprp):
+            if btype == b"ipco":
+                props = list(_mp4_boxes(data, b0, b1))
+            elif btype == b"ipma":
+                ipma = (b0, b1)
+
+        def ispe_dims(b0: int, b1: int) -> dict | None:
+            if b1 - b0 < 12:
+                return None
+            w = int.from_bytes(data[b0 + 4:b0 + 8], "big")
+            h = int.from_bytes(data[b0 + 8:b0 + 12], "big")
+            if not w or not h:
+                return None
+            return {"format": fmt, "width": w, "height": h}
+
+        if pitm_id is not None and ipma is not None:
+            b0, b1 = ipma
+            if b1 - b0 < 8:
+                return None
+            ver, flags = data[b0], int.from_bytes(data[b0 + 1:b0 + 4],
+                                                  "big")
+            cnt = int.from_bytes(data[b0 + 4:b0 + 8], "big")
+            at = b0 + 8
+            for _ in range(cnt):
+                id_w = 4 if ver >= 1 else 2
+                if at + id_w + 1 > b1:
+                    return None
+                item = int.from_bytes(data[at:at + id_w], "big")
+                at += id_w
+                n_assoc = data[at]
+                at += 1
+                for _ in range(n_assoc):
+                    if flags & 1:
+                        if at + 2 > b1:
+                            return None
+                        idx = int.from_bytes(data[at:at + 2],
+                                             "big") & 0x7FFF
+                        at += 2
+                    else:
+                        if at + 1 > b1:
+                            return None
+                        idx = data[at] & 0x7F
+                        at += 1
+                    if item != pitm_id or not idx or idx > len(props):
+                        continue
+                    ptype, p0, p1 = props[idx - 1]
+                    if ptype == b"ispe":
+                        return ispe_dims(p0, p1)
+        for ptype, p0, p1 in props:
+            if ptype == b"ispe":
+                return ispe_dims(p0, p1)
+        return None
+    except ValueError:
+        return None
+
+
 def decode_image(payload: bytes | None) -> dict | None:
-    """REAL pure-Python image header decoder for the six formats
+    """REAL pure-Python image header decoder for the eight formats
     whose structure needs no codec library: netpbm binary (P6 PPM / P5
     PGM, whitespace-and-comment-tolerant header, pixel-length
     validated), BMP (BITMAPINFOHEADER), PNG (IHDR chunk, CRC-verified,
     IDAT-present — ``_decode_png``), JPEG (marker-segment walk to
     SOF — ``_decode_jpeg``), GIF (logical screen descriptor +
-    block walk to the trailer — ``_decode_gif``), and TIFF (both byte
-    orders, IFD entry walk — ``_decode_tiff``).  Returns
+    block walk to the trailer — ``_decode_gif``), TIFF (both byte
+    orders, IFD entry walk — ``_decode_tiff``), WebP (RIFF chunk walk
+    to VP8X / VP8 / VP8L — ``_decode_webp``), and HEIF/AVIF (ISO-BMFF
+    box walk to the primary item's ispe — ``_decode_heif``).  Returns
     ``{"format", "width", "height"}``
     or None if the payload is not a valid image in any of them.
     Pixel decoding and the remaining media types (audio codecs beyond
@@ -1952,6 +2133,10 @@ def decode_image(payload: bytes | None) -> dict | None:
         return _decode_gif(payload)
     if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        return _decode_webp(payload)
+    if bytes(payload[4:8]) == b"ftyp":
+        return _decode_heif(payload)
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         toks: list[bytes] = []
@@ -2238,8 +2423,10 @@ def decode_audio(payload: bytes | None) -> dict | None:
     format tag, channels, sample rate, bits/sample) and size the data
     chunk into a sample count + duration), FLAC (STREAMINFO metadata
     block — ``_decode_flac``), MP3 (frame-header walk —
-    ``_decode_mp3``) and OGG Vorbis/Opus (page walk + identification
-    header — ``_decode_ogg``).  Returns ``{"format", "channels",
+    ``_decode_mp3``), OGG Vorbis/Opus (page walk + identification
+    header — ``_decode_ogg``) and AIFF/AIFF-C (big-endian IFF
+    FORM/COMM/SSND walk with the 80-bit extended sample rate —
+    ``_decode_aiff``).  Returns ``{"format", "channels",
     "sample_rate", "bits_per_sample", "n_samples", "duration_ms"}``
     or None (``bits_per_sample`` is None for the entropy-coded
     formats).  WAV accepts PCM/IEEE-float plus the codec-free
@@ -2254,6 +2441,8 @@ def decode_audio(payload: bytes | None) -> dict | None:
         return _decode_flac(payload)
     if bytes(payload[:4]) == b"OggS":
         return _decode_ogg(payload)
+    if bytes(payload[:4]) == b"FORM":
+        return _decode_aiff(bytes(payload))
     if (
         bytes(payload[:3]) == b"ID3"
         or (payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0)
@@ -2338,6 +2527,178 @@ def decode_audio(payload: bytes | None) -> dict | None:
 _WAVE_GUID_TAIL = (
     b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 )
+
+
+def _ieee754_extended(b: bytes) -> float | None:
+    """Decode the 80-bit IEEE 754 extended-precision float AIFF uses
+    for its COMM sampleRate (sign 1 / exponent 15 / explicit-integer
+    mantissa 64): value = mantissa × 2^(exp − 16383 − 63).  None for
+    inf/NaN or negative rates."""
+    if len(b) != 10:
+        return None
+    if b[0] & 0x80:
+        return None
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0x7FFF:  # inf / NaN
+        return None
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp > 16383 + 63:  # would overflow float (and no real rate)
+        return None
+    return mant * 2.0 ** (exp - 16383 - 63)
+
+
+# AIFF-C compression fourccs this engine decodes codec-free →
+# bytes per stored sample point ("NONE"-keyed entries use the COMM
+# sampleSize instead); perceptual AIFC codecs (ima4, QDM2, …) are
+# rejected to the undecodable path like non-PCM WAV tags
+_AIFC_CODEC_BYTES = {
+    b"NONE": None, b"sowt": 2, b"fl32": 4, b"FL32": 4,
+    b"fl64": 8, b"FL64": 8,
+    b"ulaw": 1, b"ULAW": 1, b"alaw": 1, b"ALAW": 1,
+}
+
+
+def _aiff_layout(payload: bytes) -> tuple | None:
+    """Shared IFF walk for the AIFF/AIFF-C metadata and sample
+    decoders: validate the FORM container (big-endian sizes,
+    word-aligned chunks, declared FORM size covering the chunk table),
+    read COMM (channels, numSampleFrames, sampleSize, 80-bit extended
+    sampleRate, AIFC compression fourcc) and locate SSND's sample
+    bytes (honoring its offset field).  Returns (fmt, channels,
+    n_frames, bits, rate, codec, data) or None; never raises (the
+    caller slices only validated ranges)."""
+    data = bytes(payload)
+    n = len(data)
+    if n < 20 or data[:4] != b"FORM":
+        return None
+    form_size = int.from_bytes(data[4:8], "big")
+    ftype = data[8:12]
+    if ftype not in (b"AIFF", b"AIFC"):
+        return None
+    # FORM size counts formType + chunks; allow one trailing pad byte
+    if 8 + form_size not in (n, n - 1) or form_size < 4:
+        return None
+    end = 8 + form_size
+    comm = None
+    ssnd = None
+    i = 12
+    while i < end:
+        if i + 8 > end:
+            return None
+        cid = data[i:i + 4]
+        csize = int.from_bytes(data[i + 4:i + 8], "big")
+        body = i + 8
+        if body + csize > end:
+            return None
+        if cid == b"COMM":
+            comm = (body, body + csize)
+        elif cid == b"SSND":
+            ssnd = (body, body + csize)
+        i = body + csize + (csize & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        return None
+    b0, b1 = comm
+    if b1 - b0 < 18:
+        return None
+    channels = int.from_bytes(data[b0:b0 + 2], "big")
+    n_frames = int.from_bytes(data[b0 + 2:b0 + 6], "big")
+    bits = int.from_bytes(data[b0 + 6:b0 + 8], "big")
+    rate_f = _ieee754_extended(data[b0 + 8:b0 + 18])
+    if channels == 0 or rate_f is None or not 0 < rate_f < 1e7:
+        return None
+    rate = int(round(rate_f))
+    if rate == 0:
+        return None
+    codec = b"NONE"
+    if ftype == b"AIFC":
+        if b1 - b0 < 22:
+            return None
+        codec = data[b0 + 18:b0 + 22]
+        if codec not in _AIFC_CODEC_BYTES:
+            return None
+    per_point = _AIFC_CODEC_BYTES[codec]
+    if per_point is None:  # NONE: stored size from COMM sampleSize
+        if not 1 <= bits <= 32:
+            return None
+        per_point = (bits + 7) // 8
+    elif codec == b"sowt" and bits != 16:
+        return None
+    s0, s1 = ssnd
+    if s1 - s0 < 8:
+        return None
+    offset = int.from_bytes(data[s0:s0 + 4], "big")
+    need = n_frames * channels * per_point
+    if s0 + 8 + offset + need > s1:
+        return None
+    fmt = "aiff" if ftype == b"AIFF" else "aifc"
+    sound = data[s0 + 8 + offset:s0 + 8 + offset + need]
+    return fmt, channels, n_frames, bits, rate, codec, sound
+
+
+def _decode_aiff(payload: bytes) -> dict | None:
+    """REAL AIFF / AIFF-C header decode (public IFF-85-based Apple
+    spec): FORM/COMM/SSND walk via ``_aiff_layout`` — big-endian
+    chunk sizes, 80-bit extended sample rate, AIFC compression
+    fourcc.  Same return shape as the WAV branch of
+    ``decode_audio``."""
+    layout = _aiff_layout(payload)
+    if layout is None:
+        return None
+    fmt, channels, n_frames, bits, rate, _, _ = layout
+    return {
+        "format": fmt,
+        "channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+    }
+
+
+def decode_aiff_samples(payload: bytes | None) -> dict | None:
+    """REAL AIFF / AIFF-C sample decode, codec-free per spec: NONE =
+    big-endian SIGNED integer PCM at 8/16/24/32 stored bits (AIFF
+    8-bit is signed, unlike WAV's unsigned 8), sowt = little-endian
+    16-bit (the QuickTime byte-swapped variant), fl32/fl64 = big-
+    endian IEEE floats, ulaw/alaw = the shared G.711 tables.  Output
+    shape matches ``decode_wav_samples`` — normalized interleaved
+    floats where integer reconstructions satisfy the round(s·32768)
+    exactness q30-style oracles rely on.  Never raises."""
+    if not payload:
+        return None
+    layout = _aiff_layout(bytes(payload))
+    if layout is None:
+        return None
+    _, channels, n_frames, bits, rate, codec, data = layout
+    if codec in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        table = _ULAW_LINEAR if codec in (b"ulaw", b"ULAW") else _ALAW_LINEAR
+        samples = [table[b] / 32768.0 for b in data]
+    elif codec == b"sowt":
+        samples = [
+            int.from_bytes(data[j:j + 2], "little", signed=True)
+            / 32768.0
+            for j in range(0, len(data), 2)
+        ]
+    elif codec in (b"fl32", b"FL32"):
+        samples = list(struct.unpack(f">{len(data) // 4}f", data))
+    elif codec in (b"fl64", b"FL64"):
+        samples = list(struct.unpack(f">{len(data) // 8}d", data))
+    else:  # NONE: big-endian signed PCM, stored size from sampleSize
+        step = (bits + 7) // 8
+        if step not in (1, 2, 3, 4):
+            return None
+        half = 1 << (step * 8 - 1)
+        samples = [
+            int.from_bytes(data[j:j + step], "big", signed=True) / half
+            for j in range(0, len(data), step)
+        ]
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "samples": samples,
+    }
 
 
 def _wav_resolve_tag(payload, i: int, csize: int, tag: int) -> int:
@@ -2942,7 +3303,8 @@ def audio_features(
 ) -> DataFrame:
     """(id, is_decodable, n_frames, rms, peak, zero_crossings): REAL
     signal statistics over decoded samples — WAV PCM/IEEE-float via
-    ``decode_wav_samples`` and lossless FLAC via
+    ``decode_wav_samples``, AIFF/AIFF-C via ``decode_aiff_samples``
+    and lossless FLAC via
     ``decode_flac_samples`` (mono mix = mean across channels per
     frame) — the audio analog of the pooled-pixel image features;
     entropy-coded payloads (MP3/OGG) come back is_decodable=false
@@ -2961,9 +3323,9 @@ def audio_features(
     )
 
     def stats(payload: bytes) -> tuple:
-        dec = decode_wav_samples(payload) or decode_flac_samples(
-            payload
-        )
+        dec = (decode_wav_samples(payload)
+               or decode_aiff_samples(payload)
+               or decode_flac_samples(payload))
         if dec is None:
             return (False, None, None, None, None)
         ch = dec["channels"]
@@ -3016,7 +3378,9 @@ def audio_samples(
     the REAL decoded waveform as an interleaved ``array<float>``
     column — the decode step before feature extraction / resampling
     in a multimodal training pipeline.  WAV (PCM, IEEE float, G.711
-    mu-law/A-law, IMA/MS ADPCM) via ``decode_wav_samples``, lossless
+    mu-law/A-law, IMA/MS ADPCM) via ``decode_wav_samples``, AIFF/
+    AIFF-C (big-endian PCM, sowt, floats, G.711) via
+    ``decode_aiff_samples``, lossless
     FLAC via ``decode_flac_samples``; entropy-coded payloads come
     back is_decodable=false with NULL samples.  Every sample is
     v/2^15 of an integer reconstruction, so ``round(s*32768)``
@@ -3036,9 +3400,9 @@ def audio_samples(
     )
 
     def decode(payload) -> tuple:
-        dec = decode_wav_samples(payload) or decode_flac_samples(
-            payload
-        )
+        dec = (decode_wav_samples(payload)
+               or decode_aiff_samples(payload)
+               or decode_flac_samples(payload))
         if dec is None:
             return (False, None, None, None, None)
         ch = dec["channels"]
@@ -4113,8 +4477,9 @@ def resize_meta(
     max_side: int = 256,
 ) -> DataFrame:
     """(id, width, height, out_width, out_height, thumb): decode the
-    payload's dimensions — REAL for netpbm/BMP/PNG/JPEG/GIF/TIFF
-    headers (``decode_image``), stub (derived deterministically from
+    payload's dimensions — REAL for netpbm/BMP/PNG/JPEG/GIF/TIFF/
+    WebP/HEIF-AVIF headers (``decode_image``), stub (derived
+    deterministically from
     the byte length) for undecodable payloads — compute
     aspect-preserving resize targets bounded by ``max_side``, and emit
     a thumbnail.  The thumbnail is REAL — nearest-neighbor resampled

@@ -48,6 +48,7 @@ def test_media_decoders_never_raise():
     )
 
     from arachne_spark.operators.multimodal import (
+        decode_aiff_samples,
         decode_audio,
         decode_bmp_pixels,
         decode_flac_samples,
@@ -288,7 +289,37 @@ def test_media_decoders_never_raise():
         w=8, h=8, strf=_bih(8, 8, 24, b"MJPG"),
     )
 
-    seeds = [
+    # AIFF seeds: mutations hit the big-endian IFF walk, the 80-bit
+    # extended-rate parse, and the AIFC codec dispatch of
+    # decode_aiff_samples
+    import struct as _struct
+
+    from test_multimodal import _aiff, _ulaw_enc
+
+    aiff_seed = _aiff(
+        2, 44100, 16,
+        b"".join(_struct.pack(">h", (k * 613) % 3000 - 1500)
+                 for k in range(24)), 12,
+    )
+    aifc_seed = _aiff(
+        1, 8000, 16,
+        bytes(_ulaw_enc(v * 800 - 8000) for v in range(20)), 20,
+        codec=b"ulaw",
+    )
+
+    # WebP / HEIF seeds: mutations hit the RIFF-tiling check and the
+    # pitm→ipma→ipco association walk of the new header decoders
+    from test_multimodal import _heif, _webp
+
+    webp_seeds = [
+        _webp(320, 200, "lossy"),
+        _webp(77, 33, "lossless"),
+        _webp(1024, 768, "extended"),
+    ]
+    heif_seed = _heif(30, 40, ipma_flags=1, extra_ispe_first=(7, 7))
+
+    seeds = webp_seeds + [
+        heif_seed, aiff_seed, aifc_seed,
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
@@ -302,6 +333,7 @@ def test_media_decoders_never_raise():
         decode_image, decode_audio, decode_video, decode_png_pixels,
         decode_wav_samples, decode_gif_pixels, decode_tiff_pixels,
         decode_jpeg_pixels, decode_bmp_pixels, decode_flac_samples,
+        decode_aiff_samples,
     )
     from arachne_spark.operators.multimodal import (
         _avi_video_frames,

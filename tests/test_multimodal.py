@@ -273,6 +273,161 @@ def test_decode_image_real_formats():
     assert decode_image(None) is None
 
 
+def _webp(w, h, kind="lossy", keyframe=True, start_code=True,
+          version=0, riff_pad=0, lead_junk=False):
+    """Build a WebP container: simple-lossy ('VP8 '), simple-lossless
+    (VP8L) or extended (VP8X) leading chunk, RIFF size covering the
+    padded chunk table exactly (+riff_pad to corrupt it)."""
+    def chunk(fourcc, body):
+        c = fourcc + len(body).to_bytes(4, "little") + body
+        return c + (b"\x00" if len(body) % 2 else b"")
+
+    if kind == "lossy":
+        tag = b"\x00\x00\x00" if keyframe else b"\x01\x00\x00"
+        sc = b"\x9d\x01\x2a" if start_code else b"\x9d\x01\x2b"
+        body = tag + sc + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        chunks = chunk(b"VP8 ", body + b"\x00\x00")
+    elif kind == "lossless":
+        bits = (w - 1) | ((h - 1) << 14) | (version << 29)
+        chunks = chunk(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    else:  # extended
+        body = (b"\x00" + b"\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        chunks = chunk(b"VP8X", body)
+    if lead_junk:
+        chunks = chunk(b"JUNK", b"xy") + chunks
+    riff = b"WEBP" + chunks
+    return b"RIFF" + (len(riff) + riff_pad).to_bytes(4, "little") + riff
+
+
+def _heif_box(btype, body=b""):
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _heif(w, h, brand=b"avif", compat=(b"mif1",), with_pitm=True,
+          pitm_id=1, ipma_flags=0, essential=False,
+          extra_ispe_first=None):
+    """Build a minimal HEIF/AVIF still image: ftyp + meta(pitm, iprp(
+    ipco(ispe...), ipma)).  extra_ispe_first prepends a decoy ispe so
+    the pitm→ipma association must pick the SECOND property."""
+    ispes = []
+    if extra_ispe_first is not None:
+        dw, dh = extra_ispe_first
+        ispes.append(_heif_box(
+            b"ispe", b"\x00" * 4 + dw.to_bytes(4, "big")
+            + dh.to_bytes(4, "big")))
+    ispes.append(_heif_box(
+        b"ispe", b"\x00" * 4 + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")))
+    ipco = _heif_box(b"ipco", b"".join(ispes))
+    idx = len(ispes)  # associate the REAL ispe (1-based)
+    if ipma_flags & 1:
+        assoc = ((0x8000 if essential else 0) | idx).to_bytes(2, "big")
+    else:
+        assoc = bytes([(0x80 if essential else 0) | idx])
+    entry = pitm_id.to_bytes(2, "big") + bytes([1]) + assoc
+    ipma = _heif_box(
+        b"ipma", bytes([0]) + ipma_flags.to_bytes(3, "big")
+        + (1).to_bytes(4, "big") + entry)
+    meta_kids = b""
+    if with_pitm:
+        meta_kids += _heif_box(
+            b"pitm", b"\x00" * 4 + pitm_id.to_bytes(2, "big"))
+    meta_kids += _heif_box(b"iprp", ipco + ipma)
+    meta = _heif_box(b"meta", b"\x00" * 4 + meta_kids)
+    ftyp = _heif_box(
+        b"ftyp", brand + b"\x00" * 4 + b"".join(compat))
+    return ftyp + meta
+
+
+def test_decode_image_webp():
+    """WebP header decode is REAL: the RIFF table must tile the
+    declared size and dims come from whichever image-bearing chunk
+    leads (VP8 keyframe / VP8L / VP8X canvas)."""
+    assert decode_image(_webp(320, 200, "lossy")) == {
+        "format": "webp", "width": 320, "height": 200}
+    assert decode_image(_webp(77, 33, "lossless")) == {
+        "format": "webp", "width": 77, "height": 33}
+    assert decode_image(_webp(1024, 768, "extended")) == {
+        "format": "webp", "width": 1024, "height": 768}
+    # failures: non-keyframe VP8, bad start code, nonzero VP8L
+    # version bits, corrupt RIFF size, non-image leading chunk
+    assert decode_image(_webp(320, 200, keyframe=False)) is None
+    assert decode_image(_webp(320, 200, start_code=False)) is None
+    assert decode_image(_webp(77, 33, "lossless", version=1)) is None
+    assert decode_image(_webp(320, 200, riff_pad=3)) is None
+    assert decode_image(_webp(320, 200, lead_junk=True)) is None
+    assert decode_image(b"RIFF\x04\x00\x00\x00WEBP") is None
+
+
+def test_decode_image_heif():
+    """HEIF/AVIF header decode is REAL: brand-gated ISO-BMFF walk,
+    dimensions resolved through pitm→ipma→ipco to the primary item's
+    ispe (not just the first ispe found)."""
+    assert decode_image(_heif(640, 360)) == {
+        "format": "avif", "width": 640, "height": 360}
+    assert decode_image(_heif(99, 44, brand=b"heic")) == {
+        "format": "heic", "width": 99, "height": 44}
+    # brand only in the compatible list still resolves
+    assert decode_image(_heif(10, 20, brand=b"zzzz",
+                              compat=(b"avif",)))["format"] == "avif"
+    # the pitm association must pick the SECOND ispe, in both the
+    # 7-bit and 15-bit index encodings, essential bit masked
+    for fl, ess in ((0, False), (1, False), (0, True), (1, True)):
+        got = decode_image(_heif(30, 40, ipma_flags=fl, essential=ess,
+                                 extra_ispe_first=(7, 7)))
+        assert got == {"format": "avif", "width": 30, "height": 40}
+    # no pitm → first ispe fallback
+    assert decode_image(_heif(30, 40, with_pitm=False,
+                              extra_ispe_first=(7, 8))) == {
+        "format": "avif", "width": 7, "height": 8}
+    # failures: unknown brand, video brand (routes to decode_video,
+    # not images), zero dims, truncated table
+    assert decode_image(_heif(10, 10, brand=b"zzzz",
+                              compat=(b"zzz2",))) is None
+    assert decode_image(_heif(10, 10, brand=b"isom",
+                              compat=(b"iso2",))) is None
+    assert decode_image(_heif(0, 10)) is None
+    assert decode_image(_heif(10, 10)[:-4]) is None
+
+
+def test_webp_heif_fixture_decodes():
+    """Pin the q45 WebP/HEIF fixture builder against the product
+    decoder (the spec-oracle convention: fixture bytes the driver
+    hash-checks must decode here too): every payload's header decode
+    yields the spec dims, and every pixel decoder rejects it — the
+    oracle's 32-byte-prefix stub-thumbnail expectation depends on
+    resize_meta taking the stub path."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __spark_entry__ import _webp_heif_fixture
+
+    from arachne_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        decode_tiff_pixels,
+    )
+
+    fix = _webp_heif_fixture()
+    assert len(fix) == 14
+    for img_id, payload, w, h in fix:
+        got = decode_image(payload)
+        assert got is not None, img_id
+        assert (got["width"], got["height"]) == (w, h), img_id
+        expected = "webp" if img_id < 10_000_100 else (
+            "avif", "heic", "heif", "heif")[img_id % 4]
+        assert got["format"] == expected, img_id
+        for px in (decode_png_pixels, decode_gif_pixels,
+                   decode_tiff_pixels, decode_jpeg_pixels,
+                   decode_bmp_pixels):
+            assert px(payload) is None, img_id
+
+
 def _png(w, h, depth=8, color=2, crc_ok=True, with_idat=True,
          compression=0):
     import struct
@@ -1775,6 +1930,46 @@ def _alaw_enc(x):
     return aval ^ mask
 
 
+def _ext80(rate: int) -> bytes:
+    """Encode a positive integer as the 80-bit IEEE extended float
+    AIFF's COMM sampleRate uses (explicit-integer-bit mantissa)."""
+    if rate == 0:
+        return bytes(10)
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _aiff(ch, rate, bits, sound, n_frames, codec=None, ssnd_offset=0,
+          size_delta=0, drop_ssnd=False, rate_bytes=None):
+    """Build an AIFF (codec=None) or AIFF-C (codec fourcc) payload:
+    big-endian IFF FORM with COMM (+ compression fourcc and pstring
+    name for AIFC) and SSND carrying `sound` after `ssnd_offset` pad
+    bytes.  size_delta corrupts the FORM size; rate_bytes overrides
+    the 80-bit extended sampleRate encoding."""
+    import struct
+
+    comm = (struct.pack(">HIH", ch, n_frames, bits)
+            + (rate_bytes if rate_bytes is not None else _ext80(rate)))
+    ftype = b"AIFF" if codec is None else b"AIFC"
+    if codec is not None:
+        comm += codec + b"\x04none\x00"  # pstring, even-padded
+
+    def chunk(cid, body):
+        c = cid + struct.pack(">I", len(body)) + body
+        return c + (b"\x00" if len(body) % 2 else b"")
+
+    body = ftype + chunk(b"COMM", comm)
+    if not drop_ssnd:
+        body += chunk(
+            b"SSND",
+            struct.pack(">II", ssnd_offset, 0)
+            + b"\x00" * ssnd_offset + sound,
+        )
+    return (b"FORM"
+            + struct.pack(">I", len(body) + size_delta) + body)
+
+
 def _wav_coded(tag, ch, rate, bits, balign, data, fact=None):
     import struct
 
@@ -1874,6 +2069,103 @@ def _ms_enc_block(samples, ch, balign, ipred, idelta0):
         blk.append((nibs[k] << 4) | nibs[k + 1])
     assert len(blk) == balign
     return bytes(blk), chan
+
+
+def test_decode_aiff(spark):
+    """AIFF/AIFF-C decode is REAL: big-endian signed PCM (8-bit is
+    SIGNED, unlike WAV), sowt little-endian 16-bit, big-endian IEEE
+    floats, G.711 via the shared tables; the 80-bit extended sample
+    rate parses; malformed FORM tables fail.  The Spark feature path
+    accepts the format end-to-end."""
+    import struct
+
+    from arachne_spark.operators.multimodal import (
+        _ULAW_LINEAR,
+        audio_features,
+        decode_aiff_samples,
+        decode_audio,
+    )
+
+    # 16-bit big-endian stereo PCM
+    ints = [1000, -1000, 32767, -32768, 12, -7]
+    sound = b"".join(struct.pack(">h", v) for v in ints)
+    pay = _aiff(2, 44100, 16, sound, 3)
+    meta = decode_audio(pay)
+    assert meta == {
+        "format": "aiff", "channels": 2, "sample_rate": 44100,
+        "bits_per_sample": 16, "n_samples": 3,
+        "duration_ms": 3 * 1000 // 44100,
+    }
+    assert decode_aiff_samples(pay)["samples"] == [
+        v / 32768.0 for v in ints
+    ]
+
+    # 8-bit AIFF PCM is SIGNED; SSND offset honored
+    pay8 = _aiff(1, 8000, 8, bytes([0x80, 0xFF, 0x00, 0x7F]), 4,
+                 ssnd_offset=6)
+    assert decode_audio(pay8)["n_samples"] == 4
+    assert decode_aiff_samples(pay8)["samples"] == [
+        v / 128.0 for v in (-128, -1, 0, 127)
+    ]
+
+    # 24-bit big-endian
+    i24 = [-(1 << 23), (1 << 23) - 1, 77]
+    s24 = b"".join(v.to_bytes(3, "big", signed=True) for v in i24)
+    assert decode_aiff_samples(_aiff(1, 22050, 24, s24, 3))[
+        "samples"] == [v / (1 << 23) for v in i24]
+
+    # AIFC sowt = little-endian 16-bit
+    sowt = b"".join(struct.pack("<h", v) for v in ints)
+    dec = decode_aiff_samples(_aiff(2, 48000, 16, sowt, 3,
+                                    codec=b"sowt"))
+    assert dec["samples"] == [v / 32768.0 for v in ints]
+    m = decode_audio(_aiff(2, 48000, 16, sowt, 3, codec=b"sowt"))
+    assert m["format"] == "aifc" and m["sample_rate"] == 48000
+
+    # AIFC fl32 = big-endian IEEE floats
+    fs = [0.5, -0.25, 1.0, -1.0]
+    f32 = struct.pack(">4f", *fs)
+    assert decode_aiff_samples(_aiff(2, 32000, 32, f32, 2,
+                                     codec=b"fl32"))["samples"] == fs
+
+    # AIFC ulaw: one byte per point, shared G.711 expansion
+    mu = bytes(_ulaw_enc(v * 700 - 9000) for v in range(20))
+    dmu = decode_aiff_samples(_aiff(2, 8000, 16, mu, 10,
+                                    codec=b"ulaw"))
+    assert dmu["samples"] == [_ULAW_LINEAR[b] / 32768.0 for b in mu]
+
+    # non-integer 80-bit rate (22050.5) rounds (half-to-even);
+    # zero/inf rates fail
+    r = struct.pack(">H", 16383 + 15) + (44101 << 47).to_bytes(8, "big")
+    assert decode_audio(_aiff(1, 0, 8, bytes(4), 4,
+                              rate_bytes=r))["sample_rate"] == 22050
+    inf = b"\x7f\xff" + bytes(8)
+    assert decode_audio(_aiff(1, 0, 8, bytes(4), 4,
+                              rate_bytes=inf)) is None
+    assert decode_audio(_aiff(1, 0, 8, bytes(4), 4,
+                              rate_bytes=_ext80(0))) is None
+
+    # malformed: corrupt FORM size, perceptual AIFC codec, SSND
+    # shorter than numSampleFrames needs, missing SSND, zero channels
+    assert decode_audio(_aiff(2, 44100, 16, sound, 3,
+                              size_delta=5)) is None
+    assert decode_audio(_aiff(1, 44100, 16, sound, 3,
+                              codec=b"ima4")) is None
+    assert decode_audio(_aiff(2, 44100, 16, sound[:-2], 3)) is None
+    assert decode_audio(_aiff(2, 44100, 16, sound, 3,
+                              drop_ssnd=True)) is None
+    assert decode_audio(_aiff(0, 44100, 16, sound, 3)) is None
+    assert decode_aiff_samples(b"FORMxxxx") is None
+    assert decode_aiff_samples(None) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, bytearray(pay8))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r
+            for r in audio_features(df, id_col="doc_id").collect()}
+    assert rows[1]["is_decodable"] and rows[1]["n_frames"] == 3
+    assert rows[2]["is_decodable"] and rows[2]["n_frames"] == 4
 
 
 def test_g711_tables_match_spec():
