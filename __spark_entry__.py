@@ -581,7 +581,9 @@ def q30_multimodal_meta(spark, sf_dir):
     stats; correctly not image-decodable — the real image-decode
     surface is q45), and (b) constructed WAV payloads (ids 9M+,
     ``_wav_fixture``: PCM 8/16/24-bit + extensible, float32, G.711
-    mu-law/A-law, IMA/MS ADPCM) through ``audio_meta`` +
+    mu-law/A-law, IMA/MS ADPCM) plus AIFF/AIFF-C payloads (ids 9.1M+,
+    ``_aiff_fixture``: big-endian signed PCM incl. SIGNED 8-bit,
+    sowt, fl32/fl64, G.711 mu-law) through ``audio_meta`` +
     ``audio_samples`` — format parameters plus an EXACT decoded-
     waveform hash (md5 over round(sample*32768), the int16
     reconstruction, which divides exactly in float32).  The oracle
@@ -610,7 +612,8 @@ def q30_multimodal_meta(spark, sf_dir):
         F.lit(None).cast("string").alias("sample_hash"),
     )
     wavs = spark.createDataFrame(
-        [(i, bytearray(b)) for i, b, _, _ in _wav_fixture()],
+        [(i, bytearray(b)) for i, b, _, _ in _wav_fixture()]
+        + [(i, bytearray(b)) for i, b, _, _ in _aiff_fixture()],
         "doc_id long, payload binary",
     )
     meta = audio_meta(wavs, id_col="doc_id")
@@ -2369,6 +2372,139 @@ def _wav_fixture() -> list[tuple[int, bytes, tuple, list[int]]]:
     return out
 
 
+def _aiff_fixture() -> list[tuple[int, bytes, tuple, list[int]]]:
+    """Deterministic valid AIFF/AIFF-C payloads spanning every
+    codec-free compression this engine decodes — big-endian signed
+    PCM at 8/16/24 bits (AIFF 8-bit is SIGNED, unlike WAV), the
+    byte-swapped 'sowt' variant, big-endian IEEE fl32/fl64, and G.711
+    mu-law — assembled from the public Apple IFF spec (80-bit
+    extended sample rate, FORM/COMM/SSND chunk walk).  Returns
+    (id, bytes, (fmt, ch, rate, bits, n_samples, duration_ms),
+    expected_int16_interleaved); like ``_wav_fixture``, every
+    expected v satisfies decode == v/32768 exactly so q30's driver
+    hash pins the decoded waveform bit-for-bit.  Ids 9_100_000+."""
+    import struct
+
+    def ext80(rate: int) -> bytes:
+        e = rate.bit_length() - 1
+        mant = rate << (63 - e)
+        return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+    def container(ch, n_frames, bits, rate, sound, codec=None,
+                  offset=0):
+        comm = struct.pack(">HIH", ch, n_frames, bits) + ext80(rate)
+        ftype = b"AIFF" if codec is None else b"AIFC"
+        if codec is not None:
+            comm += codec + b"\x04none\x00"
+
+        def chunk(cid, body):
+            c = cid + struct.pack(">I", len(body)) + body
+            return c + (b"\x00" if len(body) % 2 else b"")
+
+        body = (ftype + chunk(b"COMM", comm)
+                + chunk(b"SSND", struct.pack(">II", offset, 0)
+                        + b"\x00" * offset + sound))
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    def ulaw_enc(x):  # ITU-T G.711 Sun-style compander (spec twin)
+        sign = 0x80 if x < 0 else 0
+        x = min(abs(x), 32635) + 0x84
+        e, mask = 7, 0x4000
+        while e > 0 and not (x & mask):
+            e -= 1
+            mask >>= 1
+        return ~(sign | (e << 4) | ((x >> (e + 3)) & 0x0F)) & 0xFF
+
+    def ulaw_lin(c):
+        u = ~c & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        return 0x84 - t if u & 0x80 else t - 0x84
+
+    out = []
+    # 9100000: AIFF 16-bit big-endian stereo PCM
+    pcm16 = [((k * 3023) % 65536) - 32768 for k in range(120)]
+    out.append((
+        9_100_000,
+        container(2, 60, 16, 22050, struct.pack(">120h", *pcm16)),
+        ("aiff", 2, 22050, 16, 60, 60 * 1000 // 22050), pcm16,
+    ))
+    # 9100001: AIFF 8-bit SIGNED mono (WAV's 8-bit is unsigned —
+    # the sign convention is the thing this row pins)
+    pcm8 = [((k * 41) % 256) - 128 for k in range(70)]
+    out.append((
+        9_100_001,
+        container(1, 70, 8, 8000,
+                  bytes((v & 0xFF) for v in pcm8), offset=4),
+        ("aiff", 1, 8000, 8, 70, 70 * 1000 // 8000),
+        [v * 256 for v in pcm8],
+    ))
+    # 9100002: AIFF 24-bit big-endian, multiples of 256 so v/256 is
+    # the exact int16-scaled expectation
+    v24 = [(((k * 8117) % 60000) - 30000) * 256 for k in range(36)]
+    out.append((
+        9_100_002,
+        container(1, 36, 24, 48000,
+                  b"".join(v.to_bytes(3, "big", signed=True)
+                           for v in v24)),
+        ("aiff", 1, 48000, 24, 36, 36 * 1000 // 48000),
+        [v // 256 for v in v24],
+    ))
+    # 9100003: AIFC sowt = little-endian 16-bit (QuickTime variant)
+    sow = [((k * 1523) % 65536) - 32768 for k in range(80)]
+    out.append((
+        9_100_003,
+        container(2, 40, 16, 44100, struct.pack("<80h", *sow),
+                  codec=b"sowt"),
+        ("aifc", 2, 44100, 16, 40, 40 * 1000 // 44100), sow,
+    ))
+    # 9100004: AIFC fl32 big-endian floats, values k/32768 (exact)
+    fints = [((k * 277) % 65536) - 32768 for k in range(50)]
+    out.append((
+        9_100_004,
+        container(1, 50, 32, 32000,
+                  struct.pack(">50f", *[v / 32768.0 for v in fints]),
+                  codec=b"fl32"),
+        ("aifc", 1, 32000, 32, 50, 50 * 1000 // 32000), fints,
+    ))
+    # 9100005: AIFC fl64 big-endian doubles
+    dints = [((k * 613) % 65536) - 32768 for k in range(30)]
+    out.append((
+        9_100_005,
+        container(1, 30, 64, 16000,
+                  struct.pack(">30d", *[v / 32768.0 for v in dints]),
+                  codec=b"fl64"),
+        ("aifc", 1, 16000, 64, 30, 30 * 1000 // 16000), dints,
+    ))
+    # 9100006: AIFC G.711 mu-law mono ramp (shared table expansion)
+    mu = bytes(ulaw_enc(v) for v in range(-30000, 30000, 1237))
+    out.append((
+        9_100_006,
+        container(1, len(mu), 16, 8000, mu, codec=b"ulaw"),
+        ("aifc", 1, 8000, 16, len(mu), len(mu) * 1000 // 8000),
+        [ulaw_lin(c) for c in mu],
+    ))
+    return out
+
+
+def _aiff_oracle_values() -> str:
+    """Assemble the q30 AIFF section's expected rows as SQL VALUES —
+    same shape as ``_wav_oracle_values`` (first_byte 70 = 'F' of
+    FORM; format 'aiff'/'aifc' from the fixture spec)."""
+    import hashlib
+
+    rows = []
+    for fid, payload, meta, ints in _aiff_fixture():
+        fmt, ch, rate, bits, n_samples, duration_ms = meta
+        h = hashlib.md5(
+            ",".join(str(v) for v in ints).encode()
+        ).hexdigest()
+        rows.append(
+            f"({fid}, {len(payload)}, 70, true, '{fmt}', {ch},"
+            f" {rate}, {bits}, {n_samples}, {duration_ms}, '{h}')"
+        )
+    return ", ".join(rows)
+
+
 def _wav_oracle_values() -> str:
     """Assemble the q30 WAV section's expected rows as SQL VALUES —
     meta from the fixture spec, sample_hash = md5 over the
@@ -3625,6 +3761,21 @@ def oracle_sql() -> dict[str, str]:
                  cast(duration_ms as bigint), sample_hash
           from (values {_wav_oracle_values()})
             v(doc_id, n_bytes, first_byte, is_decodable, format,
+              channels, sample_rate, bits_per_sample, n_samples,
+              duration_ms, sample_hash)
+          union all
+          -- AIFF/AIFF-C fixture section: big-endian IFF container,
+          -- signed 8-bit/sowt/fl32/fl64/G.711 sample decode, same
+          -- spec-oracle shape
+          select cast(doc_id as bigint), cast(n_bytes as bigint),
+                 cast(first_byte as integer), is_decodable, format,
+                 cast(channels as integer),
+                 cast(sample_rate as integer),
+                 cast(bits_per_sample as integer),
+                 cast(n_samples as bigint),
+                 cast(duration_ms as bigint), sample_hash
+          from (values {_aiff_oracle_values()})
+            a(doc_id, n_bytes, first_byte, is_decodable, format,
               channels, sample_rate, bits_per_sample, n_samples,
               duration_ms, sample_hash)
         """,

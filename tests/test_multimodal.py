@@ -2168,6 +2168,38 @@ def test_decode_aiff(spark):
     assert rows[2]["is_decodable"] and rows[2]["n_frames"] == 4
 
 
+def test_aiff_fixture_decodes_exactly():
+    """Pin the q30 AIFF fixture against the product decoder: every
+    payload's meta matches the spec tuple and the decoded waveform
+    reproduces the expected int16 reconstruction bit-for-bit
+    (round(s*32768) — the identity q30's driver hash relies on)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __spark_entry__ import _aiff_fixture
+
+    from arachne_spark.operators.multimodal import (
+        decode_aiff_samples,
+        decode_audio,
+    )
+
+    fix = _aiff_fixture()
+    assert len(fix) == 7
+    for fid, payload, meta, ints in fix:
+        fmt, ch, rate, bits, n_samples, duration_ms = meta
+        m = decode_audio(payload)
+        assert m == {
+            "format": fmt, "channels": ch, "sample_rate": rate,
+            "bits_per_sample": bits, "n_samples": n_samples,
+            "duration_ms": duration_ms,
+        }, fid
+        dec = decode_aiff_samples(payload)
+        assert dec["channels"] == ch and dec["sample_rate"] == rate
+        got = [round(s * 32768) for s in dec["samples"]]
+        assert got == ints, fid
+
+
 def test_g711_tables_match_spec():
     """The product's 256-entry G.711 expansion tables roundtrip
     through independently-written Sun-style companders: every code
