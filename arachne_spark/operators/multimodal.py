@@ -4120,6 +4120,147 @@ def compose_video_pixels(payload: bytes | None) -> dict | None:
     return None
 
 
+def _ebml_vint(data: bytes, i: int, end: int, is_id: bool):
+    """Read one EBML variable-length integer at data[i] (RFC 8794):
+    the leading byte's first set bit gives the width.  IDs keep the
+    marker bit in the value; sizes clear it and report the all-ones
+    'unknown size' as None.  Returns (value, next_index); raises
+    ValueError on truncation or a zero lead byte."""
+    if i >= end:
+        raise ValueError("ebml: truncated vint")
+    b0 = data[i]
+    if b0 == 0:
+        raise ValueError("ebml: vint width > 8")
+    ln = 9 - b0.bit_length()
+    if i + ln > end:
+        raise ValueError("ebml: vint overruns range")
+    if is_id:
+        return int.from_bytes(data[i:i + ln], "big"), i + ln
+    val = b0 & (0xFF >> ln)
+    for k in range(1, ln):
+        val = (val << 8) | data[i + k]
+    if val == (1 << (7 * ln)) - 1:  # all value bits set: unknown
+        return None, i + ln
+    return val, i + ln
+
+
+def _ebml_elements(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for the EBML element
+    table in data[start:end]; the table must tile the range (same
+    structural contract as ``_mp4_boxes``).  An unknown-size element
+    is only lawful for the Segment (0x18538067, streamed Matroska)
+    and extends to the end of the range; raises ValueError on any
+    other malformation."""
+    i = start
+    while i < end:
+        eid, j = _ebml_vint(data, i, end, is_id=True)
+        size, body = _ebml_vint(data, j, end, is_id=False)
+        if size is None:
+            if eid != 0x18538067:
+                raise ValueError("ebml: unknown size outside Segment")
+            yield eid, body, end
+            return
+        if body + size > end:
+            raise ValueError("ebml: element overruns range")
+        yield eid, body, body + size
+        i = body + size
+
+
+def _decode_webm(payload: bytes) -> dict | None:
+    """REAL Matroska / WebM container decode (public RFC 8794 EBML +
+    the matroska.org element registry): the top-level element walk
+    must tile the payload — an EBML header whose DocType is
+    'matroska' or 'webm', then a Segment (unknown-size Segments, the
+    streamed form, extend to payload end).  Inside the Segment: Info
+    yields TimecodeScale (ns/tick, default 1e6) and the float
+    Duration; Tracks yields the track count and the first video
+    track's PixelWidth/PixelHeight; at least one Cluster must be
+    present (the ``mdat`` analog).  Reported ``timescale`` is
+    ticks/second (1e9 / TimecodeScale) so the shape matches the MP4
+    branch.  Frame extraction (SimpleBlock/laced Block payloads)
+    carries codec bitstreams (VP8/VP9/AV1/H.264) and stays behind
+    the codec boundary.  None on anything malformed; never raises."""
+    data = bytes(payload)
+    n = len(data)
+    doctype = None
+    seg = None
+    try:
+        for eid, b0, b1 in _ebml_elements(data, 0, n):
+            if eid == 0x1A45DFA3 and doctype is None:
+                for hid, h0, h1 in _ebml_elements(data, b0, b1):
+                    if hid == 0x4282:  # DocType
+                        doctype = data[h0:h1].split(b"\x00")[0]
+            elif eid == 0x18538067 and seg is None:
+                seg = (b0, b1)
+        if doctype not in (b"matroska", b"webm") or seg is None:
+            return None
+        scale = 1_000_000  # TimecodeScale default: 1 ms ticks
+        duration = None
+        saw_info = saw_cluster = False
+        n_tracks = 0
+        width = height = None
+        for eid, b0, b1 in _ebml_elements(data, *seg):
+            if eid == 0x1549A966 and not saw_info:  # Info
+                saw_info = True
+                for iid, i0, i1 in _ebml_elements(data, b0, b1):
+                    if iid == 0x2AD7B1:  # TimecodeScale (uint)
+                        if not 1 <= i1 - i0 <= 8:
+                            return None
+                        scale = int.from_bytes(data[i0:i1], "big")
+                        # ns/tick: 0 is invalid; >1e9 would zero the
+                        # reported ticks/second
+                        if not 1 <= scale <= 1_000_000_000:
+                            return None
+                    elif iid == 0x4489:  # Duration (float 4/8)
+                        if i1 - i0 == 4:
+                            duration = struct.unpack(
+                                ">f", data[i0:i1])[0]
+                        elif i1 - i0 == 8:
+                            duration = struct.unpack(
+                                ">d", data[i0:i1])[0]
+                        else:
+                            return None
+                        # NaN, negative and inf all fail (inf would
+                        # overflow the int() conversion below)
+                        if not 0 <= duration < 1e15:
+                            return None
+            elif eid == 0x1654AE6B:  # Tracks
+                for tid, t0, t1 in _ebml_elements(data, b0, b1):
+                    if tid != 0xAE:  # TrackEntry
+                        continue
+                    n_tracks += 1
+                    for fid, f0, f1 in _ebml_elements(data, t0, t1):
+                        if fid != 0xE0:  # Video settings
+                            continue
+                        w = h = None
+                        for vid, v0, v1 in _ebml_elements(
+                                data, f0, f1):
+                            if not 1 <= v1 - v0 <= 8:
+                                continue
+                            if vid == 0xB0:  # PixelWidth
+                                w = int.from_bytes(data[v0:v1], "big")
+                            elif vid == 0xBA:  # PixelHeight
+                                h = int.from_bytes(data[v0:v1], "big")
+                        if width is None and w and h:
+                            width, height = w, h
+            elif eid == 0x1F43B675:  # Cluster
+                saw_cluster = True
+    except ValueError:
+        return None
+    if not saw_info or not saw_cluster:
+        return None
+    dur_ms = int(duration * scale / 1e6) if duration else 0
+    return {
+        "format": "webm" if doctype == b"webm" else "mkv",
+        "major_brand": doctype.decode("ascii"),
+        "timescale": 1_000_000_000 // scale,
+        "duration_ms": dur_ms,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
 def decode_video(payload: bytes | None) -> dict | None:
     """REAL pure-Python video container decoder for MP4 (ISO base
     media file format): walk the top-level box table (every declared
@@ -4133,6 +4274,10 @@ def decode_video(payload: bytes | None) -> dict | None:
     main header yields frame timing, stream count and dimensions, the
     video ``strh`` the handler fourcc, reported with ``timescale`` =
     1e6 (microsecond units) so ``duration_ms`` = µs/frame × frames.
+    And Matroska/WebM (``_decode_webm``): the RFC 8794 EBML element
+    walk — DocType gate, Segment Info (TimecodeScale + Duration),
+    Tracks (count + first video track's pixel dims), Cluster
+    required.
     Returns ``{"format", "major_brand", "timescale", "duration_ms",
     "n_tracks", "width", "height"}`` or None.  For MJPEG AVIs the
     frames themselves decode for real too (``frame_sample`` emits the
@@ -4141,6 +4286,8 @@ def decode_video(payload: bytes | None) -> dict | None:
     stub fan-out — but the container-structure contract is exercised
     for real in both containers."""
     n = len(payload) if payload else 0
+    if n >= 8 and bytes(payload[:4]) == b"\x1a\x45\xdf\xa3":
+        return _decode_webm(bytes(payload))
     if n >= 12 and bytes(payload[:4]) == b"RIFF":
         try:
             scanned = _avi_scan(bytes(payload))

@@ -294,7 +294,7 @@ def test_media_decoders_never_raise():
     # decode_aiff_samples
     import struct as _struct
 
-    from test_multimodal import _aiff, _ulaw_enc
+    from test_multimodal import _aiff, _mkv, _ulaw_enc
 
     aiff_seed = _aiff(
         2, 44100, 16,
@@ -318,7 +318,15 @@ def test_media_decoders_never_raise():
     ]
     heif_seed = _heif(30, 40, ipma_flags=1, extra_ispe_first=(7, 7))
 
-    seeds = webp_seeds + [
+    # Matroska/WebM seeds: mutations hit the EBML vint widths, the
+    # element-tiling check, and the Segment/Info/Tracks walk
+    mkv_seeds = [
+        _mkv(),
+        _mkv(doctype=b"matroska", audio_first=True,
+             unknown_segment=True, scale=100_000),
+    ]
+
+    seeds = webp_seeds + mkv_seeds + [
         heif_seed, aiff_seed, aifc_seed,
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,

@@ -1930,6 +1930,62 @@ def _alaw_enc(x):
     return aval ^ mask
 
 
+def _ebml_el(eid: bytes, body: bytes) -> bytes:
+    """Encode one EBML element: raw ID bytes (marker included) +
+    minimal-width size vint + body."""
+    size, ln = len(body), 1
+    while size >= (1 << (7 * ln)) - 1:
+        ln += 1
+    return eid + (size | (1 << (7 * ln))).to_bytes(ln, "big") + body
+
+
+def _mkv(doctype=b"webm", w=640, h=360, scale=1_000_000,
+         duration=4000.0, dur_width=8, n_clusters=1,
+         unknown_segment=False, audio_first=False, trailing=b""):
+    """Build a Matroska/WebM payload: EBML header (DocType), Segment
+    with Info (TimecodeScale + float Duration), Tracks (optional
+    leading audio TrackEntry, then a video TrackEntry with pixel
+    dims), and Cluster(s).  unknown_segment streams the Segment with
+    the all-ones unknown size; trailing appends junk after the
+    element table (must fail the tiling check)."""
+    import struct
+
+    hdr = _ebml_el(b"\x1a\x45\xdf\xa3",
+                   _ebml_el(b"\x42\x82", doctype))
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1",
+                 scale.to_bytes((scale.bit_length() + 7) // 8, "big"))
+        + _ebml_el(b"\x44\x89",
+                   struct.pack(">d" if dur_width == 8 else ">f",
+                               duration)),
+    )
+    tracks = b""
+    if audio_first:
+        tracks += _ebml_el(b"\xae", _ebml_el(b"\x83", b"\x02"))
+    tracks += _ebml_el(
+        b"\xae",
+        _ebml_el(b"\x83", b"\x01")
+        + _ebml_el(
+            b"\xe0",
+            _ebml_el(b"\xb0",
+                     w.to_bytes(max(1, (w.bit_length() + 7) // 8),
+                                "big"))
+            + _ebml_el(b"\xba",
+                       h.to_bytes(max(1, (h.bit_length() + 7) // 8),
+                                  "big")),
+        ),
+    )
+    seg_body = (info + _ebml_el(b"\x16\x54\xae\x6b", tracks)
+                + _ebml_el(b"\x1f\x43\xb6\x75",
+                           _ebml_el(b"\xe7", b"\x00")) * n_clusters)
+    if unknown_segment:
+        seg = b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    else:
+        seg = _ebml_el(b"\x18\x53\x80\x67", seg_body)
+    return hdr + seg + trailing
+
+
 def _ext80(rate: int) -> bytes:
     """Encode a positive integer as the 80-bit IEEE extended float
     AIFF's COMM sampleRate uses (explicit-integer-bit mantissa)."""
@@ -2166,6 +2222,44 @@ def test_decode_aiff(spark):
             for r in audio_features(df, id_col="doc_id").collect()}
     assert rows[1]["is_decodable"] and rows[1]["n_frames"] == 3
     assert rows[2]["is_decodable"] and rows[2]["n_frames"] == 4
+
+
+def test_decode_webm_matroska():
+    """Matroska/WebM container decode is REAL: the RFC 8794 EBML
+    element walk must tile the payload, DocType gates the format,
+    Info yields TimecodeScale/Duration, Tracks yields the count and
+    the FIRST VIDEO track's dims (audio entries skipped), a Cluster
+    is required, and streamed unknown-size Segments work."""
+    from arachne_spark.operators.multimodal import decode_video
+
+    got = decode_video(_mkv())
+    assert got == {
+        "format": "webm", "major_brand": "webm",
+        "timescale": 1000, "duration_ms": 4000,
+        "n_tracks": 1, "width": 640, "height": 360,
+    }
+    # matroska doctype, audio track first, float32 duration,
+    # non-default timecode scale (0.1 ms ticks)
+    got = decode_video(_mkv(doctype=b"matroska", audio_first=True,
+                            scale=100_000, duration=1500.0,
+                            dur_width=4, w=1920, h=1080))
+    assert got == {
+        "format": "mkv", "major_brand": "matroska",
+        "timescale": 10000, "duration_ms": 150,
+        "n_tracks": 2, "width": 1920, "height": 1080,
+    }
+    # streamed (unknown-size) Segment
+    assert decode_video(_mkv(unknown_segment=True))["width"] == 640
+    # failures: junk after the element table, no Cluster, unknown
+    # DocType, zero TimecodeScale, NaN duration, truncation
+    assert decode_video(_mkv(trailing=b"xx")) is None
+    assert decode_video(_mkv(n_clusters=0)) is None
+    assert decode_video(_mkv(doctype=b"avi!")) is None
+    assert decode_video(_mkv(scale=0)) is None
+    assert decode_video(_mkv(duration=float("nan"))) is None
+    assert decode_video(_mkv(duration=float("inf"))) is None
+    assert decode_video(_mkv()[:-3]) is None
+    assert decode_video(b"\x1a\x45\xdf\xa3") is None
 
 
 def test_aiff_fixture_decodes_exactly():
@@ -3078,7 +3172,8 @@ def test_decode_video_mp4(spark):
     assert audio_only["width"] is None and audio_only["n_tracks"] == 1
 
     df = spark.createDataFrame(
-        [(1, bytearray(_mp4())), (2, bytearray(b"webm junk")), (3, None)],
+        [(1, bytearray(_mp4())), (2, bytearray(b"webm junk")),
+         (3, None), (4, bytearray(_mkv()))],
         "doc_id bigint, payload binary",
     )
     rows = {r["doc_id"]: r.asDict() for r in
@@ -3087,6 +3182,8 @@ def test_decode_video_mp4(spark):
     assert rows[1]["duration_ms"] == 2000
     assert not rows[2]["is_decodable"] and rows[2]["format"] is None
     assert not rows[3]["is_decodable"]
+    assert rows[4]["is_decodable"] and rows[4]["format"] == "webm"
+    assert rows[4]["width"] == 640 and rows[4]["duration_ms"] == 4000
     plan = video_meta(df, id_col="doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
