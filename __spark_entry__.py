@@ -1374,6 +1374,142 @@ def _compose_oracle_rows() -> str:
     return ", ".join(rows)
 
 
+def _mkv_fixture() -> list[tuple[int, bytes, list[bytes]]]:
+    """Deterministic valid Matroska/WebM payloads: (id, mkv_bytes,
+    frames).  The writer composes EBML forward from the public spec
+    (RFC 8794 vints + the matroska.org element registry) — EBML
+    header, Segment with Info/Tracks, Clusters holding SimpleBlocks
+    and BlockGroup Blocks across ALL FOUR lacing modes (none / Xiph
+    255-terminated / fixed equal-split / EBML signed-delta), with
+    audio-track blocks interleaved to be skipped.  The oracle twin
+    hashes the frame list directly and never parses EBML; the Spark
+    side recovers the frames from the actual bytes through the REAL
+    Cluster walk (``multimodal._mkv_video_frames``).  4 videos, ids
+    11_000_000+i; video 3 streams an unknown-size Segment."""
+
+    def el(eid: bytes, body: bytes) -> bytes:
+        size, ln = len(body), 1
+        while size >= (1 << (7 * ln)) - 1:
+            ln += 1
+        return (eid + (size | (1 << (7 * ln))).to_bytes(ln, "big")
+                + body)
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    def vint(v: int, ln: int = 1) -> bytes:
+        while v >= (1 << (7 * ln)) - 1:
+            ln += 1
+        return (v | (1 << (7 * ln))).to_bytes(ln, "big")
+
+    def block(track, frames, lacing, group=False):
+        lbits = {"none": 0, "xiph": 1, "fixed": 2, "ebml": 3}[lacing]
+        body = (vint(track) + b"\x00\x00"
+                + bytes([(0 if group else 0x80) | (lbits << 1)]))
+        if lacing == "none":
+            body += frames[0]
+        else:
+            body += bytes([len(frames) - 1])
+            if lacing == "xiph":
+                for fr in frames[:-1]:
+                    sz = len(fr)
+                    body += b"\xff" * (sz // 255) + bytes([sz % 255])
+            elif lacing == "ebml":
+                body += vint(len(frames[0]), 2)
+                prev = len(frames[0])
+                for fr in frames[1:-1]:
+                    body += ((len(fr) - prev + (1 << 13) - 1)
+                             | (1 << 14)).to_bytes(2, "big")
+                    prev = len(fr)
+            body += b"".join(frames)
+        blk = el(b"\xa1" if group else b"\xa3", body)
+        return el(b"\xa0", blk) if group else blk
+
+    def track_entry(num, ttype, w=None, h=None):
+        body = el(b"\x83", bytes([ttype])) + el(b"\xd7", uint(num))
+        if w:
+            body += el(b"\xe0",
+                       el(b"\xb0", uint(w)) + el(b"\xba", uint(h)))
+        return el(b"\xae", body)
+
+    def container(doctype, entries, clusters, unknown_seg=False):
+        hdr = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", doctype))
+        info = el(
+            b"\x15\x49\xa9\x66",
+            el(b"\x2a\xd7\xb1", uint(1_000_000))
+            + el(b"\x44\x89", struct.pack(">d", 2400.0)),
+        )
+        seg_body = (info + el(b"\x16\x54\xae\x6b", b"".join(entries))
+                    + b"".join(
+                        el(b"\x1f\x43\xb6\x75",
+                           el(b"\xe7", uint(k)) + c)
+                        for k, c in enumerate(clusters)))
+        if unknown_seg:
+            return hdr + b"\x18\x53\x80\x67\xff" + seg_body
+        return hdr + el(b"\x18\x53\x80\x67", seg_body)
+
+    import struct
+
+    def fr(i, k, ln):  # deterministic frame bytes
+        return bytes((i * 31 + k * 7 + j) % 256 for j in range(ln))
+
+    out = []
+    # 11000000: webm — none + Xiph lacing (one frame > 255 bytes)
+    f0 = [fr(0, 0, 40), fr(0, 1, 90), fr(0, 2, 300), fr(0, 3, 25)]
+    out.append((
+        11_000_000,
+        container(b"webm", [track_entry(1, 1, 64, 48)],
+                  [block(1, f0[:1], "none")
+                   + block(1, f0[1:], "xiph")]),
+        f0,
+    ))
+    # 11000001: matroska — audio track 2 first (its blocks skipped),
+    # video track 3 with fixed lacing + a BlockGroup Block
+    f1 = [fr(1, k, 24) for k in range(3)] + [fr(1, 9, 61)]
+    out.append((
+        11_000_001,
+        container(b"matroska",
+                  [track_entry(2, 2), track_entry(3, 1, 320, 240)],
+                  [block(2, [b"skip-me-audio"], "none")
+                   + block(3, f1[:3], "fixed")
+                   + block(3, f1[3:], "none", group=True)]),
+        f1,
+    ))
+    # 11000002: webm — EBML lacing across TWO clusters (ordering)
+    f2a = [fr(2, k, 30 + 11 * k) for k in range(3)]
+    f2b = [fr(2, 5 + k, 80 - 13 * k) for k in range(3)]
+    out.append((
+        11_000_002,
+        container(b"webm", [track_entry(1, 1, 128, 72)],
+                  [block(1, f2a, "ebml"), block(1, f2b, "ebml")]),
+        f2a + f2b,
+    ))
+    # 11000003: streamed unknown-size Segment, plain blocks
+    f3 = [fr(3, k, 33) for k in range(5)]
+    out.append((
+        11_000_003,
+        container(b"webm", [track_entry(1, 1, 16, 16)],
+                  [b"".join(block(1, [x], "none") for x in f3)],
+                  unknown_seg=True),
+        f3,
+    ))
+    return out
+
+
+def _mkv_oracle_rows() -> str:
+    """SQL VALUES literals for the Matroska section of q42's oracle:
+    the md5 of every 4th frame, hashed from the fixture spec's frame
+    list — the oracle never parses EBML."""
+    import hashlib
+
+    rows = []
+    for vid_id, _, frames in _mkv_fixture():
+        for f in range(0, len(frames), 4):
+            fh = hashlib.md5(frames[f]).hexdigest()
+            rows.append(f"({vid_id}, {f}, '{fh}')")
+    return ", ".join(rows)
+
+
 def q42_frame_sample(spark, sf_dir):
     """Multimodal fan-out plumbing: every-4th frame of a binary
     payload via mapInPandas (one input row -> many output rows),
@@ -1384,11 +1520,14 @@ def q42_frame_sample(spark, sf_dir):
     extraction, the ``_mp4_fixture`` payloads the REAL ISO-BMFF
     sample-table walk, the ``_gif_anim_fixture`` payloads the
     REAL animated-GIF descriptor walk + standalone-frame re-wrap,
-    and the ``_cram_avi_fixture`` payloads the REAL MS Video 1
-    strf-driven BMP re-wrap (each emitted frame pixel-decodes) —
+    the ``_cram_avi_fixture`` payloads the REAL MS Video 1
+    strf-driven BMP re-wrap (each emitted frame pixel-decodes), and
+    the ``_mkv_fixture`` payloads the REAL Matroska/WebM Cluster
+    walk (SimpleBlock/BlockGroup un-lacing across all four lacing
+    modes) —
     frame_sample returns the actual frame/sample bytes, which the
     oracle carries as spec-derived literal hashes (the q45/q46
-    spec-oracle pattern).  A sixth regime hash-checks SEQUENCE
+    spec-oracle pattern).  A further regime hash-checks SEQUENCE
     COMPOSITION: the ``_compose_fixture`` payloads (GIF
     disposal/transparency, CRAM skip-block persistence, MJPEG
     seq+prog MP4s) run through ``video_pixel_frames`` and every
@@ -1419,9 +1558,13 @@ def q42_frame_sample(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _ in _cram_avi_fixture()],
         "doc_id long, payload binary",
     )
+    mkvs = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in _mkv_fixture()],
+        "doc_id long, payload binary",
+    )
     frames = frame_sample(
         payload.unionByName(avis).unionByName(mp4s)
-        .unionByName(gifs).unionByName(crams),
+        .unionByName(gifs).unionByName(crams).unionByName(mkvs),
         id_col="doc_id", every_n=4,
     )
     composed = spark.createDataFrame(
@@ -4021,6 +4164,12 @@ def oracle_sql() -> dict[str, str]:
                  frame_hash
           from (values {cram_rows}) c(doc_id, frame_idx, frame_hash)
           union all
+          -- the Matroska/WebM fixture's un-laced Cluster frames,
+          -- hashed from the frame spec (the oracle never parses EBML)
+          select cast(doc_id as bigint), cast(frame_idx as bigint),
+                 frame_hash
+          from (values {mkv_rows}) k(doc_id, frame_idx, frame_hash)
+          union all
           -- the composition fixture's full-canvas COMPOSITED frames,
           -- painted from the sequence spec (the oracle never decodes
           -- a container or a codec)
@@ -4031,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
                    mp4_rows=_mp4_oracle_rows(),
                    gif_rows=_gif_oracle_rows(),
                    cram_rows=_cram_oracle_rows(),
+                   mkv_rows=_mkv_oracle_rows(),
                    compose_rows=_compose_oracle_rows()),
         "q43_claims_flatten": """
           with e as (

@@ -4166,6 +4166,157 @@ def _ebml_elements(data: bytes, start: int, end: int):
         i = body + size
 
 
+def _ebml_vint_signed(data: bytes, i: int, end: int):
+    """Signed EBML vint (Matroska EBML-lacing size deltas): the
+    unsigned value minus 2^(7·width−1) − 1.  Raises ValueError on
+    malformation (incl. the all-ones pattern)."""
+    b0 = data[i] if i < end else 0
+    if b0 == 0:
+        raise ValueError("ebml: bad signed vint")
+    ln = 9 - b0.bit_length()
+    val, j = _ebml_vint(data, i, end, is_id=False)
+    if val is None:
+        raise ValueError("ebml: all-ones signed vint")
+    return val - ((1 << (7 * ln - 1)) - 1), j
+
+
+def _mkv_block_frames(
+    data: bytes, s0: int, s1: int, track: int
+) -> list[bytes]:
+    """Frames of one Matroska (Simple)Block body (track-number vint,
+    s16 timecode, flags, then the lace table + frame bytes): no
+    lacing, Xiph (255-terminated size bytes), fixed (equal split) and
+    EBML (first size + signed deltas) lacing all reconstruct exact
+    frame byte ranges.  Blocks of other tracks return []; raises
+    ValueError on malformation."""
+    tnum, i = _ebml_vint(data, s0, s1, is_id=False)
+    if tnum is None:
+        raise ValueError("mkv: unknown-size track number")
+    if i + 3 > s1:
+        raise ValueError("mkv: truncated block header")
+    flags = data[i + 2]
+    i += 3
+    if tnum != track:
+        return []
+    lacing = (flags >> 1) & 3
+    if lacing == 0:
+        return [data[i:s1]]
+    if i >= s1:
+        raise ValueError("mkv: missing lace count")
+    k = data[i] + 1
+    i += 1
+    if lacing == 2:  # fixed-size lacing: equal split of the rest
+        rem = s1 - i
+        if rem % k:
+            raise ValueError("mkv: fixed lacing not divisible")
+        w = rem // k
+        return [data[i + t * w:i + (t + 1) * w] for t in range(k)]
+    sizes = []
+    if lacing == 1:  # Xiph: 255-terminated byte sums for k-1 frames
+        for _ in range(k - 1):
+            sz = 0
+            while True:
+                if i >= s1:
+                    raise ValueError("mkv: truncated Xiph lace")
+                b = data[i]
+                i += 1
+                sz += b
+                if b < 255:
+                    break
+            sizes.append(sz)
+    else:  # EBML: first size absolute, then signed deltas
+        first, i = _ebml_vint(data, i, s1, is_id=False)
+        if first is None:
+            raise ValueError("mkv: unknown-size lace")
+        sizes.append(first)
+        prev = first
+        for _ in range(k - 2):
+            delta, i = _ebml_vint_signed(data, i, s1)
+            prev += delta
+            if prev < 0:
+                raise ValueError("mkv: negative lace size")
+            sizes.append(prev)
+    last = s1 - i - sum(sizes)  # final frame size is inferred
+    if last < 0:
+        raise ValueError("mkv: laces overrun block")
+    out = []
+    for sz in sizes:
+        out.append(data[i:i + sz])
+        i += sz
+    out.append(data[i:s1])
+    return out
+
+
+def _mkv_video_frames(payload: bytes | None) -> list[bytes] | None:
+    """Ordered REAL video frames of a Matroska/WebM payload: resolve
+    the first video track's TrackNumber, then walk every Cluster's
+    SimpleBlocks and BlockGroup Blocks (``_mkv_block_frames``) —
+    un-lacing Xiph / fixed / EBML lace tables — and emit each frame's
+    exact bytes as the encoder wrote them (VP8/VP9/AV1/H.264
+    bitstream chunks), the same codec-free extraction step
+    ``_mp4_video_frames`` performs from the ISO-BMFF sample tables.
+    None for non-Matroska / malformed / frameless payloads; never
+    raises."""
+    if not payload:
+        return None
+    data = bytes(payload)
+    n = len(data)
+    if n < 8 or data[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    try:
+        doctype = None
+        seg = None
+        for eid, b0, b1 in _ebml_elements(data, 0, n):
+            if eid == 0x1A45DFA3 and doctype is None:
+                for hid, h0, h1 in _ebml_elements(data, b0, b1):
+                    if hid == 0x4282:
+                        doctype = data[h0:h1].split(b"\x00")[0]
+            elif eid == 0x18538067 and seg is None:
+                seg = (b0, b1)
+        if doctype not in (b"matroska", b"webm") or seg is None:
+            return None
+        video_track = None
+        clusters = []
+        for eid, b0, b1 in _ebml_elements(data, *seg):
+            if eid == 0x1654AE6B:  # Tracks
+                for tid, t0, t1 in _ebml_elements(data, b0, b1):
+                    if tid != 0xAE:
+                        continue
+                    ttype = tnum = None
+                    for fid, f0, f1 in _ebml_elements(data, t0, t1):
+                        if fid == 0x83 and f1 > f0:  # TrackType
+                            ttype = data[f0]
+                        elif fid == 0xD7 and 1 <= f1 - f0 <= 8:
+                            tnum = int.from_bytes(
+                                data[f0:f1], "big")
+                    if ttype == 1 and tnum and video_track is None:
+                        video_track = tnum
+            elif eid == 0x1F43B675:
+                clusters.append((b0, b1))
+        if video_track is None or not clusters:
+            return None
+        frames: list[bytes] = []
+        for b0, b1 in clusters:
+            for cid, c0, c1 in _ebml_elements(data, b0, b1):
+                if cid == 0xA3:  # SimpleBlock
+                    spans = [(c0, c1)]
+                elif cid == 0xA0:  # BlockGroup → Block children
+                    spans = [
+                        (g0, g1)
+                        for gid, g0, g1 in _ebml_elements(
+                            data, c0, c1)
+                        if gid == 0xA1
+                    ]
+                else:
+                    continue
+                for s0, s1 in spans:
+                    frames.extend(
+                        _mkv_block_frames(data, s0, s1, video_track))
+        return frames or None
+    except ValueError:
+        return None
+
+
 def _decode_webm(payload: bytes) -> dict | None:
     """REAL Matroska / WebM container decode (public RFC 8794 EBML +
     the matroska.org element registry): the top-level element walk
@@ -4517,11 +4668,13 @@ def frame_sample(
     JPEG that ``decode_jpeg_pixels`` then decodes to pixels), for
     MP4 containers (the actual video-trak samples reconstructed from
     the ``stsz``/``stsc``/``stco`` sample tables,
-    ``_mp4_video_frames``), AND for animated GIFs (each image
+    ``_mp4_video_frames``), for animated GIFs (each image
     descriptor re-wrapped as a standalone GIF that
-    ``decode_gif_pixels`` decodes, ``_gif_video_frames``) — so
+    ``decode_gif_pixels`` decodes, ``_gif_video_frames``), AND for
+    Matroska/WebM (Cluster SimpleBlock/Block walk with Xiph / fixed /
+    EBML un-lacing, ``_mkv_video_frames``) — so
     video → frames runs end-to-end with no codec library for all
-    three container families.  Other payloads keep the labeled
+    four container families.  Other payloads keep the labeled
     deterministic byte-slicing stub (fixed ``stride`` chunks); a
     deployment swaps that for ffmpeg keyframe extraction — schema,
     batch iterator, and row fan-out are identical."""
@@ -4547,6 +4700,8 @@ def frame_sample(
                     real = _mp4_video_frames(payload)
                 if real is None:
                     real = _gif_video_frames(payload)
+                if real is None:
+                    real = _mkv_video_frames(payload)
                 if real is not None:  # REAL container frames
                     for f in range(0, len(real), every_n):
                         ids.append(i)

@@ -319,11 +319,23 @@ def test_media_decoders_never_raise():
     heif_seed = _heif(30, 40, ipma_flags=1, extra_ispe_first=(7, 7))
 
     # Matroska/WebM seeds: mutations hit the EBML vint widths, the
-    # element-tiling check, and the Segment/Info/Tracks walk
+    # element-tiling check, the Segment/Info/Tracks walk, and (via
+    # the block-carrying seed) the SimpleBlock un-lacing paths
+    from test_multimodal import _mkv_block
+
     mkv_seeds = [
         _mkv(),
         _mkv(doctype=b"matroska", audio_first=True,
              unknown_segment=True, scale=100_000),
+        _mkv(audio_first=True, cluster_body=(
+            _mkv_block(1, [bytes(range(40))])
+            + _mkv_block(2, [b"audio"])
+            + _mkv_block(1, [bytes(range(30)), bytes(range(50)),
+                             bytes(range(20))], "xiph")
+            + _mkv_block(1, [bytes(range(25))] * 3, "fixed")
+            + _mkv_block(1, [bytes(range(35)), bytes(range(45)),
+                             bytes(range(15))], "ebml")
+            + _mkv_block(1, [bytes(range(12))], group=True))),
     ]
 
     seeds = webp_seeds + mkv_seeds + [
@@ -346,6 +358,7 @@ def test_media_decoders_never_raise():
     from arachne_spark.operators.multimodal import (
         _avi_video_frames,
         _gif_video_frames,
+        _mkv_video_frames,
         _mp4_video_frames,
         compose_video_pixels,
     )
@@ -354,6 +367,7 @@ def test_media_decoders_never_raise():
 
     extractors = (
         _avi_video_frames, _mp4_video_frames, _gif_video_frames,
+        _mkv_video_frames,
     )
     for seed in seeds:
         for blob in _mutations(rng, seed, 800):

@@ -1941,13 +1941,16 @@ def _ebml_el(eid: bytes, body: bytes) -> bytes:
 
 def _mkv(doctype=b"webm", w=640, h=360, scale=1_000_000,
          duration=4000.0, dur_width=8, n_clusters=1,
-         unknown_segment=False, audio_first=False, trailing=b""):
+         unknown_segment=False, audio_first=False, trailing=b"",
+         track_num=1, cluster_body=b""):
     """Build a Matroska/WebM payload: EBML header (DocType), Segment
     with Info (TimecodeScale + float Duration), Tracks (optional
-    leading audio TrackEntry, then a video TrackEntry with pixel
-    dims), and Cluster(s).  unknown_segment streams the Segment with
-    the all-ones unknown size; trailing appends junk after the
-    element table (must fail the tiling check)."""
+    leading audio TrackEntry #2, then a video TrackEntry with
+    TrackNumber + pixel dims), and Cluster(s) whose bodies carry a
+    Timecode plus `cluster_body` (blocks from ``_mkv_block``).
+    unknown_segment streams the Segment with the all-ones unknown
+    size; trailing appends junk after the element table (must fail
+    the tiling check)."""
     import struct
 
     hdr = _ebml_el(b"\x1a\x45\xdf\xa3",
@@ -1962,10 +1965,13 @@ def _mkv(doctype=b"webm", w=640, h=360, scale=1_000_000,
     )
     tracks = b""
     if audio_first:
-        tracks += _ebml_el(b"\xae", _ebml_el(b"\x83", b"\x02"))
+        tracks += _ebml_el(
+            b"\xae",
+            _ebml_el(b"\x83", b"\x02") + _ebml_el(b"\xd7", b"\x02"))
     tracks += _ebml_el(
         b"\xae",
         _ebml_el(b"\x83", b"\x01")
+        + _ebml_el(b"\xd7", bytes([track_num]))
         + _ebml_el(
             b"\xe0",
             _ebml_el(b"\xb0",
@@ -1978,12 +1984,53 @@ def _mkv(doctype=b"webm", w=640, h=360, scale=1_000_000,
     )
     seg_body = (info + _ebml_el(b"\x16\x54\xae\x6b", tracks)
                 + _ebml_el(b"\x1f\x43\xb6\x75",
-                           _ebml_el(b"\xe7", b"\x00")) * n_clusters)
+                           _ebml_el(b"\xe7", b"\x00") + cluster_body)
+                * n_clusters)
     if unknown_segment:
         seg = b"\x18\x53\x80\x67" + b"\xff" + seg_body
     else:
         seg = _ebml_el(b"\x18\x53\x80\x67", seg_body)
     return hdr + seg + trailing
+
+
+def _mkv_block(track, frames, lacing="none", group=False):
+    """Encode one Matroska SimpleBlock (or BlockGroup>Block when
+    group=True) element holding `frames` with the given lacing mode
+    ('none' | 'xiph' | 'fixed' | 'ebml')."""
+    def vint(v, ln=None):
+        if ln is None:
+            ln = 1
+            while v >= (1 << (7 * ln)) - 1:
+                ln += 1
+        return (v | (1 << (7 * ln))).to_bytes(ln, "big")
+
+    lbits = {"none": 0, "xiph": 1, "fixed": 2, "ebml": 3}[lacing]
+    flags = (0x80 if not group else 0) | (lbits << 1)
+    body = vint(track) + b"\x00\x00" + bytes([flags])
+    if lacing == "none":
+        assert len(frames) == 1
+        body += frames[0]
+    else:
+        body += bytes([len(frames) - 1])
+        if lacing == "xiph":
+            for f in frames[:-1]:
+                sz = len(f)
+                body += b"\xff" * (sz // 255) + bytes([sz % 255])
+        elif lacing == "ebml":
+            body += vint(len(frames[0]), 2)
+            prev = len(frames[0])
+            for f in frames[1:-1]:
+                delta = len(f) - prev
+                prev = len(f)
+                body += ((delta + (1 << 13) - 1)
+                         | (1 << 14)).to_bytes(2, "big")
+        else:  # fixed: all frames must share a size
+            assert len({len(f) for f in frames}) == 1
+        body += b"".join(frames)
+    el = _ebml_el(b"\xa3" if not group else b"\xa1", body)
+    if group:
+        el = _ebml_el(b"\xa0", el)
+    return el
 
 
 def _ext80(rate: int) -> bytes:
@@ -2260,6 +2307,76 @@ def test_decode_webm_matroska():
     assert decode_video(_mkv(duration=float("inf"))) is None
     assert decode_video(_mkv()[:-3]) is None
     assert decode_video(b"\x1a\x45\xdf\xa3") is None
+
+
+def test_mkv_video_frames(spark):
+    """Matroska/WebM frame extraction is REAL: Cluster SimpleBlocks
+    and BlockGroup Blocks un-lace (Xiph 255-terminated sums, fixed
+    equal split, EBML signed-delta sizes) to the exact frame bytes,
+    audio-track blocks are skipped, and the Spark frame_sample path
+    fans the frames out."""
+    from arachne_spark.operators.multimodal import (
+        _mkv_video_frames,
+        frame_sample,
+    )
+
+    f = [bytes([k]) * (5 + 37 * k) for k in range(4)]  # incl. >255
+    f[3] = bytes([3]) * 300
+    fixed = [bytes([9 + k]) * 24 for k in range(3)]
+    cluster = (
+        _mkv_block(1, [f[0]])                        # no lacing
+        + _mkv_block(2, [b"audio-skip"])             # other track
+        + _mkv_block(1, [f[1], f[2], f[3]], "xiph")
+        + _mkv_block(1, fixed, "fixed")
+        + _mkv_block(1, [f[2], f[0], f[1]], "ebml")
+        + _mkv_block(1, [f[0]], group=True)          # BlockGroup
+    )
+    pay = _mkv(audio_first=True, cluster_body=cluster)
+    got = _mkv_video_frames(pay)
+    assert got == [f[0], f[1], f[2], f[3]] + fixed \
+        + [f[2], f[0], f[1], f[0]]
+    # two clusters double the frame sequence
+    two = _mkv(cluster_body=_mkv_block(1, [f[0]]), n_clusters=2)
+    assert _mkv_video_frames(two) == [f[0], f[0]]
+    # failures: no blocks → None; a lace table whose declared sizes
+    # overrun the block body is malformed
+    assert _mkv_video_frames(_mkv()) is None
+    overrun = _ebml_el(  # track 1, xiph lacing, size 200 > 4 bytes
+        b"\xa3", bytes([0x81]) + b"\x00\x00"
+        + bytes([0x02, 1, 200]) + b"tiny")
+    assert _mkv_video_frames(_mkv(cluster_body=overrun)) is None
+    assert _mkv_video_frames(b"\x1a\x45\xdf\xa3") is None
+    assert _mkv_video_frames(None) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(pay))], "doc_id bigint, payload binary",
+    )
+    rows = frame_sample(df, id_col="doc_id", every_n=1).collect()
+    assert [bytes(r["frame_bytes"]) for r in
+            sorted(rows, key=lambda r: r["frame_idx"])] == got
+
+
+def test_mkv_fixture_frames_exact():
+    """Pin the q42 Matroska fixture against the product extractor:
+    every payload's REAL Cluster walk must reproduce the spec's frame
+    list byte-for-byte (the spec-oracle pin convention)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __spark_entry__ import _mkv_fixture
+
+    from arachne_spark.operators.multimodal import (
+        _mkv_video_frames,
+        decode_video,
+    )
+
+    fix = _mkv_fixture()
+    assert len(fix) == 4
+    for vid_id, payload, frames in fix:
+        assert _mkv_video_frames(payload) == frames, vid_id
+        meta = decode_video(payload)
+        assert meta is not None and meta["duration_ms"] == 2400, vid_id
 
 
 def test_aiff_fixture_decodes_exactly():
