@@ -2220,6 +2220,80 @@ def _webp_heif_fixture() -> list[tuple[int, bytes, int, int]]:
     return out
 
 
+def _ico_pixel(i: int, x: int, y: int):
+    """The q45 ICO fixture's pixel spec — shared by the fixture
+    builder and the oracle twin, which never parses ICO."""
+    return (
+        (x * 17 + y * 5 + 3 * i) % 256,
+        (x * 7 + y * 19 + i) % 256,
+        (x * 3 + y * 2 + 7 * i) % 256,
+    )
+
+
+def _ico_dims(i: int):
+    return i % 9 + 3, i % 5 + 3
+
+
+def _ico_fixture() -> list[tuple[int, bytes, int, int]]:
+    """Deterministic valid ICO favicon payloads with REAL pixels for
+    q45 (ids 12_000_000+): each container holds a 2x2 DIB decoy plus
+    the spec image — even indices as a doubled-height 24-bit DIB
+    (bottom-up BGR XOR plane + all-opaque AND mask), odd indices as
+    an embedded PNG (filter-0 rows, CRC-correct chunks) — so the
+    largest-entry pick, the DIB re-wrap AND the PNG delegation all
+    sit under the driver hash.  Pixels follow ``_ico_pixel``; the
+    oracle twin computes thumbnails from the spec and never parses
+    ICO."""
+    import struct
+    import zlib
+
+    def dib(w, h, pixel):
+        row_len = ((w * 3 + 3) // 4) * 4
+        rows = b""
+        for y in range(h - 1, -1, -1):
+            r = b"".join(bytes(pixel(x, y)[::-1]) for x in range(w))
+            rows += r + b"\x00" * (row_len - len(r))
+        mask = b"\x00" * (((w + 31) // 32) * 4 * h)
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24,
+                          0, 0, 0, 0, 0, 0)
+        return hdr + rows + mask
+
+    def png(w, h, pixel):
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        scan = b"".join(
+            b"\x00" + bytes(v for x in range(w) for v in pixel(x, y))
+            for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2,
+                                             0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(scan))
+                + chunk(b"IEND", b""))
+
+    def container(blobs):
+        off0 = 6 + 16 * len(blobs)
+        dirs, datas = b"", b""
+        for b in blobs:
+            dirs += (bytes(4) + (1).to_bytes(2, "little")
+                     + (24).to_bytes(2, "little")
+                     + len(b).to_bytes(4, "little")
+                     + (off0 + len(datas)).to_bytes(4, "little"))
+            datas += b
+        return (b"\x00\x00\x01\x00"
+                + len(blobs).to_bytes(2, "little") + dirs + datas)
+
+    out = []
+    for i in range(10):
+        w, h = _ico_dims(i)
+        pixel = lambda x, y, i=i: _ico_pixel(i, x, y)
+        main = dib(w, h, pixel) if i % 2 == 0 else png(w, h, pixel)
+        decoy = dib(2, 2, lambda x, y: (9, 9, 9))
+        out.append((12_000_000 + i, container([decoy, main]), w, h))
+    return out
+
+
 def _header_stub_rows(fixture) -> str:
     """SQL VALUES literals for q45 sections whose HEADER decode is
     real but whose pixels sit behind an entropy codec: expected dims
@@ -2676,10 +2750,13 @@ def q45_resize_ppm(spark, sf_dir):
     with real Huffman scans — from ``_jpeg_fixture``, 15 BMPs
     (24/32-bit + 8/4/1-bit palettized, top-down included) from
     ``_bmp_fixture``, 12 LZW-compressed TIFFs from
-    ``_tiff_lzw_fixture``, and 14 WebP/HEIF/AVIF payloads from
+    ``_tiff_lzw_fixture``, 14 WebP/HEIF/AVIF payloads from
     ``_webp_heif_fixture`` (header decode real — VP8/VP8L/VP8X chunk
-    walk, pitm→ipma→ispe box walk — pixels behind entropy codecs);
-    ``resize_meta`` parses the actual bytes —
+    walk, pitm→ipma→ispe box walk — pixels behind entropy codecs),
+    and 10 ICO favicons from ``_ico_fixture`` (largest-entry pick;
+    DIB XOR-plane re-wrap and embedded-PNG delegation both
+    pixel-decode to TRUE thumbnails); ``resize_meta`` parses the
+    actual bytes —
     the decode step is real for all the formats, and the thumbnails
     are TRUE resampled pixels (PNG via zlib inflate + unfilter, JPEG
     via the T.81 Huffman + IDCT decoder, TIFF via the §13 LZW code
@@ -2726,9 +2803,14 @@ def q45_resize_ppm(spark, sf_dir):
         [(i, bytearray(b)) for i, b, _, _ in _webp_heif_fixture()],
         "img_id long, payload binary",
     )
+    icos = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in _ico_fixture()],
+        "img_id long, payload binary",
+    )
     rm = resize_meta(
         payload.unionByName(pngs).unionByName(jpegs)
-        .unionByName(bmps).unionByName(tiffs).unionByName(webps),
+        .unionByName(bmps).unionByName(tiffs).unionByName(webps)
+        .unionByName(icos),
         id_col="img_id", max_side=16,
     )
     return rm.select(
@@ -3502,6 +3584,16 @@ def oracle_sql() -> dict[str, str]:
           from (values {webp_rows})
                wb(img_id, width, height, out_width, out_height,
                   thumb_hash)
+          union all
+          -- ICO favicons: largest-entry pick, DIB XOR-plane re-wrap
+          -- and PNG delegation all pixel-decode — TRUE thumbnail md5
+          -- from the pixel spec
+          select cast(img_id as bigint), cast(width as int),
+                 cast(height as int), cast(out_width as int),
+                 cast(out_height as int), thumb_hash
+          from (values {ico_rows})
+               ic(img_id, width, height, out_width, out_height,
+                  thumb_hash)
         """.format(png_rows=_png_oracle_rows(),
                    jpeg_rows=_jpeg_oracle_rows(),
                    bmp_rows=_spec_thumb_rows(
@@ -3511,7 +3603,9 @@ def oracle_sql() -> dict[str, str]:
                        12, 6_000_000,
                        lambda i: (i % 9 + 2, i % 6 + 2),
                        _tiff_lzw_pixel),
-                   webp_rows=_header_stub_rows(_webp_heif_fixture())),
+                   webp_rows=_header_stub_rows(_webp_heif_fixture()),
+                   ico_rows=_spec_thumb_rows(
+                       10, 12_000_000, _ico_dims, _ico_pixel)),
         "q46_payload_features": """
           with m as (
             select doc_id,

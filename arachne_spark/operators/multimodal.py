@@ -1924,6 +1924,135 @@ def decode_bmp_pixels(payload: bytes | None) -> dict | None:
             "pixels": bytes(out)}
 
 
+def _ico_entries(data: bytes):
+    """Parse the ICONDIR + entry table of an ICO/CUR payload (the
+    public favicon format): returns (kind, [(off, size)]) with every
+    entry's byte range bounds-checked, or None."""
+    n = len(data)
+    if (n < 22 or data[0:2] != b"\x00\x00"
+            or data[2:4] not in (b"\x01\x00", b"\x02\x00")):
+        return None
+    count = int.from_bytes(data[4:6], "little")
+    if count == 0 or 6 + 16 * count > n:
+        return None
+    entries = []
+    for k in range(count):
+        e = 6 + 16 * k
+        size = int.from_bytes(data[e + 8:e + 12], "little")
+        off = int.from_bytes(data[e + 12:e + 16], "little")
+        if size < 16 or off < 6 + 16 * count or off + size > n:
+            return None
+        entries.append((off, size))
+    return ("ico" if data[2] == 1 else "cur"), entries
+
+
+def _ico_entry_dims(data: bytes, off: int, size: int):
+    """Dims of one ICO directory entry's embedded image: a full PNG
+    (delegated to the CRC-verified ``_decode_png``) or a headerless
+    DIB whose biHeight doubles the visual height (XOR plane + 1-bit
+    AND mask).  Returns (w, h, is_png) or None."""
+    sl = data[off:off + size]
+    if sl[:8] == PNG_MAGIC:
+        m = _decode_png(sl)
+        if m is None:
+            return None
+        return m["width"], m["height"], True
+    if len(sl) < 40:
+        return None
+    hdr_size = int.from_bytes(sl[0:4], "little")
+    if hdr_size < 40 or hdr_size > len(sl):
+        return None
+    w = int.from_bytes(sl[4:8], "little", signed=True)
+    dh = int.from_bytes(sl[8:12], "little", signed=True)
+    planes = int.from_bytes(sl[12:14], "little")
+    bpp = int.from_bytes(sl[14:16], "little")
+    if w <= 0 or dh <= 0 or dh % 2 or planes != 1:
+        return None
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        return None
+    if int.from_bytes(sl[16:20], "little") != 0:  # BI_RGB only
+        return None
+    h = dh // 2
+    clr_used = int.from_bytes(sl[32:36], "little")
+    pal = clr_used if clr_used else (1 << bpp if bpp <= 8 else 0)
+    row = ((w * bpp + 31) // 32) * 4
+    mask_row = ((w + 31) // 32) * 4
+    # the XOR plane and the 1-bit AND mask must both be present
+    if hdr_size + pal * 4 + (row + mask_row) * h > len(sl):
+        return None
+    return w, h, False
+
+
+def _decode_ico(payload: bytes) -> dict | None:
+    """REAL ICO/CUR (favicon) header decode: ICONDIR walk with every
+    entry's embedded image structurally validated (PNG via the
+    CRC-verified IHDR path, DIB via the doubled-height
+    BITMAPINFOHEADER); reported dims are the LARGEST entry's — the
+    one a pipeline thumbnails.  None on anything malformed; never
+    raises."""
+    parsed = _ico_entries(payload)
+    if parsed is None:
+        return None
+    kind, entries = parsed
+    best = None
+    for off, size in entries:
+        d = _ico_entry_dims(payload, off, size)
+        if d is None:  # every entry must be structurally valid
+            return None
+        w, h, _ = d
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h)
+    return {"format": kind, "width": best[0], "height": best[1]}
+
+
+def decode_ico_pixels(payload: bytes | None) -> dict | None:
+    """REAL ICO/CUR pixel decode of the largest entry: PNG entries
+    delegate to ``decode_png_pixels``; DIB entries re-wrap the XOR
+    plane as a standalone BMP (un-doubling biHeight, recomputing the
+    data offset past the palette) and decode through
+    ``decode_bmp_pixels`` — the same re-wrap pattern the AVI/GIF
+    frame extractors use.  The 1-bit AND mask (transparency) is
+    dropped: output is opaque RGB, same shape as every pixel decoder
+    here.  Never raises."""
+    if not payload:
+        return None
+    data = bytes(payload)
+    parsed = _ico_entries(data)
+    if parsed is None:
+        return None
+    _, entries = parsed
+    best = None
+    for off, size in entries:
+        d = _ico_entry_dims(data, off, size)
+        if d is None:
+            return None
+        w, h, is_png = d
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size, is_png)
+    w, h, off, size, is_png = best
+    sl = data[off:off + size]
+    if is_png:
+        return decode_png_pixels(sl)
+    hdr_size = int.from_bytes(sl[0:4], "little")
+    bpp = int.from_bytes(sl[14:16], "little")
+    compression = int.from_bytes(sl[16:20], "little")
+    if compression != 0:  # ICO DIBs are BI_RGB in practice
+        return None
+    clr_used = int.from_bytes(sl[32:36], "little")
+    pal = clr_used if clr_used else (1 << bpp if bpp <= 8 else 0)
+    pix_off = hdr_size + pal * 4
+    row = ((w * bpp + 31) // 32) * 4
+    xor_end = pix_off + row * h  # AND mask (after) is dropped
+    if xor_end > len(sl):
+        return None
+    hdr = bytearray(sl[:hdr_size])
+    hdr[8:12] = h.to_bytes(4, "little", signed=True)  # un-double
+    bmp = (b"BM" + (14 + xor_end).to_bytes(4, "little") + bytes(4)
+           + (14 + pix_off).to_bytes(4, "little")
+           + bytes(hdr) + sl[hdr_size:xor_end])
+    return decode_bmp_pixels(bmp)
+
+
 def _decode_webp(payload: bytes) -> dict | None:
     """REAL WebP container header decode (public RIFF-based spec):
     the chunk walk must tile the declared RIFF size, and dimensions
@@ -2112,8 +2241,10 @@ def decode_image(payload: bytes | None) -> dict | None:
     SOF — ``_decode_jpeg``), GIF (logical screen descriptor +
     block walk to the trailer — ``_decode_gif``), TIFF (both byte
     orders, IFD entry walk — ``_decode_tiff``), WebP (RIFF chunk walk
-    to VP8X / VP8 / VP8L — ``_decode_webp``), and HEIF/AVIF (ISO-BMFF
-    box walk to the primary item's ispe — ``_decode_heif``).  Returns
+    to VP8X / VP8 / VP8L — ``_decode_webp``), HEIF/AVIF (ISO-BMFF
+    box walk to the primary item's ispe — ``_decode_heif``), and
+    ICO/CUR favicons (ICONDIR walk, largest entry's PNG or
+    doubled-height DIB — ``_decode_ico``).  Returns
     ``{"format", "width", "height"}``
     or None if the payload is not a valid image in any of them.
     Pixel decoding and the remaining media types (audio codecs beyond
@@ -2137,6 +2268,8 @@ def decode_image(payload: bytes | None) -> dict | None:
         return _decode_webp(payload)
     if bytes(payload[4:8]) == b"ftyp":
         return _decode_heif(payload)
+    if bytes(payload[:4]) in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _decode_ico(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         toks: list[bytes] = []
@@ -4832,6 +4965,7 @@ def resize_meta(
                     or decode_tiff_pixels(p)
                     or decode_jpeg_pixels(p)
                     or decode_bmp_pixels(p)
+                    or decode_ico_pixels(p)
                 )
                 if pix is not None:  # REAL resampled pixel bytes
                     thumb = _nn_resize(
@@ -4885,6 +5019,7 @@ def extract_features(
             or decode_tiff_pixels(payload)
             or decode_jpeg_pixels(payload)
             or decode_bmp_pixels(payload)
+            or decode_ico_pixels(payload)
         )
         if pix is not None:  # REAL grid-pooled luminance features
             w, h, ch = pix["width"], pix["height"], pix["channels"]

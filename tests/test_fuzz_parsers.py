@@ -53,6 +53,7 @@ def test_media_decoders_never_raise():
         decode_bmp_pixels,
         decode_flac_samples,
         decode_gif_pixels,
+        decode_ico_pixels,
         decode_image,
         decode_jpeg_pixels,
         decode_png_pixels,
@@ -307,6 +308,18 @@ def test_media_decoders_never_raise():
         codec=b"ulaw",
     )
 
+    # ICO seeds: mutations hit the ICONDIR bounds checks, the DIB
+    # XOR-plane re-wrap and the embedded-PNG delegation
+    from test_multimodal import _ico, _ico_dib, _png_raw
+
+    ico_rgb = bytes((x * 11 + y * 17 + 2 * c) % 256
+                    for y in range(5) for x in range(6)
+                    for c in range(3))
+    ico_seed = _ico([
+        _ico_dib(6, 5, ico_rgb),
+        _png_raw(8, 7, 2, lambda x, y: (x * 9, y * 13, 5)),
+    ])
+
     # WebP / HEIF seeds: mutations hit the RIFF-tiling check and the
     # pitm→ipma→ipco association walk of the new header decoders
     from test_multimodal import _heif, _webp
@@ -339,7 +352,7 @@ def test_media_decoders_never_raise():
     ]
 
     seeds = webp_seeds + mkv_seeds + [
-        heif_seed, aiff_seed, aifc_seed,
+        heif_seed, aiff_seed, aifc_seed, ico_seed,
         _mp4(), _flac(), _wav(2, 8000, 16, 100), _gif(3, 3),
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
@@ -353,7 +366,7 @@ def test_media_decoders_never_raise():
         decode_image, decode_audio, decode_video, decode_png_pixels,
         decode_wav_samples, decode_gif_pixels, decode_tiff_pixels,
         decode_jpeg_pixels, decode_bmp_pixels, decode_flac_samples,
-        decode_aiff_samples,
+        decode_aiff_samples, decode_ico_pixels,
     )
     from arachne_spark.operators.multimodal import (
         _avi_video_frames,

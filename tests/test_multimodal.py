@@ -341,6 +341,109 @@ def _heif(w, h, brand=b"avif", compat=(b"mif1",), with_pitm=True,
     return ftyp + meta
 
 
+def _ico_dib(w, h, rgb, clr_used_override=None):
+    """One ICO directory image as a 24-bit DIB: BITMAPINFOHEADER with
+    DOUBLED height, bottom-up BGR rows, then an all-opaque 1-bit AND
+    mask."""
+    import struct
+
+    row_len = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        r = b"".join(
+            bytes([rgb[(y * w + x) * 3 + 2], rgb[(y * w + x) * 3 + 1],
+                   rgb[(y * w + x) * 3]])
+            for x in range(w))
+        rows += r + b"\x00" * (row_len - len(r))
+    mask = b"\x00" * (((w + 31) // 32) * 4 * h)
+    hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, 0,
+                      0, 0, clr_used_override or 0, 0)
+    return hdr + rows + mask
+
+
+def _ico(blobs, kind=1):
+    """ICO/CUR container around raw entry blobs (PNGs or DIBs)."""
+    n = len(blobs)
+    off0 = 6 + 16 * n
+    dirs, datas = b"", b""
+    for b in blobs:
+        dirs += (bytes([0, 0, 0, 0]) + (1).to_bytes(2, "little")
+                 + (24).to_bytes(2, "little")
+                 + len(b).to_bytes(4, "little")
+                 + (off0 + len(datas)).to_bytes(4, "little"))
+        datas += b
+    return (b"\x00\x00" + kind.to_bytes(2, "little")
+            + n.to_bytes(2, "little") + dirs + datas)
+
+
+def test_decode_ico():
+    """ICO/CUR favicon decode is REAL: the ICONDIR walk validates
+    every entry, reports the LARGEST entry's dims, and pixel decode
+    re-wraps the DIB XOR plane as a BMP (or delegates PNG entries)."""
+    from arachne_spark.operators.multimodal import decode_ico_pixels
+
+    small = bytes((x * 30 + y * 7 + c) % 256
+                  for y in range(3) for x in range(4) for c in range(3))
+    big = bytes((x * 11 + y * 17 + 2 * c) % 256
+                for y in range(5) for x in range(6) for c in range(3))
+    ico = _ico([_ico_dib(4, 3, small), _ico_dib(6, 5, big)])
+    assert decode_image(ico) == {
+        "format": "ico", "width": 6, "height": 5}
+    pix = decode_ico_pixels(ico)
+    assert (pix["width"], pix["height"], pix["channels"]) == (6, 5, 3)
+    assert pix["pixels"] == big
+    # PNG entry: dims via the CRC-verified IHDR walk, pixels
+    # delegated — and it wins the largest-entry pick
+    png = _png_raw(8, 7, 2, lambda x, y: (x * 9, y * 13, 5))
+    both = _ico([_ico_dib(4, 3, small), png])
+    assert decode_image(both) == {
+        "format": "ico", "width": 8, "height": 7}
+    assert decode_ico_pixels(both)["pixels"] == bytes(
+        v for y in range(7) for x in range(8)
+        for v in (x * 9, y * 13, 5))
+    # CUR containers decode with format 'cur'
+    assert decode_image(_ico([_ico_dib(4, 3, small)], kind=2)) == {
+        "format": "cur", "width": 4, "height": 3}
+    # failures: zero entries, entry overrunning the payload, odd
+    # biHeight (no AND-mask half), truncated XOR plane, junk
+    assert decode_image(b"\x00\x00\x01\x00\x00\x00" + bytes(16)) is None
+    assert decode_image(_ico([_ico_dib(6, 5, big)])[:-8]) is None
+    odd = bytearray(_ico([_ico_dib(6, 5, big)]))
+    odd[6 + 16 + 8] = 11  # biHeight 10 → 11 inside the entry
+    assert decode_image(bytes(odd)) is None
+    trunc = _ico_dib(6, 5, big)
+    assert decode_image(_ico([trunc[:40 + 20]])) is None
+    assert decode_ico_pixels(b"\x00\x00\x01\x00") is None
+    assert decode_ico_pixels(None) is None
+
+
+def test_ico_fixture_decodes_exactly():
+    """Pin the q45 ICO fixture against the product decoder: dims
+    come from the largest entry and the decoded pixels reproduce the
+    spec exactly, through both the DIB re-wrap (even ids) and the
+    PNG delegation (odd ids)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __spark_entry__ import _ico_dims, _ico_fixture, _ico_pixel
+
+    from arachne_spark.operators.multimodal import decode_ico_pixels
+
+    fix = _ico_fixture()
+    assert len(fix) == 10
+    for img_id, payload, w, h in fix:
+        i = img_id - 12_000_000
+        assert (w, h) == _ico_dims(i)
+        assert decode_image(payload) == {
+            "format": "ico", "width": w, "height": h}, img_id
+        pix = decode_ico_pixels(payload)
+        assert (pix["width"], pix["height"]) == (w, h), img_id
+        assert pix["pixels"] == bytes(
+            v for y in range(h) for x in range(w)
+            for v in _ico_pixel(i, x, y)), img_id
+
+
 def test_decode_image_webp():
     """WebP header decode is REAL: the RIFF table must tile the
     declared size and dims come from whichever image-bearing chunk
