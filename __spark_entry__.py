@@ -2958,22 +2958,47 @@ def q52_ann_ivf_topk(spark, sf_dir):
 BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
 
 
+BPE_MERGES = 24  # learned-BPE vocabulary budget shared with the twin
+BPE_TRAIN_IDS = 60  # doc_id bound of the training slice
+
+
 def q53_bpe_tokens(spark, sf_dir):
-    """BPE-ish token counting (the LLM-pipeline token budgeter):
-    subword-style pretokenization via regex runs, tokens-per-doc and
-    chars-per-token — the statistics a training-data pipeline bins
-    documents by."""
+    """BPE token budgeting, two tagged aspects per doc: (a) the
+    regex-run pretokenizer counts (tokens-per-doc, chars-per-token —
+    the statistics a training-data pipeline bins documents by), and
+    (b) REAL learned-BPE tokenization (operators/bpe.py): a merge
+    table trained in-engine on the doc_id < BPE_TRAIN_IDS slice
+    (exact Sennrich BPE — per-round pair counts over the distinct-word
+    relation, JVM-side fold application), then every doc encoded with
+    it — token count plus an md5 over the exact token sequence, so
+    the driver hash pins the full learned tokenization.  The oracle's
+    learned section is an independent pure-Python twin (re.sub merge
+    application, rank-order full replay — NOT the operator's fold /
+    priority scan) emitted as VALUES at oracle-build time (the
+    q56/q58 spec-oracle pattern)."""
+    from arachne_spark.operators.bpe import bpe_encode, bpe_train
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(BPE_PATTERN), 0
     )
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_bpe_tokens"),
         F.round(
             F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
         ).alias("chars_per_token"),
     )
+    merges = bpe_train(
+        docs.where(F.col("doc_id") < BPE_TRAIN_IDS).select("text"),
+        n_merges=BPE_MERGES,
+    )
+    learned = bpe_encode(docs.select("doc_id", "text"), merges).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_learned_tokens"),
+        F.md5(F.concat_ws("\x01", "bpe_tokens")).alias("learned_hash"),
+    )
+    return base.join(learned, "doc_id")
 
 
 def q54_range_join(spark, sf_dir):
@@ -3260,6 +3285,81 @@ def _substring_oracle_rows() -> str:
         )
         h = hashlib.md5(text.encode("utf-8")).hexdigest()
         out.append(f"({d}, '{h}', {len(text)})")
+    return ", ".join(out)
+
+
+def _bpe_oracle_rows() -> str:
+    """Independent pure-Python twin of q53's learned section: dict
+    pair counting + re.sub merge application (Sennrich's mechanism)
+    for training, rank-order full-replay encoding — algorithmically
+    distinct from the operator's array fold and lowest-rank priority
+    scan (their equivalence is pinned in tests/test_bpe.py).  Emits
+    (doc_id, n_learned_tokens, md5-of-token-sequence) VALUES."""
+    import duckdb
+    import hashlib
+    import re
+    from collections import Counter
+
+    from arachne_spark.operators.bpe import EOW
+
+    rows = duckdb.sql(
+        "select doc_id, text from "
+        f"'{_ORACLE_SF}/documents.parquet'"
+    ).fetchall()
+
+    def sub_merge(sym_str: str, left: str, right: str) -> str:
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(left + " " + right) + r"(?!\S)"
+        )
+        return pat.sub(left + right, sym_str)
+
+    wc = Counter(
+        w
+        for d, t in rows
+        if d < BPE_TRAIN_IDS
+        for w in (t or "").split(" ")
+        if w
+    )
+    vocab = {
+        " ".join(list(w[:-1]) + [w[-1] + EOW]): c for w, c in wc.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_MERGES):
+        pairs: Counter = Counter()
+        for sym_str, c in vocab.items():
+            syms = sym_str.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((left, right))
+        vocab = {
+            sub_merge(s, left, right): c for s, c in vocab.items()
+        }
+
+    word_cache: dict[str, list[str]] = {}
+
+    def encode_word(w: str) -> list[str]:
+        if w not in word_cache:
+            s = " ".join(list(w[:-1]) + [w[-1] + EOW])
+            for left, right in merges:
+                s = sub_merge(s, left, right)
+            word_cache[w] = s.split(" ")
+        return word_cache[w]
+
+    out = []
+    for d, t in sorted(rows):
+        toks: list[str] = []
+        for w in (t or "").split(" "):
+            if w:
+                toks.extend(encode_word(w))
+        h = hashlib.md5("\x01".join(toks).encode("utf-8")).hexdigest()
+        out.append(f"({int(d)}, {len(toks)}, '{h}')")
     return ", ".join(out)
 
 
@@ -3686,16 +3786,20 @@ def oracle_sql() -> dict[str, str]:
             from sims)
           where rank <= 5
         """,
-        "q53_bpe_tokens": """
+        "q53_bpe_tokens": f"""
           with t as (
             select doc_id, text,
                    len(regexp_extract_all(lower(text),
                      ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +')) as n
-            from documents)
-          select doc_id, cast(n as bigint) as n_bpe_tokens,
+            from documents),
+          learned(doc_id, n_learned_tokens, learned_hash) as (
+            values {_bpe_oracle_rows()})
+          select t.doc_id, cast(n as bigint) as n_bpe_tokens,
                  round(cast(length(text) as double)
-                       / greatest(n, 1), 4) as chars_per_token
-          from t
+                       / greatest(n, 1), 4) as chars_per_token,
+                 cast(l.n_learned_tokens as bigint) as n_learned_tokens,
+                 l.learned_hash
+          from t join learned l on t.doc_id = l.doc_id
         """,
         "q54_range_join": """
           with wins as (

@@ -184,6 +184,17 @@ def run_audit(spark, sf_dir: str = SF, verbose: bool = False) -> list[str]:
         "lm perplexity", lm_perplexity(docs, uni, bi),
         expect_absent=GLOBAL_FORBIDDEN,
     )
+    # BPE encode: the Python scan is Arrow-batched and runs over the
+    # DISTINCT-word relation only (plan shows MapInPandas downstream
+    # of a word-level aggregate, never corpus rows into Python)
+    from arachne_spark.operators.bpe import bpe_encode
+
+    audit(
+        "bpe encode",
+        bpe_encode(docs, [("t", "h"), ("th", "e</w>")]),
+        expect_contains=("MapInPandas",),
+        expect_absent=GLOBAL_FORBIDDEN,
+    )
 
     return problems
 
