@@ -471,14 +471,23 @@ def q56_substring_dedup(spark, sf_dir):
     different algorithm from the operator's windowed gaps-and-islands).
     Subsumes the retired q23/q24 shingle fixtures (their machinery is
     q38's df-capped inverted index and minhash banding, both still
-    hash-checked there)."""
-    from arachne_spark.operators.dedup import exact_substring_dedup
+    hash-checked there).
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 150)
-        .select("doc_id", "text")
+    A second tagged section ('contam') hash-checks benchmark
+    decontamination (operators/dedup.py::benchmark_contamination, the
+    GPT-3/PaLM-style 13-gram overlap probe): the benchmark set is 20
+    items cut from the middle of docs 200-219 (tokens 6..35), so
+    self-hits are guaranteed and near-dup corpus docs surface as
+    cross-hits; the oracle recomputes the shingle join directly in
+    DuckDB (token slices via list ranges — the q59 bigram pattern
+    generalized to 13-grams)."""
+    from arachne_spark.operators.dedup import (
+        benchmark_contamination,
+        exact_substring_dedup,
     )
+
+    all_docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = all_docs.where(F.col("doc_id") < 150)
     injected = docs.where(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(
@@ -488,11 +497,38 @@ def q56_substring_dedup(spark, sf_dir):
         ).alias("text"),
     )
     out = exact_substring_dedup(docs.unionByName(injected), k=SUBSTR_K)
-    return out.select(
+    nb = F.lit(None).cast("bigint")
+    span = out.select(
+        F.lit("span").alias("section"),
         "doc_id",
         F.md5(F.col("text")).alias("text_hash"),
         F.length("text").cast("bigint").alias("n_chars"),
+        F.lit(None).cast("string").alias("bench_id"),
+        nb.alias("n_overlap"),
+        nb.alias("n_shingles"),
+        F.lit(None).cast("double").alias("overlap_frac"),
     )
+    bench = all_docs.where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 220)
+    ).select(
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias(
+            "bench_id"
+        ),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " ", -1), 6, 30), " "
+        ).alias("text"),
+    )
+    contam = benchmark_contamination(all_docs, bench, k=13).select(
+        F.lit("contam").alias("section"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text_hash"),
+        nb.alias("n_chars"),
+        "bench_id",
+        "n_overlap",
+        "n_shingles",
+        "overlap_frac",
+    )
+    return span.unionByName(contam)
 
 
 def q57_semantic_dedup(spark, sf_dir):
@@ -752,11 +788,19 @@ def q40_fetch_routing(spark, sf_dir):
     route to the commons endpoint, E entities to the action=query +
     EntitySchema: title path with their own props list, everything
     else to wbgetentities — and each kind enriches from its own
-    dictionary source (label NULL where the source has no entry)."""
+    dictionary source (label NULL where the source has no entry).
+    A second tagged section ('flush') hash-checks the flush(any)
+    round-robin dispatch order (operators/routing.py::flush_order,
+    include/arachne.hpp:114-123): batch #r of every kind before batch
+    #r+1 of any kind, batches ordered by their NUMERIC ordinal
+    ('item:2' before 'item:10') with digitless ids first — the
+    fixture runs one kind past 9 batches and one digitless id so both
+    ordering rules are value-checked."""
     from arachne_spark.functions.ids import normalize
     from arachne_spark.operators.routing import (
         SCHEMA_PREFIX,
         fetch_routing,
+        flush_order,
         routed_enrich,
     )
 
@@ -792,7 +836,50 @@ def q40_fetch_routing(spark, sf_dir):
             F.concat(F.lit("es:"), "qid").alias("label"),
         )
     )
-    return routed_enrich(routed, wd_labels, commons_labels, schema_labels)
+    enriched = routed_enrich(
+        routed, wd_labels, commons_labels, schema_labels
+    ).select(
+        F.lit("route").alias("section"),
+        "qid", "kind", "endpoint", "action", "request_id", "props",
+        "label",
+        F.lit(None).cast("bigint").alias("rr_round"),
+    )
+    # flush(any) fixture: item gets 12 batches (so 'item:10' must sort
+    # AFTER 'item:2'), property 3, lexeme 2 plus one digitless id
+    orders = _t(spark, sf_dir, "orders")
+    batches = orders.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("item"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("property"))
+        .otherwise(F.lit("lexeme"))
+        .alias("kind"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("item:"), (F.col("o_orderkey") % 36 / 3)
+                     .cast("bigint").cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("property:"), (F.col("o_orderkey") % 9 / 3)
+                     .cast("bigint").cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 6 == 2, F.lit("lexeme:0")
+        )
+        .otherwise(F.lit("lexeme:final"))
+        .alias("batch_id"),
+    )
+    flush = flush_order(batches).select(
+        F.lit("flush").alias("section"),
+        F.col("batch_id").alias("qid"),
+        "kind",
+        F.lit(None).cast("string").alias("endpoint"),
+        F.lit(None).cast("string").alias("action"),
+        F.lit(None).cast("string").alias("request_id"),
+        F.lit(None).cast("string").alias("props"),
+        F.lit(None).cast("string").alias("label"),
+        "rr_round",
+    )
+    return enriched.unionByName(flush)
 
 
 def q41_distinct_touch(spark, sf_dir):
@@ -3087,10 +3174,24 @@ def q60_gopher_stats(spark, sf_dir):
     ::gopher_quality_stats, Rae et al. 2021 A1.1) — pure per-row
     column expressions, no shuffle/join/UDF (Exchange-free, asserted
     by the plan audit).  The oracle rebuilds every signal with DuckDB
-    list/regex functions; all ratios are rounded to 4 on both sides."""
-    from arachne_spark.operators.quality import gopher_quality_stats
+    list/regex functions; all ratios are rounded to 4 on both sides.
+    The C4 cleaning rewrite (quality.py::c4_clean, Raffel et al. 2020
+    §2.2 — terminal-punctuation line keep, boilerplate-phrase drop,
+    lorem-ipsum/code page blank) rides along per doc: ``c4_hash`` is
+    the md5 of the CLEANED text and ``c4_n_chars`` its length, so the
+    full rewrite is value-checked against a DuckDB re-derivation."""
+    from arachne_spark.operators.quality import (
+        c4_clean,
+        gopher_quality_stats,
+    )
 
-    return gopher_quality_stats(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    c4 = c4_clean(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.md5("text").alias("c4_hash"),
+        F.length("text").cast("bigint").alias("c4_n_chars"),
+    )
+    return gopher_quality_stats(docs).join(c4, "doc_id")
 
 
 def q32_json_props(spark, sf_dir):
@@ -3841,10 +3942,39 @@ def oracle_sql() -> dict[str, str]:
           from orders, (values ('F'), ('O'), ('P')) s(status)
           group by o_orderpriority, s.status
         """,
-        "q56_substring_dedup": f"""
-          select cast(doc_id as bigint) as doc_id, text_hash,
-                 cast(n_chars as bigint) as n_chars
-          from (values {{SUBSTR_ROWS}}) t(doc_id, text_hash, n_chars)
+        "q56_substring_dedup": """
+          with corp as (
+            select doc_id, string_split(text, ' ') as t
+            from documents),
+          cs as (
+            select distinct doc_id,
+                   array_to_string(t[i:i+12], ' ') as s
+            from corp, unnest(generate_series(1, len(t) - 12)) u(i)),
+          bt as (
+            select 'b' || doc_id as bench_id,
+                   string_split(text, ' ')[6:35] as t
+            from documents where doc_id between 200 and 219),
+          bs as (
+            select distinct bench_id,
+                   array_to_string(t[i:i+12], ' ') as s
+            from bt, unnest(generate_series(1, len(t) - 12)) u(i)),
+          sizes as (
+            select doc_id, count(*) as n_shingles from cs group by 1),
+          hits as (
+            select doc_id, bench_id, count(*) as n_overlap
+            from cs join bs using (s) group by 1, 2)
+          select 'span' as section, cast(doc_id as bigint) as doc_id,
+                 text_hash, cast(n_chars as bigint) as n_chars,
+                 cast(null as varchar) as bench_id,
+                 cast(null as bigint) as n_overlap,
+                 cast(null as bigint) as n_shingles,
+                 cast(null as double) as overlap_frac
+          from (values {SUBSTR_ROWS}) t(doc_id, text_hash, n_chars)
+          union all
+          select 'contam', h.doc_id, null, null, h.bench_id,
+                 h.n_overlap, z.n_shingles,
+                 round(h.n_overlap / cast(z.n_shingles as double), 4)
+          from hits h join sizes z using (doc_id)
         """.replace("{SUBSTR_ROWS}", _substring_oracle_rows()),
         "q57_semantic_dedup": f"""
           with recursive
@@ -3952,8 +4082,29 @@ def oracle_sql() -> dict[str, str]:
             cast(len(list_filter(
                 ['the','be','to','of','and','that','have','with'],
                 s -> list_contains(list_transform(words,
-                       x -> lower(x)), s))) as integer) as n_stop_hits
-          from w
+                       x -> lower(x)), s))) as integer) as n_stop_hits,
+            c4.c4_hash, c4.c4_n_chars
+          from w join (
+            select doc_id, md5(c4_text) as c4_hash,
+                   cast(length(c4_text) as bigint) as c4_n_chars
+            from (
+              select doc_id,
+                case when len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+                      and not contains(lower(text), 'lorem ipsum')
+                      and not contains(text, '{')
+                     then cleaned else '' end as c4_text
+              from (
+                select doc_id, text,
+                  array_to_string(list_filter(
+                    string_split(text, chr(10)),
+                    l -> regexp_matches(l, '[.!?"]\s*$')
+                      and len(list_filter(
+                            regexp_split_to_array(l, '\s+'),
+                            w2 -> w2 != '')) >= 3
+                      and not regexp_matches(lower(l),
+                        'javascript|cookies enabled|enable javascript')
+                  ), chr(10)) as cleaned
+                from documents))) c4 using (doc_id)
         """,
         "q48_percentiles": """
           select l_returnflag,
@@ -4314,14 +4465,37 @@ def oracle_sql() -> dict[str, str]:
                         || 'labels|sitelinks/urls' end as props,
               num
             from ids)
-          select qid, kind, endpoint, action, request_id, props,
+          select 'route' as section, qid, kind, endpoint, action,
+            request_id, props,
             case when kind = 'mediainfo'
                    then (case when num % 3 = 0 then 'cm:' || qid end)
                  when kind = 'entity_schema'
                    then (case when num % 5 = 0 then 'es:' || qid end)
                  else (case when num % 2 = 0 then 'wd:' || qid end)
-            end as label
+            end as label,
+            cast(null as bigint) as rr_round
           from routed
+          union all
+          select 'flush', batch_id, kind,
+                 cast(null as varchar), cast(null as varchar),
+                 cast(null as varchar), cast(null as varchar),
+                 cast(null as varchar),
+                 cast(row_number() over (partition by kind order by
+                        try_cast(regexp_extract(batch_id, '([0-9]+)$', 1)
+                                 as bigint) asc nulls first,
+                        batch_id) - 1 as bigint)
+          from (
+            select distinct
+              case when o_orderkey % 3 = 0 then 'item'
+                   when o_orderkey % 3 = 1 then 'property'
+                   else 'lexeme' end as kind,
+              case when o_orderkey % 3 = 0
+                     then 'item:' || ((o_orderkey % 36) // 3)
+                   when o_orderkey % 3 = 1
+                     then 'property:' || ((o_orderkey % 9) // 3)
+                   when o_orderkey % 6 = 2 then 'lexeme:0'
+                   else 'lexeme:final' end as batch_id
+            from orders)
         """,
         "q41_distinct_touch": """
           select o_custkey as entity_id,
