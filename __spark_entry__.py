@@ -386,7 +386,35 @@ def q20_text_stats(spark, sf_dir):
     oracle-checked row set.  (Consolidates round-3's q19/q21/q22/q25
     fixture variants so the four round-3 operators q51–q54 fit the
     driver's 50-entry correctness window; every retired query's output
-    columns survive verbatim and stay value-hash-checked here.)"""
+    columns survive verbatim and stay value-hash-checked here.)
+
+    Round-5 curation riders, one column family each, all value-checked
+    against the pure-Python ``_curation_oracle_rows`` twin:
+
+    * PII redaction (operators/scrub.py): a deterministic email / IPv4
+      / phone payload derived from doc_id is appended to the text, then
+      ``n_email``/``n_ipv4``/``n_phone`` count the matches and
+      ``pii_hash`` is the md5 of the SCRUBBED text — the twin re-counts
+      and re-scrubs with Python ``re`` (re.ASCII, matching Java's
+      default ASCII character classes).
+    * Deterministic splits + sampling (operators/sampling.py):
+      ``split`` = hash_split 80/10/10 on doc_id, ``in_sample`` =
+      hash_unit(doc_id, 'sample') < 0.25 — the twin reimplements
+      Spark's xxhash64 (canonical XXH64, seed chaining, longs as
+      8-byte LE words; parity pinned in tests/test_oracle_twins.py)
+      and replays the exact threshold arithmetic.
+    * URL canonicalization (operators/urls.py): a synthetic per-doc
+      URL exercises case folding, www/default-port/fragment/tracking
+      -param stripping, trailing-slash and empty-path rules, and the
+      two-level-suffix eTLD+1 — ``canon_url`` + ``domain`` are checked
+      against an independent urllib.parse twin."""
+    from arachne_spark.operators.sampling import hash_split, hash_unit
+    from arachne_spark.operators.scrub import (
+        PII_PATTERNS,
+        scrub_expr,
+    )
+    from arachne_spark.operators.urls import with_canonical, with_domain
+
     docs = _t(spark, sf_dir, "documents")
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     base = (
@@ -450,7 +478,80 @@ def q20_text_stats(spark, sf_dir):
     sim = agg.select(
         "doc_id", F.expr(f"cast({sim_bits} as bigint)").alias("simhash")
     )
-    return base.join(sim, "doc_id")
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" contact user"), s(did), F.lit("@mail"),
+            s(did % 7), F.lit(".example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" from "), s((did * 37) % 256), F.lit("."),
+            s((did * 11) % 256), F.lit("."), s(did % 256), F.lit("."),
+            s((did % 250) + 1), F.lit(" logged"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"), F.lpad(s(did % 1000), 3, "0"),
+            F.lit("-"), F.lpad(s((did * 7) % 10000), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    pii_text = F.concat(F.col("text"), email, ip, phone)
+    counts = [
+        F.regexp_count(pii_text, F.lit(PII_PATTERNS[k][0]))
+        .cast("bigint")
+        .alias(f"n_{k}")
+        for k in ("email", "ipv4", "phone")
+    ]
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), s(did % 20), F.lit("."),
+        F.when(did % 4 == 0, F.lit("co.uk")).otherwise(
+            F.lit("example.com")
+        ),
+        F.when(did % 6 == 0, F.lit(":443"))
+        .when(did % 6 == 3, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit(""))
+        .when(did % 4 == 0, F.concat(F.lit("/page/"), s(did), F.lit("//")))
+        .otherwise(F.concat(F.lit("/a/"), s(did))),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=x&id="), s(did),
+                F.lit("&b=2&utm_campaign=y"),
+            ),
+        )
+        .when(did % 5 == 1, F.lit("?z=1&a=2"))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    cur = docs.select(
+        "doc_id",
+        *counts,
+        F.md5(scrub_expr(pii_text)).alias("pii_hash"),
+        (hash_unit(did, "sample") < F.lit(0.25)).alias("in_sample"),
+        url.alias("url"),
+    )
+    cur = hash_split(
+        cur, "doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    cur = with_domain(with_canonical(cur), out_col="domain").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "pii_hash",
+        "split", "in_sample",
+        F.col("canonical_url").alias("canon_url"), "domain",
+    )
+    return base.join(sim, "doc_id").join(cur, "doc_id")
 
 
 MAX_SHINGLE_DF = 50  # boilerplate df-cap (see operators/dedup.py)
@@ -3464,6 +3565,178 @@ def _bpe_oracle_rows() -> str:
     return ", ".join(out)
 
 
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Canonical XXH64 (Collet's public spec) — a from-spec twin of
+    Spark's ``xxhash64`` (which is exactly XXH64 with seed chaining
+    across columns and longs hashed as 8-byte little-endian words;
+    parity pinned in tests/test_oracle_twins.py).  Unsigned result."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    def rnd(acc: int, inp: int) -> int:
+        return (rotl((acc + inp * _P2) & _M64, 31) * _P1) & _M64
+
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
+        v3, v4 = seed & _M64, (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = rnd(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = rnd(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = rnd(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = rnd(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ rnd(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= rnd(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    return h ^ (h >> 32)
+
+
+def _hash_unit_twin(key_long: int, salt: str) -> float:
+    """operators/sampling.py::hash_unit replayed exactly: xxhash64 of
+    (bigint key, string salt) with seed chaining, signed-to-unsigned
+    offset, float division by 2^64 (both divisions are exact
+    power-of-two exponent shifts, so the doubles are bit-identical)."""
+    h = _xxh64((key_long & _M64).to_bytes(8, "little"), 42)
+    h = _xxh64(salt.encode("utf-8"), h)
+    return float((h + (1 << 63)) & _M64) / float(1 << 64)
+
+
+def _curation_oracle_rows() -> str:
+    """Independent pure-Python twin of q20's curation riders: PII
+    injection + re.ASCII counting/scrubbing (Java regex classes are
+    ASCII by default), hash_split / deterministic-sample thresholds
+    over the from-spec XXH64 above, and urllib.parse-based URL
+    canonicalization + eTLD+1 — emits (doc_id, n_email, n_ipv4,
+    n_phone, pii_hash, split, in_sample, canon_url, domain) VALUES."""
+    import duckdb
+    import hashlib
+    import re
+    from urllib.parse import urlsplit
+
+    from arachne_spark.operators.scrub import PII_PATTERNS
+    from arachne_spark.operators.urls import (
+        TRACKING_PARAMS,
+        _TWO_LEVEL_SUFFIXES,
+    )
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{_ORACLE_SF}/documents.parquet'"
+    ).fetchall()
+    pats = {
+        k: re.compile(p, re.ASCII) for k, (p, _) in PII_PATTERNS.items()
+    }
+
+    def canon(u: str) -> str:
+        sp = urlsplit(u)
+        scheme = sp.scheme.lower()
+        host = sp.hostname or ""
+        if host.startswith("www."):
+            host = host[4:]
+        default = {"http": 80, "https": 443}.get(scheme)
+        port = "" if sp.port in (None, default) else f":{sp.port}"
+        path = sp.path.rstrip("/") or "/"
+        q = [
+            p
+            for p in sp.query.split("&")
+            if p != "" and p.split("=")[0] not in TRACKING_PARAMS
+        ]
+        q_part = "?" + "&".join(sorted(q)) if q else ""
+        return f"{scheme}://{host}{port}{path}{q_part}"
+
+    def dom(u: str) -> str:
+        parts = (urlsplit(u).hostname or "").split(".")
+        if len(parts) <= 2:
+            return ".".join(parts)
+        last2 = ".".join(parts[-2:])
+        take = 3 if last2 in _TWO_LEVEL_SUFFIXES else 2
+        return ".".join(parts[-take:])
+
+    out = []
+    for d, t in sorted(rows):
+        d = int(d)
+        pii = t
+        if d % 5 == 0:
+            pii += f" contact user{d}@mail{d % 7}.example.com now"
+        if d % 7 == 0:
+            pii += (
+                f" from {d * 37 % 256}.{d * 11 % 256}.{d % 256}"
+                f".{d % 250 + 1} logged"
+            )
+        if d % 11 == 0:
+            pii += f" call 555-{d % 1000:03d}-{d * 7 % 10000:04d}"
+        counts = [len(pats[k].findall(pii)) for k in ("email", "ipv4", "phone")]
+        scrubbed = pii
+        for k, (_, tok) in PII_PATTERNS.items():
+            scrubbed = pats[k].sub(tok, scrubbed)
+        ph = hashlib.md5(scrubbed.encode("utf-8")).hexdigest()
+
+        u = _hash_unit_twin(d, "split")
+        total = sum((0.8, 0.1, 0.1))  # the operator's float total
+        acc, split = 0.0, "test"
+        for name, w in (("train", 0.8), ("val", 0.1)):
+            acc += w / total
+            if u < acc:
+                split = name
+                break
+        in_sample = _hash_unit_twin(d, "sample") < 0.25
+
+        scheme = "HTTPS" if d % 2 == 0 else "http"
+        www = "WWW." if d % 3 == 0 else ""
+        suffix = "co.uk" if d % 4 == 0 else "example.com"
+        port = ":443" if d % 6 == 0 else (":8080" if d % 6 == 3 else "")
+        if d % 9 == 0:
+            path = ""
+        elif d % 4 == 0:
+            path = f"/page/{d}//"
+        else:
+            path = f"/a/{d}"
+        if d % 5 == 0:
+            query = f"?utm_source=x&id={d}&b=2&utm_campaign=y"
+        elif d % 5 == 1:
+            query = "?z=1&a=2"
+        else:
+            query = ""
+        frag = "#sec" if d % 7 == 0 else ""
+        url = (
+            f"{scheme}://{www}Site{d % 20}.{suffix}{port}{path}"
+            f"{query}{frag}"
+        )
+        out.append(
+            f"({d}, {counts[0]}, {counts[1]}, {counts[2]}, '{ph}',"
+            f" '{split}', {str(in_sample).lower()},"
+            f" '{canon(url)}', '{dom(url)}')"
+        )
+    return ", ".join(out)
+
+
 def _pagerank_oracle_rows() -> str:
     """Independent pure-Python twin of q58: scatter-shaped PageRank
     over adjacency lists with plain IEEE float sums (the Spark side
@@ -4179,9 +4452,17 @@ def oracle_sql() -> dict[str, str]:
           select base.*,
                  case when stop_ratio >= 0.05 then 'en' else 'other' end
                    as pred_lang,
-                 sim.simhash
+                 sim.simhash,
+                 cast(c.n_email as bigint) as n_email,
+                 cast(c.n_ipv4 as bigint) as n_ipv4,
+                 cast(c.n_phone as bigint) as n_phone,
+                 c.pii_hash, c.split, c.in_sample, c.canon_url, c.domain
           from base join sim using (doc_id)
-        """,
+          join (values {{CUR_ROWS}})
+            c(doc_id, n_email, n_ipv4, n_phone, pii_hash, split,
+              in_sample, canon_url, domain)
+            on base.doc_id = c.doc_id
+        """.replace("{CUR_ROWS}", _curation_oracle_rows()),
         "q26_cosine_topk": cos_pairs.format(
             dim=DIM, qmax=10, nmax=1 << 60
         )
