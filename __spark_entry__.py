@@ -224,7 +224,21 @@ def q55_relational_core(spark, sf_dir):
     with every previously hash-checked column preserved verbatim in a
     tagged section ('topk' / 'except' / 'rollup' / 'pivot' — the pivot
     cells come back as one row per (priority, status) via stack, so
-    all three q49 count columns stay value-checked)."""
+    all three q49 count columns stay value-checked).
+
+    Round-5 pipeline riders, one tagged section per operator family,
+    all value-checked against the ``_pipeline_oracle_rows`` twin
+    (from-spec XXH64 + pure-Python replays):
+
+    * 'pack_concat' (operators/packing.py): GPT-style concat-and-slice
+      coordinates per doc — k2 = shard:seq_start:seq_offset, n =
+      n_seqs;
+    * 'pack_bins' (packing.py::pack_bins): no-split FFD bins — k2 =
+      bin_id, n = bin_tokens, v = truncated flag;
+    * 'mix' (operators/mixing.py): two-source weighted mix with
+      epochs (rates 0.5 and 2.25) — k2 = source:epoch;
+    * 'health' (operators/quality.py::corpus_report): the one-row
+      corpus audit unpivoted to (metric, value) rows."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
@@ -285,7 +299,78 @@ def q55_relational_core(spark, sf_dir):
             nd.alias("v"),
         )
     )
-    return topk.unionByName(exc).unionByName(roll).unionByName(piv)
+    from arachne_spark.operators.mixing import mix_corpora
+    from arachne_spark.operators.packing import pack_bins, pack_concat
+    from arachne_spark.operators.quality import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    pc = pack_concat(sized, seq_len=512, n_shards=8).select(
+        F.lit("pack_concat").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws(
+            ":",
+            F.col("shard").cast("string"),
+            F.col("seq_start").cast("string"),
+            F.col("seq_offset").cast("string"),
+        ).alias("k2"),
+        F.col("n_seqs").cast("bigint").alias("n"),
+        nd.alias("v"),
+    )
+    pb = pack_bins(sized, seq_len=512, n_shards=4).select(
+        F.lit("pack_bins").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("bin_id").alias("k2"),
+        F.col("bin_tokens").cast("bigint").alias("n"),
+        F.when(F.col("truncated"), F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    srcnum = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+    mix = mix_corpora(
+        {
+            "a": (docs.where(srcnum < 10).select("doc_id"), 0.5),
+            "b": (docs.where(srcnum >= 10).select("doc_id"), 2.25),
+        },
+        "doc_id",
+    ).select(
+        F.lit("mix").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws(
+            ":", "source", F.col("epoch").cast("string")
+        ).alias("k2"),
+        F.col("epoch").cast("bigint").alias("n"),
+        nd.alias("v"),
+    )
+    metrics = (
+        "n_docs n_empty total_tokens total_chars tokens_p50 tokens_p95"
+        " mean_dup_line_frac n_email n_ipv4 n_phone"
+    ).split()
+    stack_args = ", ".join(
+        f"'{m}', cast({m} as double)" for m in metrics
+    )
+    health = corpus_report(docs).selectExpr(
+        f"stack({len(metrics)}, {stack_args}) as (metric, val)"
+    ).select(
+        F.lit("health").alias("section"),
+        F.col("metric").alias("k1"),
+        ns.alias("k2"),
+        nb.alias("n"),
+        F.col("val").alias("v"),
+    )
+    return (
+        topk.unionByName(exc)
+        .unionByName(roll)
+        .unionByName(piv)
+        .unionByName(pc)
+        .unionByName(pb)
+        .unionByName(mix)
+        .unionByName(health)
+    )
 
 
 def q13_values_pattern(spark, sf_dir):
@@ -3245,6 +3330,14 @@ def q58_pagerank(spark, sf_dir):
     )
 
 
+CLS_WORDS = [
+    ("the", 0.5), ("of", 0.25), ("and", -0.125), ("data", 1.0),
+    ("in", -0.5), ("of the", 0.75), ("to", 0.0625), ("a", -0.25),
+]
+CLS_BIAS = -0.25
+CLS_FEATURES = 1 << 18  # power of two: pmod == unsigned mod
+
+
 def q59_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM self-perplexity (operators/lm.py):
     add-1-smoothed bigram log-probability per token with the model
@@ -3254,12 +3347,42 @@ def q59_lm_perplexity(spark, sf_dir):
     the BOS sentinel, positional bigrams, count joins, the same
     decimal accumulate); both sides round the mean to 6 decimals and
     derive perplexity from the ROUNDED mean so the exp() runs over
-    bit-identical input in both engines."""
+    bit-identical input in both engines.
+
+    The model-based quality classifier (operators/classify.py) rides
+    along: CLS_WORDS pins a literal weight vector (the q57 injected-
+    centroid pattern — training itself is pinned by the byte-identity
+    pytest), hashed_ngram_features + score_features produce the
+    fastText-style margin, and ``cls_margin6``/``cls_prob4`` are
+    value-checked against a pure-Python twin that re-hashes every
+    gram through the from-spec XXH64 and replays the decimal-exact
+    dot product (sigmoid over the ROUNDED margin, the lpt6/ppl4
+    discipline)."""
+    from arachne_spark.operators.classify import (
+        hashed_ngram_features,
+        score_features,
+    )
     from arachne_spark.operators.lm import lm_perplexity, lm_train
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     uni, bi = lm_train(docs)
     pp = lm_perplexity(docs, uni, bi, k=1.0)
+    wdf = spark.createDataFrame(
+        CLS_WORDS, "gram string, w double"
+    ).select(
+        F.pmod(F.xxhash64("gram"), F.lit(CLS_FEATURES)).alias("feat"),
+        "w",
+    )
+    feats = hashed_ngram_features(docs, n_features=CLS_FEATURES)
+    cls = score_features(feats, wdf, bias=CLS_BIAS).select(
+        "doc_id",
+        F.round("margin", 6).alias("cls_margin6"),
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.round("margin", 6))),
+            4,
+        ).alias("cls_prob4"),
+    )
     return pp.select(
         "doc_id",
         "n_bigrams",
@@ -3267,7 +3390,7 @@ def q59_lm_perplexity(spark, sf_dir):
         F.round(
             F.exp(-F.round("log_prob_per_token", 6)), 4
         ).alias("ppl4"),
-    )
+    ).join(cls, "doc_id")
 
 
 def q60_gopher_stats(spark, sf_dir):
@@ -3734,6 +3857,199 @@ def _curation_oracle_rows() -> str:
             f" '{split}', {str(in_sample).lower()},"
             f" '{canon(url)}', '{dom(url)}')"
         )
+    return ", ".join(out)
+
+
+def _pipeline_oracle_rows() -> str:
+    """Independent pure-Python twin of q55's pipeline riders —
+    pack_concat coordinates (per-shard hash-ordered cumulative sums),
+    pack_bins FFD replay, weighted mix with epochs, and the
+    corpus-health metrics (Spark-interpolation percentiles, HALF_UP
+    rounding, re.ASCII PII counts) — emitted as (section, k1, k2, n,
+    v) VALUES."""
+    import duckdb
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from arachne_spark.operators.scrub import PII_PATTERNS
+
+    rows = duckdb.sql(
+        "select doc_id, text, source from "
+        f"'{_ORACLE_SF}/documents.parquet'"
+    ).fetchall()
+    docs = sorted((int(d), t, s) for d, t, s in rows)
+    n_tok = {d: len(t.split(" ")) for d, t, _ in docs}
+
+    def u64(key: int, salt: str) -> int:
+        return _xxh64(
+            salt.encode(), _xxh64((key & _M64).to_bytes(8, "little"), 42)
+        )
+
+    def r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-4), rounding=ROUND_HALF_UP
+            )
+        )
+
+    out: list[tuple] = []
+    # pack_concat: seq_len 512, 8 shards (power of two: pmod == u64 %)
+    shards: dict[int, list[int]] = {}
+    for d, _, _ in docs:
+        shards.setdefault(u64(d, "pack") % 8, []).append(d)
+    for sh, ds in shards.items():
+        ds.sort(key=lambda d: (_hash_unit_twin(d, "pack_order"), d))
+        cum = 0
+        for d in ds:
+            start, cum = cum, cum + n_tok[d]
+            ss = start // 512
+            out.append(
+                (
+                    "pack_concat", str(d),
+                    f"{sh}:{ss}:{start % 512}",
+                    (cum - 1) // 512 - ss + 1, None,
+                )
+            )
+    # pack_bins: seq_len 512, 4 shards, FFD replay
+    shards4: dict[int, list[int]] = {}
+    for d, _, _ in docs:
+        shards4.setdefault(u64(d, "pack") % 4, []).append(d)
+    for sh, ds in shards4.items():
+        order = sorted(
+            ((d, n_tok[d], _hash_unit_twin(d, "pack_order")) for d in ds),
+            key=lambda r: (-r[1], r[2], str(r[0])),
+        )
+        fills: list[int] = []
+        assign: list[tuple] = []
+        for rid, rn, _ in order:
+            if rn > 512:
+                assign.append((rid, len(fills), True))
+                fills.append(rn)
+                continue
+            for b, f in enumerate(fills):
+                if f + rn <= 512:
+                    assign.append((rid, b, False))
+                    fills[b] = f + rn
+                    break
+            else:
+                assign.append((rid, len(fills), False))
+                fills.append(rn)
+        for rid, b, tr in assign:
+            out.append(
+                (
+                    "pack_bins", str(rid), f"{sh}-{b}", fills[b],
+                    1.0 if tr else 0.0,
+                )
+            )
+    # mix: source a (src0-9) at 0.5, source b (src10-19) at 2.25
+    for d, _, s in docs:
+        num = int(re.search(r"([0-9]+)$", s).group(1))
+        if num < 10:
+            if _hash_unit_twin(d, "mix:a:partial") < 0.5:
+                out.append(("mix", str(d), "a:0", 0, None))
+        else:
+            out.append(("mix", str(d), "b:0", 0, None))
+            out.append(("mix", str(d), "b:1", 1, None))
+            if _hash_unit_twin(d, "mix:b:partial") < 0.25:
+                out.append(("mix", str(d), "b:2", 2, None))
+    # health: corpus_report metrics
+    toks = sorted(n_tok.values())
+
+    def pctl(p: float) -> float:
+        pos = (len(toks) - 1) * p
+        lo = int(pos)
+        hi = min(lo + 1, len(toks) - 1)
+        return toks[lo] + (toks[hi] - toks[lo]) * (pos - lo)
+
+    fracs = []
+    for _, t, _ in docs:
+        lines = t.split("\n")
+        fracs.append(r4(1.0 - len(set(lines)) / len(lines)))
+    pii_tot = {}
+    for k, (p, _) in PII_PATTERNS.items():
+        pat = re.compile(p, re.ASCII)
+        pii_tot[k] = sum(len(pat.findall(t)) for _, t, _ in docs)
+    health = [
+        ("n_docs", float(len(docs))),
+        ("n_empty", float(sum(1 for _, t, _ in docs if len(t) == 0))),
+        ("total_tokens", float(sum(n_tok.values()))),
+        ("total_chars", float(sum(len(t) for _, t, _ in docs))),
+        ("tokens_p50", pctl(0.5)),
+        ("tokens_p95", pctl(0.95)),
+        (
+            "mean_dup_line_frac",
+            r4(
+                float(sum((Decimal(repr(f)) for f in fracs), Decimal(0)))
+                / len(fracs)
+            ),
+        ),
+        ("n_email", float(pii_tot["email"])),
+        ("n_ipv4", float(pii_tot["ipv4"])),
+        ("n_phone", float(pii_tot["phone"])),
+    ]
+    out += [("health", m, None, None, v) for m, v in health]
+
+    def lit(x) -> str:
+        if x is None:
+            return "NULL"
+        if isinstance(x, str):
+            return "'" + x.replace("'", "''") + "'"
+        return repr(x)
+
+    return ", ".join(
+        f"({lit(a)}, {lit(b)}, {lit(c)}, {lit(n)}, {lit(v)})"
+        for a, b, c, n, v in out
+    )
+
+
+def _classifier_oracle_rows() -> str:
+    """Independent pure-Python twin of q59's classifier rider: every
+    word uni/bigram re-hashed through the from-spec XXH64 (power-of-
+    two feature count, so pmod == unsigned mod), L1-normalized counts,
+    the weight join replayed as a feat->weights multimap (duplicate-
+    feat collisions contribute one term per weight row, exactly like
+    the join), each x*w term quantized to decimal(.,18) HALF_UP before
+    the exact sum (Spark's double->decimal(38,18) cast), margin
+    rounded 6 HALF_UP, sigmoid over the ROUNDED margin.  Emits
+    (doc_id, cls_margin6, cls_prob4) VALUES."""
+    import duckdb
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{_ORACLE_SF}/documents.parquet'"
+    ).fetchall()
+    wmap: dict[int, list[float]] = {}
+    for g, w in CLS_WORDS:
+        wmap.setdefault(_xxh64(g.encode(), 42) % CLS_FEATURES, []).append(w)
+    q18 = Decimal(1).scaleb(-18)
+    q6 = Decimal(1).scaleb(-6)
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
+        )
+
+    out = []
+    for d, t in sorted(rows):
+        toks = t.split(" ")
+        grams = list(toks)
+        grams += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        counts: dict[int, int] = {}
+        for g in grams:
+            f = _xxh64(g.encode(), 42) % CLS_FEATURES
+            counts[f] = counts.get(f, 0) + 1
+        tot = float(sum(counts.values()))
+        msum = Decimal(0)
+        for f, c in counts.items():
+            x = float(c) / tot
+            for w in wmap.get(f, []):
+                msum += Decimal(repr(x * w)).quantize(
+                    q18, rounding=ROUND_HALF_UP
+                )
+        m6 = r6(float(msum) + CLS_BIAS)
+        p4 = round(1.0 / (1.0 + math.exp(-m6)), 4)
+        out.append(f"({int(d)}, {m6!r}, {p4!r})")
     return ", ".join(out)
 
 
@@ -4214,7 +4530,10 @@ def oracle_sql() -> dict[str, str]:
                  cast(null as double)
           from orders, (values ('F'), ('O'), ('P')) s(status)
           group by o_orderpriority, s.status
-        """,
+          union all
+          select section, k1, k2, cast(n as bigint), cast(v as double)
+          from (values {PIPE_ROWS}) p(section, k1, k2, n, v)
+        """.replace("{PIPE_ROWS}", _pipeline_oracle_rows()),
         "q56_substring_dedup": """
           with corp as (
             select doc_id, string_split(text, ' ') as t
@@ -4320,9 +4639,12 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) as lpt
             from sc group by doc_id)
           select doc_id, n_bigrams, round(lpt, 6) as lpt6,
-                 round(exp(-round(lpt, 6)), 4) as ppl4
+                 round(exp(-round(lpt, 6)), 4) as ppl4,
+                 c.cls_margin6, c.cls_prob4
           from agg
-        """,
+          join (values {CLS_ROWS})
+            c(doc_id, cls_margin6, cls_prob4) using (doc_id)
+        """.replace("{CLS_ROWS}", _classifier_oracle_rows()),
         "q60_gopher_stats": r"""
           with w as (
             select doc_id, text,

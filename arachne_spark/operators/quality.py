@@ -350,8 +350,16 @@ def corpus_report(
         F.percentile("n_tokens", F.lit(0.5)).alias("tokens_p50"),
         F.percentile("n_tokens", F.lit(0.95)).alias("tokens_p95"),
     )
+    # decimal-exact mean: dup_line_frac is a 4-digit decimal, so the
+    # cast is exact and the sum is order-independent (the CLAUDE.md
+    # bit-determinism convention for order-sensitive float reductions)
     dup = line_repetition(docs, id_col, text_col).agg(
-        F.round(F.avg("dup_line_frac"), 4).alias("mean_dup_line_frac")
+        F.round(
+            F.sum(F.col("dup_line_frac").cast("decimal(38,18)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_dup_line_frac")
     )
     pii = pii_counts(docs, text_col).agg(
         F.sum("n_email").alias("n_email"),
