@@ -2107,7 +2107,7 @@ def _decode_webp(payload: bytes) -> dict | None:
                 h = ((bits >> 14) & 0x3FFF) + 1
                 return {"format": "webp", "width": w, "height": h}
             return None  # first chunk must be image-bearing
-    except ValueError:
+    except (ValueError, IndexError, struct.error, OverflowError):
         return None
     return None
 
@@ -2228,7 +2228,7 @@ def _decode_heif(payload: bytes) -> dict | None:
             if ptype == b"ispe":
                 return ispe_dims(p0, p1)
         return None
-    except ValueError:
+    except (ValueError, IndexError, struct.error, OverflowError):
         return None
 
 
@@ -3940,6 +3940,13 @@ def _mp4_video_frames(payload: bytes | None) -> list[bytes] | None:
         ]
         if runs[0][0] != 1:
             return None
+        # run starts must be strictly increasing and within the chunk
+        # table BEFORE the expansion below — a hostile first_chunk
+        # near 2^32 would otherwise build a multi-GB samples-per-chunk
+        # list from a few-hundred-byte payload
+        for k in range(1, n_runs):
+            if runs[k][0] <= runs[k - 1][0] or runs[k][0] > n_chunks:
+                return None
         spc = []
         for k, (first, per) in enumerate(runs):
             last = (
@@ -4446,7 +4453,7 @@ def _mkv_video_frames(payload: bytes | None) -> list[bytes] | None:
                     frames.extend(
                         _mkv_block_frames(data, s0, s1, video_track))
         return frames or None
-    except ValueError:
+    except (ValueError, IndexError, struct.error, OverflowError):
         return None
 
 
@@ -4529,7 +4536,7 @@ def _decode_webm(payload: bytes) -> dict | None:
                             width, height = w, h
             elif eid == 0x1F43B675:  # Cluster
                 saw_cluster = True
-    except ValueError:
+    except (ValueError, IndexError, struct.error, OverflowError):
         return None
     if not saw_info or not saw_cluster:
         return None
@@ -4653,7 +4660,7 @@ def decode_video(payload: bytes | None) -> dict | None:
                             if width is None and w16 and h16:
                                 width = w16 >> 16
                                 height = h16 >> 16
-    except ValueError:
+    except (ValueError, IndexError, struct.error, OverflowError):
         return None
     if not saw_moov or not saw_mdat or timescale is None:
         return None

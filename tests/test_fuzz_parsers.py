@@ -166,6 +166,15 @@ def test_media_decoders_never_raise():
     # sample-table MP4 seed: mutations hit the stsz/stsc/stco walk and
     # chunk-offset bounds of _mp4_video_frames
     table_mp4 = _mp4_frames([bytes([i] * (5 + i)) for i in range(5)])
+    # hostile-stsc seed: run-start 0xFF000001 once expanded to a
+    # multi-GB samples-per-chunk list (exhaustive-sweep find); the
+    # run-table bound must hold under further mutation too
+    hostile_stsc = bytearray(
+        _mp4_frames([bytes([i] * (5 + i)) for i in range(5)],
+                    chunks=[3, 1, 1]))
+    _r1 = hostile_stsc.index(b"stsc") + 4 + 8 + 12
+    hostile_stsc[_r1:_r1 + 4] = (0xFF000001).to_bytes(4, "big")
+    hostile_stsc = bytes(hostile_stsc)
 
     # tiled-TIFF seed: mutations hit the tile-grid geometry, per-tile
     # decompression, and placement-crop paths
@@ -357,6 +366,7 @@ def test_media_decoders_never_raise():
         _tiff(9, 9), empty_mvhd_mp4, pixel_png, pixel_pal_png,
         adam7_png, pixel_gif, pixel_tiff, deflate_tiff, lzw_tiff,
         jpeg_tiff, pixel_bmp, rle_bmp, sample_flac, table_mp4,
+        hostile_stsc,
         tiled_tiff, deep_tiff, anim_gif, pixel_jpeg,
         pixel_prog_jpeg, mjpeg_avi, mp3_seed, ogg_seed,
         ulaw_wav, ima_wav, ms_wav, cram_bmp, cram_avi, msv1_16,

@@ -3358,6 +3358,26 @@ def test_mp4_video_frames():
     bad[at:at + 4] = (len(bad) + 100).to_bytes(4, "big")
     assert _mp4_video_frames(bytes(bad)) is None
     assert _mp4_video_frames(b"\x00" * 40) is None
+
+
+def test_mp4_hostile_stsc_runs_bounded():
+    """A hostile stsc run table must be REJECTED before the
+    samples-per-chunk expansion: a first_chunk near 2^32 in a
+    few-hundred-byte payload would otherwise build a multi-GB list
+    inside the executor (found by an exhaustive byte-flip sweep;
+    regression-pinned here).  Non-increasing run starts are equally
+    invalid per ISO 14496-12 §8.7.4."""
+    from arachne_spark.operators.multimodal import _mp4_video_frames
+
+    samples = [bytes([i] * (5 + i)) for i in range(5)]
+    base = _mp4_frames(samples, chunks=[3, 1, 1])  # runs (1,3),(2,1)
+    run1_first = base.find(b"stsc") + 4 + 8 + 12  # 2nd run's start
+    bomb = bytearray(base)
+    bomb[run1_first:run1_first + 4] = (0xFF000001).to_bytes(4, "big")
+    assert _mp4_video_frames(bytes(bomb)) is None  # fast, no blowup
+    dup = bytearray(base)
+    dup[run1_first:run1_first + 4] = (1).to_bytes(4, "big")  # = run 0
+    assert _mp4_video_frames(bytes(dup)) is None
     assert _mp4_video_frames(None) is None
 
 
