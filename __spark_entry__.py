@@ -3095,11 +3095,16 @@ def q45_resize_ppm(spark, sf_dir):
 def q46_payload_features(spark, sf_dir):
     """Binary payload → deterministic feature vector
     (``extract_features``, the Arrow ``mapInPandas`` path whose output
-    shape feeds the ANN operators), summarized as the sign-bit
-    signature of the first 8 components — which the DuckDB oracle
-    reproduces bit-for-bit from the md5 spec (a sign survives the
-    float32 cast exactly; the raw components would not survive a
-    float64 oracle comparison)."""
+    shape feeds the ANN operators).  Text payloads are not
+    pixel-decodable, so they take the REAL byte-distribution-gist
+    path: component b = count of payload bytes in value bin b (64
+    4-wide bins) — exact integers in float32, so the driver hash
+    checks them value-for-value.  Emitted: the total byte count
+    re-aggregated FROM the embedding (pins the whole vector sums to
+    octet_length) plus the eight letter/space bins that carry the
+    text's signal; the DuckDB oracle re-derives every count from a
+    hex(encode(text)) byte walk — an independent in-SQL re-decode of
+    the payload bytes."""
     from arachne_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -3107,15 +3112,20 @@ def q46_payload_features(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     feats = extract_features(payload, id_col="doc_id")
-    bits = F.lit(0)
-    for j in range(8):
-        bits = bits + F.when(
-            F.element_at("embedding", j + 1) >= 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
+    cols = [
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x
+        ).cast("bigint").alias("n_bytes"),
+    ]
+    # bin = byte >> 2: 8 = space (32-35), 24-30 = '`'..'{' letters
+    for b in (8, 24, 25, 26, 27, 28, 29, 30):
+        cols.append(
+            F.element_at("embedding", b + 1)
+            .cast("bigint")
+            .alias(f"c{b:02d}")
+        )
     return feats.select(
-        "doc_id",
-        F.size("embedding").alias("dim"),
-        bits.cast("int").alias("sign_bits"),
+        "doc_id", F.size("embedding").alias("dim"), *cols
     )
 
 
@@ -4397,31 +4407,29 @@ def oracle_sql() -> dict[str, str]:
                    ico_rows=_spec_thumb_rows(
                        10, 12_000_000, _ico_dims, _ico_pixel)),
         "q46_payload_features": """
-          with m as (
+          with hx as (
+            select doc_id, hex(encode(text)) as h from documents
+          ),
+          bytes as (
             select doc_id,
-                   md5(text || chr(0) || chr(0) || chr(0) || chr(0))
-                     as m0,
-                   md5(text || chr(0) || chr(0) || chr(0) || chr(1))
-                     as m1
-            from documents)
-          select doc_id, 64 as dim, cast(
-              (case when strpos('89abcdef', substr(m0, 1, 1)) > 0
-                    then 1 else 0 end)
-            + (case when strpos('89abcdef', substr(m0, 9, 1)) > 0
-                    then 2 else 0 end)
-            + (case when strpos('89abcdef', substr(m0, 17, 1)) > 0
-                    then 4 else 0 end)
-            + (case when strpos('89abcdef', substr(m0, 25, 1)) > 0
-                    then 8 else 0 end)
-            + (case when strpos('89abcdef', substr(m1, 1, 1)) > 0
-                    then 16 else 0 end)
-            + (case when strpos('89abcdef', substr(m1, 9, 1)) > 0
-                    then 32 else 0 end)
-            + (case when strpos('89abcdef', substr(m1, 17, 1)) > 0
-                    then 64 else 0 end)
-            + (case when strpos('89abcdef', substr(m1, 25, 1)) > 0
-                    then 128 else 0 end) as int) as sign_bits
-          from m
+                   (strpos('0123456789ABCDEF',
+                           substr(h, cast(2*i+1 as int), 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                             substr(h, cast(2*i+2 as int), 1)) - 1)
+                     as bv
+            from hx, unnest(range(length(h)//2)) as t(i)
+          )
+          select doc_id, 64 as dim,
+                 count(*) as n_bytes,
+                 count(*) filter (where bv//4 = 8)  as c08,
+                 count(*) filter (where bv//4 = 24) as c24,
+                 count(*) filter (where bv//4 = 25) as c25,
+                 count(*) filter (where bv//4 = 26) as c26,
+                 count(*) filter (where bv//4 = 27) as c27,
+                 count(*) filter (where bv//4 = 28) as c28,
+                 count(*) filter (where bv//4 = 29) as c29,
+                 count(*) filter (where bv//4 = 30) as c30
+          from bytes group by doc_id
         """,
         "q47_ntriples_lines": """
           select case when n_nationkey % 2 = 0 then

@@ -35,10 +35,12 @@ preservation — is real and tested throughout:
   payload-prefix stub only for the remaining entropy-coded formats
   (MP3/AAC/OGG samples);
 * ``extract_features``  — payload → float feature vector: REAL
-  grid-pooled luminance features for the pixel-decodable formats,
-  deterministic hash-seeded stub otherwise; the output column shape
-  (array<float>) feeds the ANN operators directly (operators/ann.py)
-  — binary in, searchable embedding out, end-to-end.
+  grid-pooled luminance features for the pixel-decodable formats and
+  a REAL byte-distribution gist (per-bin byte counts; cosine-
+  compatible by scale invariance) for everything else — no stubbed
+  feature path remains; the output column shape (array<float>) feeds
+  the ANN operators directly (operators/ann.py) — binary in,
+  searchable embedding out, end-to-end.
 """
 
 from __future__ import annotations
@@ -5004,11 +5006,18 @@ def extract_features(
     and BMP): the image is divided into a √dim x √dim grid and
     each cell's mean luminance (channel average) is scaled to [-1, 1)
     — a classic tiny-gist descriptor, deterministic, no model weights.
-    Entropy-coded formats and non-image payloads fall back to the
-    labeled md5-seeded STUB (deterministic floats in [-1, 1)).  The
-    output column shape is exactly the `embeddings.embedding` schema,
-    so the result feeds ann.with_buckets / ann_topk unchanged — binary
-    column in, similarity-searchable vector out."""
+    Entropy-coded formats and non-image payloads get a REAL
+    byte-distribution gist instead: component b is the COUNT of
+    payload bytes whose value falls in bin b (256/dim-wide bins) — the
+    bag-of-bytes descriptor.  Cosine over raw counts equals cosine
+    over the normalized histogram (scale invariance), so it feeds the
+    ANN operators unchanged, and counts are exact in float32 for any
+    payload under 2^24 bytes per bin (a 16 MB crawl-payload cap the
+    fetch layer already enforces in practice).  NULL/empty payloads
+    embed as the zero vector.  The output column shape is exactly the
+    `embeddings.embedding` schema, so the result feeds
+    ann.with_buckets / ann_topk unchanged — binary column in,
+    similarity-searchable vector out."""
     id_field = df.schema[id_col]
     schema = StructType(
         [
@@ -5045,16 +5054,13 @@ def extract_features(
                             cnt += ch
                     out.append(tot / cnt / 127.5 - 1.0 if cnt else 0.0)
             return (out + [0.0] * dim)[:dim]
-        out = []
-        seed = payload or b""
-        counter = 0
-        while len(out) < dim:
-            hd = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
-            for off in range(0, 16, 4):
-                (u,) = struct.unpack(">I", hd[off:off + 4])
-                out.append(u / 2**31 - 1.0)
-            counter += 1
-        return out[:dim]
+        if not payload:
+            return [0.0] * dim
+        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+        # bin index = (byte * dim) >> 8: dim equal-width value bins
+        idx = (arr.astype(np.int64) * dim) >> 8
+        counts = np.bincount(idx, minlength=dim)[:dim]
+        return counts.astype(np.float64).tolist()
 
     def feature_batches(
         batches: Iterator[pd.DataFrame],

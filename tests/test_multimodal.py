@@ -983,8 +983,10 @@ def test_resize_meta_real_pixel_thumbs(spark):
 
 def test_extract_features_real_pixels(spark):
     """Pixel-decodable payloads embed by REAL grid-pooled luminance: a
-    uniform-grey PNG maps every component to v/127.5 - 1; a text
-    payload keeps the md5-seeded stub (q46's oracle depends on it)."""
+    uniform-grey PNG maps every component to v/127.5 - 1; a non-image
+    payload gets the REAL byte-distribution gist — component b is the
+    exact count of bytes in 4-wide value bin b (q46's oracle
+    re-derives these counts in SQL)."""
     png = _png_raw(16, 16, 2, lambda x, y: (100, 100, 100))
     df = spark.createDataFrame(
         [(1, bytearray(png))], "doc_id long, payload binary"
@@ -993,12 +995,17 @@ def test_extract_features_real_pixels(spark):
     assert len(row["embedding"]) == 64
     for v in row["embedding"]:
         assert abs(v - (100 / 127.5 - 1.0)) < 1e-6
-    # stub fallback: deterministic and NOT the pooled value
+    # byte-gist fallback: exact per-bin counts of the payload bytes
     txt = spark.createDataFrame(
-        [(2, bytearray(b"some text"))], "doc_id long, payload binary"
+        [(2, bytearray(b"some text")), (3, None)],
+        "doc_id long, payload binary",
     )
-    (trow,) = extract_features(txt, "doc_id").collect()
-    assert len(set(trow["embedding"])) > 8  # md5 floats, not a constant
+    rows = {r["doc_id"]: r for r in extract_features(txt, "doc_id").collect()}
+    expect = [0.0] * 64
+    for byte in b"some text":
+        expect[byte >> 2] += 1.0
+    assert rows[2]["embedding"] == expect
+    assert rows[3]["embedding"] == [0.0] * 64  # NULL payload → zeros
 
 
 def _payloads(spark):
