@@ -409,6 +409,26 @@ def test_media_decoders_never_raise():
             assert out is None or isinstance(out, dict)
 
 
+def test_exhaustive_sweeps_capped():
+    """Systematic (non-random) adversarial sweeps — truncation at
+    every position and 4/2-byte max-value field patches — run in a
+    SUBPROCESS under a 6 GiB address-space cap, so an allocation
+    driven by a hostile count/dimension field fails as MemoryError
+    instead of an executor/host OOM.  This is the harness that found
+    the stsc samples-per-chunk memory bomb; keeping it in CI pins the
+    whole attack class, not just the one payload."""
+    import subprocess
+
+    helper = str(Path(__file__).parent / "sweep_helper.py")
+    proc = subprocess.run(
+        [sys.executable, helper], capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "TRUNCATION SWEEP CLEAN" in proc.stdout
+    assert "FIELD-PATCH SWEEP CLEAN" in proc.stdout
+
+
 def test_warc_parser_never_raises():
     from test_warc import RECORDS, _wet_record
 
