@@ -45,7 +45,6 @@ preservation — is real and tested throughout:
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from collections.abc import Iterator
 
