@@ -3413,10 +3413,16 @@ def q60_gopher_stats(spark, sf_dir):
     §2.2 — terminal-punctuation line keep, boilerplate-phrase drop,
     lorem-ipsum/code page blank) rides along per doc: ``c4_hash`` is
     the md5 of the CLEANED text and ``c4_n_chars`` its length, so the
-    full rewrite is value-checked against a DuckDB re-derivation."""
+    full rewrite is value-checked against a DuckDB re-derivation.
+    The full Gopher REPETITION profile (quality.py::repetition_stats,
+    Rae 2021 A1.1's other half — duplicate-line fractions plus
+    top{2,3,4}/dup{5..10} n-gram character fractions) rides along per
+    doc too, so the one (doc,n,gram) aggregation pass is value-checked
+    against a DuckDB n-gram re-derivation (previously pytest-only)."""
     from arachne_spark.operators.quality import (
         c4_clean,
         gopher_quality_stats,
+        repetition_stats,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -3425,7 +3431,8 @@ def q60_gopher_stats(spark, sf_dir):
         F.md5("text").alias("c4_hash"),
         F.length("text").cast("bigint").alias("c4_n_chars"),
     )
-    return gopher_quality_stats(docs).join(c4, "doc_id")
+    rep = repetition_stats(docs)
+    return gopher_quality_stats(docs).join(c4, "doc_id").join(rep, "doc_id")
 
 
 def q32_json_props(spark, sf_dir):
@@ -4184,6 +4191,91 @@ def oracle_sql() -> dict[str, str]:
         join e b on b.vec_id = c.nvec
       )
     """
+    # DuckDB twin of quality.py::repetition_stats (q60 rider): one
+    # gram branch per n mirroring the Spark union, the same
+    # (doc, n, gram) -> (top_chars, dup_chars) aggregation, and the
+    # identical least/greatest/round(…,4) frac projection.  All char
+    # counts are integer-exact on both sides, so the double division
+    # is bit-identical before rounding.
+    rep_top_ns, rep_dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    rep_branches = "\n            union all\n".join(
+        f"""
+            select doc_id, {n} as n,
+                   unnest(case when len(toks) >= {n} then
+                     list_transform(range(1, len(toks) - {n} + 2),
+                       i -> array_to_string(toks[i:i+{n - 1}], ' '))
+                     else [] end) as gram
+            from rep_base"""
+        for n in sorted(set(rep_top_ns) | set(rep_dup_ns))
+    )
+    rep_widen = ",\n              ".join(
+        [
+            f"max(case when n = {n} then top_chars end) as _top{n}"
+            for n in rep_top_ns
+        ]
+        + [
+            f"max(case when n = {n} then dup_chars end) as _dup{n}"
+            for n in rep_dup_ns
+        ]
+    )
+    rep_fracs = ",\n            ".join(
+        [
+            f"round(least(coalesce(wd._top{n}, 0.0)"
+            f" / greatest(b.n_chars, 1.0), 1.0), 4)"
+            f" as top{n}_gram_char_frac"
+            for n in rep_top_ns
+        ]
+        + [
+            f"round(least(coalesce(wd._dup{n}, 0.0)"
+            f" / greatest(b.n_chars, 1.0), 1.0), 4)"
+            f" as dup{n}_gram_char_frac"
+            for n in rep_dup_ns
+        ]
+    )
+    rep_ctes = f"""
+          rep_base as (
+            select doc_id,
+                   cast(length(text) as double) as n_chars,
+                   string_split(text, ' ') as toks
+            from documents),
+          grams as ({rep_branches}
+          ),
+          gcounts as (
+            select doc_id, n, gram, count(*) as c
+            from grams group by 1, 2, 3),
+          per_n as (
+            select doc_id, n,
+                   cast(max(c * length(gram)) as double) as top_chars,
+                   cast(coalesce(sum(c * length(gram))
+                          filter (where c > 1), 0) as double) as dup_chars
+            from gcounts group by 1, 2),
+          widen as (
+            select doc_id,
+              {rep_widen}
+            from per_n group by 1),
+          rlines as (
+            select doc_id, unnest(string_split(text, chr(10))) as line
+            from documents),
+          rlcounts as (
+            select doc_id, line, count(*) as c
+            from rlines group by 1, 2),
+          lrep as (
+            select doc_id,
+              cast(sum(c) as bigint) as n_lines,
+              round(1.0 - count(*) / cast(sum(c) as double), 4)
+                as dup_line_frac,
+              round(cast(sum((c - 1) * length(line)) as double)
+                    / greatest(cast(sum(c * length(line)) as double),
+                               1.0), 4) as dup_line_char_frac
+            from rlcounts group by 1),
+          rep as (
+            select b.doc_id, l.n_lines, l.dup_line_frac,
+                   l.dup_line_char_frac,
+            {rep_fracs}
+            from rep_base b
+            left join lrep l using (doc_id)
+            left join widen wd using (doc_id))
+    """
     return {
         "q01_id_grammar": f"""
           with ids as (
@@ -4659,7 +4751,7 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(regexp_split_to_array(text, '\s+'),
                                x -> x != '') as words,
                    string_split(text, chr(10)) as lines
-            from documents)
+            from documents),""" + rep_ctes + r"""
           select doc_id,
             cast(len(words) as bigint) as n_words,
             round(cast(length(regexp_replace(text, '\s+', '', 'g'))
@@ -4686,7 +4778,13 @@ def oracle_sql() -> dict[str, str]:
                 ['the','be','to','of','and','that','have','with'],
                 s -> list_contains(list_transform(words,
                        x -> lower(x)), s))) as integer) as n_stop_hits,
-            c4.c4_hash, c4.c4_n_chars
+            c4.c4_hash, c4.c4_n_chars,
+            rep.n_lines, rep.dup_line_frac, rep.dup_line_char_frac,
+            rep.top2_gram_char_frac, rep.top3_gram_char_frac,
+            rep.top4_gram_char_frac, rep.dup5_gram_char_frac,
+            rep.dup6_gram_char_frac, rep.dup7_gram_char_frac,
+            rep.dup8_gram_char_frac, rep.dup9_gram_char_frac,
+            rep.dup10_gram_char_frac
           from w join (
             select doc_id, md5(c4_text) as c4_hash,
                    cast(length(c4_text) as bigint) as c4_n_chars
@@ -4708,6 +4806,7 @@ def oracle_sql() -> dict[str, str]:
                         'javascript|cookies enabled|enable javascript')
                   ), chr(10)) as cleaned
                 from documents))) c4 using (doc_id)
+          join rep using (doc_id)
         """,
         "q48_percentiles": """
           select l_returnflag,
