@@ -492,13 +492,21 @@ def q20_text_stats(spark, sf_dir):
       URL exercises case folding, www/default-port/fragment/tracking
       -param stripping, trailing-slash and empty-path rules, and the
       two-level-suffix eTLD+1 — ``canon_url`` + ``domain`` are checked
-      against an independent urllib.parse twin."""
+      against an independent urllib.parse twin.
+    * Domain cap (operators/urls.py::domain_cap): ``cap_keep`` marks
+      the <=3 docs per domain the salted two-phase top-k keeps; the
+      unique doc_id order makes the twin an exact per-domain
+      first-3 replay."""
     from arachne_spark.operators.sampling import hash_split, hash_unit
     from arachne_spark.operators.scrub import (
         PII_PATTERNS,
         scrub_expr,
     )
-    from arachne_spark.operators.urls import with_canonical, with_domain
+    from arachne_spark.operators.urls import (
+        domain_cap,
+        with_canonical,
+        with_domain,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -635,6 +643,19 @@ def q20_text_stats(spark, sf_dir):
         "doc_id", "n_email", "n_ipv4", "n_phone", "pii_hash",
         "split", "in_sample",
         F.col("canonical_url").alias("canon_url"), "domain",
+    )
+    # domain_cap rider (operators/urls.py:165): ``cap_keep`` marks the
+    # <=3 docs per eTLD+1 the salted two-phase cap keeps.  order_by =
+    # doc_id (unique) so the hash tie-break never decides and the twin
+    # is a plain first-3-per-domain-in-doc_id-order replay — this
+    # value-checks the two-phase machinery's single-window equality in
+    # the driver window (previously pytest-differential only).
+    keep = domain_cap(
+        cur.select("doc_id", "domain"), "domain", 3, "doc_id",
+        order_by=[F.col("doc_id")],
+    ).select("doc_id", F.lit(True).alias("cap_keep"))
+    cur = cur.join(keep, "doc_id", "left").withColumn(
+        "cap_keep", F.coalesce(F.col("cap_keep"), F.lit(False))
     )
     return base.join(sim, "doc_id").join(cur, "doc_id")
 
@@ -3820,6 +3841,11 @@ def _curation_oracle_rows() -> str:
         return ".".join(parts[-take:])
 
     out = []
+    # domain_cap twin: the loop runs in ascending doc_id order, so a
+    # per-domain counter replays row_number() over (partition by
+    # domain order by doc_id) <= 3 exactly (the unique order_by makes
+    # the operator's hash tie-break inert).
+    seen_per_domain: dict = {}
     for d, t in sorted(rows):
         d = int(d)
         pii = t
@@ -3869,10 +3895,13 @@ def _curation_oracle_rows() -> str:
             f"{scheme}://{www}Site{d % 20}.{suffix}{port}{path}"
             f"{query}{frag}"
         )
+        domain = dom(url)
+        seen_per_domain[domain] = seen_per_domain.get(domain, 0) + 1
+        cap_keep = seen_per_domain[domain] <= 3
         out.append(
             f"({d}, {counts[0]}, {counts[1]}, {counts[2]}, '{ph}',"
             f" '{split}', {str(in_sample).lower()},"
-            f" '{canon(url)}', '{dom(url)}')"
+            f" '{canon(url)}', '{domain}', {str(cap_keep).lower()})"
         )
     return ", ".join(out)
 
@@ -4885,11 +4914,12 @@ def oracle_sql() -> dict[str, str]:
                  cast(c.n_email as bigint) as n_email,
                  cast(c.n_ipv4 as bigint) as n_ipv4,
                  cast(c.n_phone as bigint) as n_phone,
-                 c.pii_hash, c.split, c.in_sample, c.canon_url, c.domain
+                 c.pii_hash, c.split, c.in_sample, c.canon_url, c.domain,
+                 c.cap_keep
           from base join sim using (doc_id)
           join (values {{CUR_ROWS}})
             c(doc_id, n_email, n_ipv4, n_phone, pii_hash, split,
-              in_sample, canon_url, domain)
+              in_sample, canon_url, domain, cap_keep)
             on base.doc_id = c.doc_id
         """.replace("{CUR_ROWS}", _curation_oracle_rows()),
         "q26_cosine_topk": cos_pairs.format(
