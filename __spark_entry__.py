@@ -3439,11 +3439,20 @@ def q60_gopher_stats(spark, sf_dir):
     Rae 2021 A1.1's other half — duplicate-line fractions plus
     top{2,3,4}/dup{5..10} n-gram character fractions) rides along per
     doc too, so the one (doc,n,gram) aggregation pass is value-checked
-    against a DuckDB n-gram re-derivation (previously pytest-only)."""
+    against a DuckDB n-gram re-derivation (previously pytest-only).
+    Cross-corpus boilerplate stripping (quality.py::strip_boilerplate,
+    the C4 line-frequency rule) rides as ``bp_hash``/``bp_n_chars``:
+    a corpus-wide footer (500 docs) and a semi-rare line (~1/3 of
+    docs) are appended per doc plus a unique tail, max_occurrences=50
+    strips exactly the two injected hot lines, and the oracle replays
+    the count + anti-join + ordered reassembly in DuckDB — the salted
+    hot-line count and order-preserving rebuild get a driver hash row
+    (previously pytest-only)."""
     from arachne_spark.operators.quality import (
         c4_clean,
         gopher_quality_stats,
         repetition_stats,
+        strip_boilerplate,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -3453,7 +3462,31 @@ def q60_gopher_stats(spark, sf_dir):
         F.length("text").cast("bigint").alias("c4_n_chars"),
     )
     rep = repetition_stats(docs)
-    return gopher_quality_stats(docs).join(c4, "doc_id").join(rep, "doc_id")
+    bdocs = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCOMMON FOOTER\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("SEMI RARE LINE")
+            ).otherwise(
+                F.concat(
+                    F.lit("unique tail "), F.col("doc_id").cast("string")
+                )
+            ),
+        ).alias("text"),
+    )
+    bp = strip_boilerplate(bdocs, max_occurrences=50).select(
+        "doc_id",
+        F.md5("text").alias("bp_hash"),
+        F.length("text").cast("bigint").alias("bp_n_chars"),
+    )
+    return (
+        gopher_quality_stats(docs)
+        .join(c4, "doc_id")
+        .join(rep, "doc_id")
+        .join(bp, "doc_id")
+    )
 
 
 def q32_json_props(spark, sf_dir):
@@ -4305,6 +4338,43 @@ def oracle_sql() -> dict[str, str]:
             left join lrep l using (doc_id)
             left join widen wd using (doc_id))
     """
+    # DuckDB twin of quality.py::strip_boilerplate (q60 rider): same
+    # injected hot lines, the same >max_occurrences one-per-doc line
+    # count, anti-join, and order-preserving '\n' reassembly (empty
+    # text for all-boilerplate docs).
+    bp_ctes = """
+          bdocs as (
+            select doc_id,
+                   text || chr(10) || 'COMMON FOOTER' || chr(10) ||
+                   case when doc_id % 3 = 0 then 'SEMI RARE LINE'
+                        else 'unique tail ' || cast(doc_id as varchar)
+                   end as btext
+            from documents),
+          blx as (
+            select doc_id,
+                   unnest(string_split(btext, chr(10))) as line,
+                   unnest(range(1, len(string_split(btext, chr(10))) + 1))
+                     as pos
+            from bdocs),
+          bhot as (
+            select line
+            from (select distinct doc_id, line from blx
+                  where length(line) >= 1)
+            group by line having count(*) > 50),
+          bkept as (
+            select doc_id, pos, line
+            from blx anti join bhot using (line)),
+          bstrip as (
+            select d.doc_id,
+                   md5(coalesce(
+                     string_agg(k.line, chr(10) order by k.pos), ''))
+                     as bp_hash,
+                   cast(coalesce(
+                     length(string_agg(k.line, chr(10) order by k.pos)),
+                     0) as bigint) as bp_n_chars
+            from bdocs d left join bkept k using (doc_id)
+            group by d.doc_id)
+    """
     return {
         "q01_id_grammar": f"""
           with ids as (
@@ -4780,7 +4850,7 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(regexp_split_to_array(text, '\s+'),
                                x -> x != '') as words,
                    string_split(text, chr(10)) as lines
-            from documents),""" + rep_ctes + r"""
+            from documents),""" + rep_ctes + "," + bp_ctes + r"""
           select doc_id,
             cast(len(words) as bigint) as n_words,
             round(cast(length(regexp_replace(text, '\s+', '', 'g'))
@@ -4813,7 +4883,8 @@ def oracle_sql() -> dict[str, str]:
             rep.top4_gram_char_frac, rep.dup5_gram_char_frac,
             rep.dup6_gram_char_frac, rep.dup7_gram_char_frac,
             rep.dup8_gram_char_frac, rep.dup9_gram_char_frac,
-            rep.dup10_gram_char_frac
+            rep.dup10_gram_char_frac,
+            bstrip.bp_hash, bstrip.bp_n_chars
           from w join (
             select doc_id, md5(c4_text) as c4_hash,
                    cast(length(c4_text) as bigint) as c4_n_chars
@@ -4836,6 +4907,7 @@ def oracle_sql() -> dict[str, str]:
                   ), chr(10)) as cleaned
                 from documents))) c4 using (doc_id)
           join rep using (doc_id)
+          join bstrip using (doc_id)
         """,
         "q48_percentiles": """
           select l_returnflag,
