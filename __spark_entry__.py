@@ -496,7 +496,11 @@ def q20_text_stats(spark, sf_dir):
     * Domain cap (operators/urls.py::domain_cap): ``cap_keep`` marks
       the <=3 docs per domain the salted two-phase top-k keeps; the
       unique doc_id order makes the twin an exact per-domain
-      first-3 replay."""
+      first-3 replay.
+    * Deterministic shuffle (operators/sampling.py): ``shuffle_rank``
+      materializes the content-pure training permutation — the sort
+      by (hash_unit(doc_id, 'shuffle'), doc_id) — which the XXH64
+      twin replays rank-for-rank."""
     from arachne_spark.operators.sampling import hash_split, hash_unit
     from arachne_spark.operators.scrub import (
         PII_PATTERNS,
@@ -656,6 +660,23 @@ def q20_text_stats(spark, sf_dir):
     ).select("doc_id", F.lit(True).alias("cap_keep"))
     cur = cur.join(keep, "doc_id", "left").withColumn(
         "cap_keep", F.coalesce(F.col("cap_keep"), F.lit(False))
+    )
+    # deterministic_shuffle rider (operators/sampling.py:51): the
+    # operator's training order is BY SPEC the sort by
+    # (hash_unit(key, salt), key); ``shuffle_rank`` materializes that
+    # permutation as a column so the from-spec XXH64 twin hash-checks
+    # it (the single global window is the fixture-scale spec check —
+    # the operator's distributed repartitionByRange path is pinned
+    # byte-identical to this order in tests/test_sampling.py).
+    cur = cur.withColumn(
+        "shuffle_rank",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                hash_unit(F.col("doc_id"), "shuffle"), F.col("doc_id")
+            )
+        )
+        .cast("bigint"),
     )
     return base.join(sim, "doc_id").join(cur, "doc_id")
 
@@ -3879,6 +3900,12 @@ def _curation_oracle_rows() -> str:
     # domain order by doc_id) <= 3 exactly (the unique order_by makes
     # the operator's hash tie-break inert).
     seen_per_domain: dict = {}
+    # deterministic_shuffle twin: replay the (hash_unit, key) sort
+    # with the same from-spec XXH64 (bit-equal doubles, pinned in
+    # tests/test_oracle_twins.py) and rank it.
+    ids = sorted(int(d) for d, _ in rows)
+    order = sorted(ids, key=lambda d: (_hash_unit_twin(d, "shuffle"), d))
+    shuffle_rank = {d: i + 1 for i, d in enumerate(order)}
     for d, t in sorted(rows):
         d = int(d)
         pii = t
@@ -3934,7 +3961,8 @@ def _curation_oracle_rows() -> str:
         out.append(
             f"({d}, {counts[0]}, {counts[1]}, {counts[2]}, '{ph}',"
             f" '{split}', {str(in_sample).lower()},"
-            f" '{canon(url)}', '{domain}', {str(cap_keep).lower()})"
+            f" '{canon(url)}', '{domain}', {str(cap_keep).lower()},"
+            f" {shuffle_rank[d]})"
         )
     return ", ".join(out)
 
@@ -4987,11 +5015,11 @@ def oracle_sql() -> dict[str, str]:
                  cast(c.n_ipv4 as bigint) as n_ipv4,
                  cast(c.n_phone as bigint) as n_phone,
                  c.pii_hash, c.split, c.in_sample, c.canon_url, c.domain,
-                 c.cap_keep
+                 c.cap_keep, cast(c.shuffle_rank as bigint) as shuffle_rank
           from base join sim using (doc_id)
           join (values {{CUR_ROWS}})
             c(doc_id, n_email, n_ipv4, n_phone, pii_hash, split,
-              in_sample, canon_url, domain, cap_keep)
+              in_sample, canon_url, domain, cap_keep, shuffle_rank)
             on base.doc_id = c.doc_id
         """.replace("{CUR_ROWS}", _curation_oracle_rows()),
         "q26_cosine_topk": cos_pairs.format(
