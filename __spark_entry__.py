@@ -3261,19 +3261,44 @@ def q51_sessionize(spark, sf_dir):
     )
 
 
+KMEANS_K = 8  # q52 trained-quantizer size shared with the oracle twin
+KMEANS_ITERS = 2
+
+
 def q52_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (operators/ann.py::ivf_topk) — the second
     ANN scale path next to hyperplane LSH (q37): corpus partitioned
     into centroid cells, queries probe their nprobe nearest cells,
-    exact cosine rescoring ranks the candidates.  Centroids are the
-    deterministic seeded pick (smallest ids) so every value is
-    bit-reproducible by the oracle."""
-    from arachne_spark.operators.ann import ivf_topk
+    exact cosine rescoring ranks the candidates.  Since round 5 the
+    quantizer is TRAINED in-engine (operators/ann.py::kmeans_fit,
+    KMEANS_K cells x KMEANS_ITERS Lloyd iterations, decimal-exact
+    means): the 'cent' section emits every trained centroid component
+    (qvec=cid, nvec=dim position, sim=component rounded to 6) and the
+    'topk' section is the IVF search over those centroids — so the
+    driver hash pins the training loop end-to-end against a pure-
+    Python replay (the q56/q58 spec-oracle VALUES pattern; the replay
+    reproduces Spark byte-for-byte because the assignment dot is a
+    fixed-order double fold and the mean is a decimal(38,9) HALF_UP
+    quotient — verified byte-exact before wiring)."""
+    from arachne_spark.operators.ann import ivf_topk, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, F.col("vec_id") < 10, n_centroids=8, k=5, nprobe=2
+    cents = kmeans_fit(emb, k=KMEANS_K, n_iters=KMEANS_ITERS)
+    main = ivf_topk(
+        emb, F.col("vec_id") < 10, k=5, nprobe=2, centroids=cents
+    ).select(
+        F.lit("topk").alias("section"), "qvec", "nvec", "sim", "rank"
     )
+    cent = cents.select(
+        "cid", F.posexplode("cvec").alias("pos", "v")
+    ).select(
+        F.lit("cent").alias("section"),
+        F.col("cid").alias("qvec"),
+        F.col("pos").cast("bigint").alias("nvec"),
+        F.round(F.col("v").cast("double"), 6).alias("sim"),
+        F.lit(None).cast("bigint").alias("rank"),
+    )
+    return main.unionByName(cent)
 
 
 # GPT-2-style pretokenizer shape: letter runs, digit runs, punctuation
@@ -3661,6 +3686,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _ORACLE_SF = __import__("os").environ.get(
     "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
 )
+
+
+def _kmeans_oracle() -> tuple[str, str]:
+    """Pure-Python byte-exact replay of ann.kmeans_fit for q52's
+    trained quantizer (spec-oracle VALUES pattern).  Exactness relies
+    on three replayed details, each verified byte-for-byte against the
+    operator before wiring: (1) init order = (xxhash64(vec_id,
+    'kmeans_init'), vec_id) via the from-spec XXH64 twin; (2) the
+    assignment cosine is a LEFT-TO-RIGHT double fold (the SQL
+    aggregate path — dims < DOT_ARROW_MIN_DIM); (3) the mean is a
+    decimal sum of inputs quantized HALF_UP at 1e-9 (cast float ->
+    decimal(30,9)) divided by the count with the quotient AGAIN
+    HALF_UP at 1e-9 (Spark's decimal(38,9)/decimal(20,0) division
+    lands at result scale 9), then narrowed to float32.  Returns
+    (centroid VALUES ``(cid, cvec)`` for the IVF search twin,
+    component VALUES ``(qvec, nvec, sim)`` for the 'cent' section)."""
+    import math
+    import struct as _st
+    from decimal import Decimal, ROUND_HALF_UP, getcontext
+
+    import duckdb
+
+    getcontext().prec = 60
+    rows = duckdb.sql(
+        f"select vec_id, embedding from '{_ORACLE_SF}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {int(v): [float(x) for x in e] for v, e in rows}
+    dim = len(next(iter(vecs.values())))
+
+    def f32(x: float) -> float:
+        return _st.unpack("<f", _st.pack("<f", x))[0]
+
+    def signed(x: int) -> int:
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    def hkey(vid: int) -> int:
+        return signed(_xxh64(b"kmeans_init", _xxh64(_st.pack("<q", vid), 42)))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def nrm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    order = sorted(vecs, key=lambda v: (hkey(v), v))
+    cents = [(i, list(vecs[order[i]])) for i in range(KMEANS_K)]
+    q9 = Decimal("1e-9")
+    for _ in range(KMEANS_ITERS):
+        cn = {cid: nrm(c) for cid, c in cents}
+        sums: dict = {}
+        counts: dict = {}
+        for vid in sorted(vecs):
+            e = vecs[vid]
+            en = nrm(e)
+            best, bsim = None, None
+            for cid, c in cents:
+                s = dot(e, c) / (en * cn[cid])
+                if bsim is None or s > bsim:
+                    best, bsim = cid, s
+            counts[best] = counts.get(best, 0) + 1
+            acc = sums.setdefault(best, [Decimal(0)] * dim)
+            for i, x in enumerate(e):
+                acc[i] += Decimal(x).quantize(q9, ROUND_HALF_UP)
+        cents = [
+            (
+                cid,
+                [
+                    f32(
+                        float(
+                            (sums[cid][i] / counts[cid]).quantize(
+                                q9, ROUND_HALF_UP
+                            )
+                        )
+                    )
+                    for i in range(dim)
+                ]
+                if cid in counts
+                else old,
+            )
+            for cid, old in cents
+        ]
+    q6 = Decimal("0.000001")
+    cent_vals = ", ".join(
+        f"({cid}, [" + ", ".join(repr(v) for v in c) + "])"
+        for cid, c in cents
+    )
+    comp_vals = ", ".join(
+        f"({cid}, {i},"
+        f" {float(Decimal(repr(v)).quantize(q6, ROUND_HALF_UP))!r})"
+        for cid, c in cents
+        for i, v in enumerate(c)
+    )
+    return cent_vals, comp_vals
 
 
 def _substring_oracle_rows() -> str:
@@ -4403,6 +4527,7 @@ def oracle_sql() -> dict[str, str]:
             from bdocs d left join bkept k using (doc_id)
             group by d.doc_id)
     """
+    kc_vals, kcomp_vals = _kmeans_oracle()
     return {
         "q01_id_grammar": f"""
           with ids as (
@@ -4674,8 +4799,11 @@ def oracle_sql() -> dict[str, str]:
                      x -> cast(x as double) * cast(x as double))))
                      as nrm
             from embeddings),
-          c as (select vec_id as cid, embedding as cvec, nrm as cnrm
-                from e order by vec_id limit 8),
+          c as (select cid, cvec,
+                       sqrt(list_sum(list_transform(cvec,
+                         x -> cast(x as double) * cast(x as double))))
+                         as cnrm
+                from (values {kc_vals}) t(cid, cvec)),
           asgn as (
             select vec_id, embedding, nrm, cid, rk from (
               select e.vec_id, e.embedding, e.nrm, c.cid,
@@ -4697,11 +4825,16 @@ def oracle_sql() -> dict[str, str]:
                      i -> cast(qe[i] as double) * cast(ne[i] as double)))
                      / (qn * nn), 4) as sim
             from cand)
-          select qvec, nvec, sim, rank from (
+          select 'topk' as section, qvec, nvec, sim,
+                 cast(rank as bigint) as rank from (
             select *, row_number() over (partition by qvec
                      order by sim desc, nvec) as rank
             from sims)
           where rank <= 5
+          union all
+          select 'cent', cast(qvec as bigint), cast(nvec as bigint),
+                 cast(sim as double), cast(null as bigint)
+          from (values {kcomp_vals}) cv(qvec, nvec, sim)
         """,
         "q53_bpe_tokens": f"""
           with t as (
